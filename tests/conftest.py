@@ -7,10 +7,18 @@ TPU chip via bench.py.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-override: the image's sitecustomize registers the tunneled-TPU
+# ("axon") PJRT plugin at interpreter start and pins JAX_PLATFORMS to it,
+# which makes every tiny test kernel a slow remote compile. Unit tests
+# always run on host CPU with a virtual 8-device mesh; jax.config.update
+# wins over the plugin's env pinning as long as it runs before backend init.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
