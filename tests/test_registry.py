@@ -136,8 +136,8 @@ def test_all_configurations(reg):
     assert set(configs) == {"dc(coder=dummy)", "dc(coder=other)"}
 
 
-def test_create_algo():
-    algo = create_algo(DummyComp, "threshold=11")
+def test_create_algo(reg):
+    algo = create_algo(DummyComp, "threshold=11", registry=reg)
     assert algo.env.option("threshold").as_int() == 11
 
 

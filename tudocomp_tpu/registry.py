@@ -206,20 +206,20 @@ def _product(lists: List[List[str]]) -> Iterator[tuple]:
 REGISTRY = Registry()
 
 
-def create_algo(cls: Type[Algorithm], options: str = ""):
+def create_algo(cls: Type[Algorithm], options: str = "", registry=None):
     """Instantiate an algorithm class directly with an option string.
 
     Equivalent to the reference's ``create_algo<T>(options)``
     (``CreateAlgorithm.hpp:117-133``) — the test/library entry point.
+    Sub-algorithm defaults resolve against ``registry`` (the global one by
+    default); ``cls`` itself is made resolvable in a local copy if needed.
     """
     m = cls.meta()
-    # ensure cls itself resolvable even if not globally registered
-    reg = REGISTRY
-    if m.name not in reg._by_type.get(m.type, {}):
-        reg = Registry()
-        reg._by_type = {
-            t: dict(b) for t, b in REGISTRY._by_type.items()
-        }
-        reg._by_type.setdefault(m.type, {})[m.name] = cls
+    reg = registry if registry is not None else REGISTRY
+    if reg._by_type.get(m.type, {}).get(m.name) is not cls:
+        copy = Registry()
+        copy._by_type = {t: dict(b) for t, b in reg._by_type.items()}
+        copy._by_type.setdefault(m.type, {})[m.name] = cls
+        reg = copy
     text = f"{m.name}({options})" if options else m.name
     return reg.instantiate(text, m.type)
