@@ -1,0 +1,117 @@
+"""Compressor roundtrips over the adversarial corpus, per coder."""
+
+import pytest
+
+from helpers import assert_roundtrip_batch, generator_corpus, roundtrip
+
+from tudocomp_tpu.compressors import REGISTRY  # populates registry
+
+
+UNIVERSAL = ["ascii", "bit", "gamma", "delta", "ternary"]
+NON_CONSUMING = UNIVERSAL + ["huff"]
+ALL = NON_CONSUMING + ["arithmetic", "sle"]
+
+
+def test_noop():
+    assert_roundtrip_batch("noop")
+
+
+@pytest.mark.parametrize("coder", ALL)
+def test_encode(coder):
+    assert_roundtrip_batch(f"encode({coder})")
+
+
+def test_rle():
+    assert_roundtrip_batch("rle")
+    assert_roundtrip_batch("rle(offset=1)")
+
+
+def test_rle_known_bytes():
+    comp = REGISTRY.instantiate("rle")
+    assert comp.compress(b"aaaa") == b"aa\x02"
+    assert comp.compress(b"aab") == b"aa\x00b"
+    assert comp.compress(b"abc") == b"abc"
+    assert comp.decompress(b"aa\x02") == b"aaaa"
+
+
+def test_mtf():
+    assert_roundtrip_batch("mtf")
+
+
+def test_mtf_known_bytes():
+    comp = REGISTRY.instantiate("mtf")
+    # 'a'=97: first output 97, second 'a' is index 0
+    assert comp.compress(b"aa") == bytes([97, 0])
+    assert comp.compress(b"ab") == bytes([97, 98])
+    assert comp.compress(b"aba") == bytes([97, 98, 1])
+
+
+def test_bwt():
+    assert_roundtrip_batch("bwt")
+
+
+def test_bwt_known():
+    comp = REGISTRY.instantiate("bwt")
+    # classic example: banana + sentinel
+    assert comp.compress(b"banana\x00") == b"annb\x00aa"
+    assert comp.decompress(b"annb\x00aa") == b"banana\x00"
+
+
+@pytest.mark.parametrize("coder", NON_CONSUMING)
+def test_lzss_window(coder):
+    assert_roundtrip_batch(f"lzss({coder})")
+
+
+def test_lzss_options():
+    assert_roundtrip_batch("lzss(bit, window=4, threshold=2)")
+    assert_roundtrip_batch("lzss(bit, window=64)")
+
+
+@pytest.mark.parametrize("coder", NON_CONSUMING + ["sle"])
+def test_lzss_lcp(coder):
+    assert_roundtrip_batch(f"lzss_lcp({coder})")
+
+
+@pytest.mark.parametrize("coder", ["bit", "gamma", "huff"])
+def test_lz78(coder):
+    assert_roundtrip_batch(f"lz78(coder={coder})")
+
+
+def test_lz78_tries_same_output():
+    data = b"abcabcabcabcaabbccababab" * 5
+    outs = set()
+    for trie in ("ternary", "binary", "hash", "cedar", "compact_sparse_hash"):
+        outs.add(roundtrip(f"lz78(coder=bit, lz78trie={trie})", data))
+    assert len(outs) == 1  # canonical parse regardless of trie
+
+
+def test_lz78_dict_reset():
+    assert_roundtrip_batch("lz78(coder=bit, dict_size=8)")
+
+
+@pytest.mark.parametrize("coder", ["bit", "gamma", "ternary"])
+def test_lzw(coder):
+    assert_roundtrip_batch(f"lzw(coder={coder})")
+
+
+def test_lzw_dict_reset():
+    assert_roundtrip_batch("lzw(coder=bit, dict_size=260)")
+
+
+def test_chain():
+    assert_roundtrip_batch("chain(rle, encode(huff))")
+    assert_roundtrip_batch("chain(bwt, chain(rle, chain(mtf, encode(huff))))")
+
+
+def test_generators_roundtrip():
+    for data in generator_corpus(10):
+        for algo in ("encode(huff)", "lzss(bit)", "lz78(coder=bit)", "bwt"):
+            roundtrip(algo, data)
+
+
+def test_compression_actually_compresses():
+    data = b"abcabcabcabc" * 200
+    for algo in ("lzss(bit)", "lz78(coder=bit)", "lzw(coder=bit)",
+                 "encode(huff)", "lzss_lcp(bit)"):
+        comp = roundtrip(algo, data)
+        assert len(comp) < len(data), algo

@@ -1,0 +1,165 @@
+"""Arithmetic (integer range) coder over literals.
+
+Scheme mirrors the reference ``coders/ArithmeticCoder.hpp``: a *consuming*
+coder — it needs the literal histogram up front and buffers interval state:
+
+- codebook header: literal count, codebook size, then (symbol, normalized
+  cumulative count) pairs; cumulative counts are divided by the minimum
+  symbol count.
+- encoding narrows a 64-bit interval ``[lower, upper)`` per literal using
+  the normalized cumulative table; when the range underflows the total
+  interval parts, the current ``lower`` is flushed as a 64-bit code and the
+  interval restarts ("flush-and-restart" blocks).
+- after the final literal the last code plus an all-ones dummy code is
+  written.
+- non-literal ranges fall back to range-optimal binary.
+
+Divergences from the reference (documented per SURVEY.md hard-part #1):
+the reference stores the codebook size in 8 bits (wraps for a 256-symbol
+alphabet) and derives the literal total from cumulative index 254; we store
+16 bits and the true total. The flush/restart schedule is identical, so
+block boundaries align between our encoder and decoder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tudocomp_tpu.coders import base
+from tudocomp_tpu.meta import Algorithm, Meta
+from tudocomp_tpu.ranges import LiteralRange, Range
+
+_UMAX = (1 << 64) - 1
+
+
+def _offset(range_, cum, total):
+    # guard against 64-bit overflow exactly like the reference's two regimes
+    if range_ <= total:
+        return range_ * cum // total
+    return range_ // total * cum
+
+
+class ArithmeticCoder(Algorithm):
+    is_consuming = True
+
+    @classmethod
+    def meta(cls):
+        return Meta("coder", "arithmetic", "Simple range encoding")
+
+    class Encoder(base.Encoder):
+        is_consuming = True
+
+        def __init__(self, env, out, literals):
+            super().__init__(env, out, literals)
+            counts = np.bincount(literals.chars, minlength=256)
+            self.literal_count = int(counts.sum())
+            self.literal_counter = 0
+            self.lower = 0
+            self.upper = _UMAX
+            nonzero = np.flatnonzero(counts)
+            self.symbols = nonzero
+            if nonzero.size:
+                mn = int(counts[nonzero].min())
+                cum = np.cumsum(counts) // mn
+                self.cum = cum  # normalized cumulative counts, full alphabet
+                self.total = int(cum[255])
+            else:
+                self.cum = np.zeros(256, np.int64)
+                self.total = 0
+            self.min_range = self.total
+            # codebook header
+            out.write_int(self.literal_count, 32)
+            out.write_int(int(nonzero.size), 16)
+            for s in nonzero.tolist():
+                out.write_int(s, 8)
+                out.write_int(int(self.cum[s]), 32)
+
+        def encode(self, v, r: Range) -> None:
+            if not isinstance(r, LiteralRange):
+                super().encode(v, r)
+                return
+            v = int(v) & 0xFF
+            self.literal_counter += 1
+            rng = self.upper - self.lower
+            if rng < self.min_range:
+                self.out.write_int(self.lower, 64)
+                self.lower, self.upper = 0, _UMAX
+                rng = _UMAX
+            self.upper = self.lower + _offset(
+                rng, int(self.cum[v]), self.total
+            )
+            if v != 0:
+                self.lower = self.lower + _offset(
+                    rng, int(self.cum[v - 1]), self.total
+                )
+            if self.literal_counter == self.literal_count:
+                self.out.write_int(self.lower, 64)
+                self.out.write_int(_UMAX, 64)  # dummy terminator
+
+        def encode_array(self, values, r: Range) -> None:
+            if not isinstance(r, LiteralRange):
+                super().encode_array(values, r)
+                return
+            for v in np.asarray(values, np.uint8).tolist():
+                self.encode(v, r)
+
+    class Decoder(base.Decoder):
+        is_consuming = True
+
+        def __init__(self, env, inp):
+            super().__init__(env, inp)
+            self.literal_count = inp.read_int(32)
+            sigma = inp.read_int(16)
+            self.symbols = []
+            self.cums = []
+            for _ in range(sigma):
+                self.symbols.append(inp.read_int(8))
+                self.cums.append(inp.read_int(32))
+            self.total = self.cums[-1] if self.cums else 0
+            self.min_range = self.total
+            self.literal_counter = 0
+            self.buffer: list[int] = []
+            self.buf_pos = 0
+
+        def eof(self) -> bool:
+            return self.buf_pos >= len(self.buffer) and self.inp.eof()
+
+        def _decode_block(self, code: int) -> None:
+            lower, upper = 0, _UMAX
+            out = []
+            rng = upper - lower
+            while self.min_range <= rng and (
+                self.literal_counter < self.literal_count
+            ):
+                interval_lower = lower
+                for sym, cum in zip(self.symbols, self.cums):
+                    upper = lower + _offset(rng, cum, self.total)
+                    if code < upper:
+                        out.append(sym)
+                        lower = interval_lower
+                        break
+                    interval_lower = upper
+                self.literal_counter += 1
+                rng = upper - lower
+            self.buffer = out
+            self.buf_pos = 0
+
+        def decode(self, r: Range) -> int:
+            if not isinstance(r, LiteralRange):
+                return super().decode(r)
+            if self.buf_pos >= len(self.buffer):
+                code = self.inp.read_int(64)
+                if code != _UMAX:
+                    self._decode_block(code)
+            v = self.buffer[self.buf_pos]
+            self.buf_pos += 1
+            if self.buf_pos >= len(self.buffer):
+                code = self.inp.read_int(64)
+                if code != _UMAX:
+                    self._decode_block(code)
+            return v
+
+        def decode_array(self, r: Range, count: int) -> np.ndarray:
+            return np.array(
+                [self.decode(r) for _ in range(count)], np.uint64
+            )

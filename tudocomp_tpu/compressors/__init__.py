@@ -1,0 +1,44 @@
+"""Compressors: transform input bytes to a compressed stream and back.
+
+Importing this package registers every compressor and coder with the global
+registry (the Python equivalent of the reference's generated registration
+TUs from ``etc/registry_config.py``).
+"""
+
+from tudocomp_tpu.registry import REGISTRY
+from tudocomp_tpu import coders as _coders
+
+from tudocomp_tpu.compressors.base import Compressor  # noqa: F401
+from tudocomp_tpu.compressors.noop import NoopCompressor  # noqa: F401
+from tudocomp_tpu.compressors.literal import LiteralEncoder  # noqa: F401
+from tudocomp_tpu.compressors.rle import RunLengthEncoder  # noqa: F401
+from tudocomp_tpu.compressors.mtf import MTFCompressor  # noqa: F401
+from tudocomp_tpu.compressors.bwt import BWTCompressor  # noqa: F401
+from tudocomp_tpu.compressors.chain import ChainCompressor  # noqa: F401
+from tudocomp_tpu.compressors.lzss import (  # noqa: F401
+    LZSSSlidingWindowCompressor,
+    LZSSLCPCompressor,
+)
+from tudocomp_tpu.compressors.lz78 import LZ78Compressor  # noqa: F401
+from tudocomp_tpu.compressors.lzw import LZWCompressor  # noqa: F401
+from tudocomp_tpu.compressors.lz78_trie import ALL_TRIES  # noqa: F401
+
+for _coder in _coders.ALL_CODERS:
+    REGISTRY.register(_coder)
+
+for _trie in ALL_TRIES:
+    REGISTRY.register(_trie)
+
+for _comp in (
+    NoopCompressor,
+    LiteralEncoder,
+    RunLengthEncoder,
+    MTFCompressor,
+    BWTCompressor,
+    ChainCompressor,
+    LZSSSlidingWindowCompressor,
+    LZSSLCPCompressor,
+    LZ78Compressor,
+    LZWCompressor,
+):
+    REGISTRY.register(_comp)

@@ -1,0 +1,90 @@
+"""LZ78 compressor.
+
+Format matches the reference ``compressors/LZ78Compressor.hpp``: each factor
+is ``(ref in Range(factor_count), literal)`` — the reference bit width grows
+with the number of factors emitted so far. The final partial phrase is
+emitted as ``(parent_id, last_char)``. Decoding replays ``(index, literal)``
+pairs, unrolling each phrase backward through parent pointers.
+
+``dict_size`` (0 = unlimited) resets the dictionary when reached; the
+reference marks its reset path broken (``LZ78Compressor.hpp:108``), ours is
+implemented symmetrically in the decoder.
+"""
+
+from __future__ import annotations
+
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.coders.base import Literals
+from tudocomp_tpu.io.bitio import BitReader, BitWriter
+from tudocomp_tpu.meta import Meta
+from tudocomp_tpu.ranges import Range, literal_r
+
+
+class LZ78Compressor(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta("compressor", "lz78", "Lempel-Ziv 78")
+        m.option_submeta("coder", "coder", default="bit")
+        m.option_submeta("lz78trie", "lz78trie", default="ternary")
+        m.option_dynamic("dict_size", 0)
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        dict_max = self.env.option("dict_size").as_int()
+        trie = self.env.instantiate("lz78trie")
+        out = BitWriter()
+        coder = self.coder_encoder(out, Literals.none())
+
+        trie.add_rootnode(0)
+        factor_count = 0
+        node = 0
+        parent = 0
+        c = 0
+        for c in data:
+            child, is_new = trie.find_or_insert(node, c)
+            if is_new:
+                coder.encode(node, Range(factor_count))
+                coder.encode(c, literal_r)
+                factor_count += 1
+                parent = node = 0
+                if dict_max and trie.size == dict_max:
+                    trie.clear()
+                    trie.add_rootnode(0)
+                    factor_count = 0
+            else:
+                parent = node
+                node = child
+        if node != 0:
+            coder.encode(parent, Range(factor_count))
+            coder.encode(c, literal_r)
+        coder.finish()
+        return out.getvalue()
+
+    def decompress(self, data: bytes) -> bytes:
+        dict_max = self.env.option("dict_size").as_int()
+        decoder = self.coder_decoder(BitReader(data))
+        indices: list[int] = []
+        literals: list[int] = []
+        out = bytearray()
+        factor_count = 0
+        while not decoder.eof():
+            index = decoder.decode(Range(factor_count))
+            chr_ = decoder.decode(literal_r)
+            indices.append(index)
+            literals.append(chr_)
+            # unroll phrase backward (reference lz78::Decompressor)
+            buf = bytearray()
+            literal = chr_
+            while index != 0:
+                buf.append(literal)
+                literal = literals[index - 1]
+                index = indices[index - 1]
+            out.append(literal)
+            out.extend(reversed(buf))
+            factor_count += 1
+            # mirror the encoder's dictionary reset (size = factors + root)
+            if dict_max and factor_count + 1 == dict_max:
+                indices.clear()
+                literals.clear()
+                factor_count = 0
+        return bytes(out)

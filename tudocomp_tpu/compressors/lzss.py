@@ -1,0 +1,319 @@
+"""LZSS/LZ77 compressors and the shared factor-stream format.
+
+Three parts, mirroring the reference's ``lzss/`` module and the two
+compressors built on it:
+
+1. the factor-stream wire format (``lzss/LZSSCoding.hpp:19-140``): header
+   ``n, flen_min, flen_max, fdist_max`` then, per factor, a gap flag bit
+   [+ gap length], the gap literals, and ``(src, len)``; trailing literals
+   after the last factor get a final gap record.
+2. ``lzss`` — sliding-window greedy factorization
+   (``LZSSSlidingWindowCompressor.hpp:39-143``): window w (default 16),
+   threshold t (default 3); factors are ``(bit 1, delta in Range(pos),
+   len in Range(w))``, literals ``(bit 0, literal)``; bit widths *grow*
+   with the absolute position (adaptive ranges).
+3. ``lzss_lcp`` — LZ77 via SA+ISA+LCP with naive PSV/NSV selection
+   (``LZSSLCPCompressor.hpp:42-124``), encoded with the shared format and
+   decoded through a back-reference buffer.
+
+Factorization is re-derived for the device path in ``ops/lzss_jax.py``
+(match-length scans + pointer-doubling greedy parse); this module is the
+host specification.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from tudocomp_tpu.coders.base import Literals
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.ds.suffix import TextDS
+from tudocomp_tpu.io.bitio import BitReader, BitWriter
+from tudocomp_tpu.meta import Meta
+from tudocomp_tpu.ranges import MinDistributedRange, Range, bit_r, len_r, literal_r
+
+
+@dataclass
+class Factor:
+    pos: int
+    src: int
+    len: int
+
+
+class FactorBuffer:
+    """Sorted factor list with min/max length tracking."""
+
+    def __init__(self):
+        self.factors: list[Factor] = []
+        self.shortest = None
+        self.longest = 0
+
+    def append(self, pos: int, src: int, length: int) -> None:
+        self.factors.append(Factor(pos, src, length))
+        self.shortest = (
+            length if self.shortest is None else min(self.shortest, length)
+        )
+        self.longest = max(self.longest, length)
+
+    def __len__(self):
+        return len(self.factors)
+
+    def __iter__(self):
+        return iter(self.factors)
+
+    def sort(self) -> None:
+        self.factors.sort(key=lambda f: f.pos)
+
+    def flatten(self) -> None:
+        """Rewrite factor sources that point into other factors to their
+        transitive origin (reference ``LZSSFactors.hpp:79-132``)."""
+        if not self.factors:
+            return
+        last = self.factors[-1]
+        fmap = np.zeros(last.pos + last.len, np.int64)
+        for i, f in enumerate(self.factors):
+            fmap[f.pos : f.pos + f.len] = i + 1
+        for f in self.factors:
+            src = f.src
+            while src < fmap.size and fmap[src]:
+                s = self.factors[fmap[src] - 1]
+                d = src - s.pos
+                if d + f.len <= s.len:
+                    src = s.src + d
+                else:
+                    break
+            f.src = src
+
+
+def uncovered_literals(text: np.ndarray, factors: FactorBuffer) -> Literals:
+    """Literal iterator skipping factor-covered positions
+    (reference ``lzss/LZSSLiterals.hpp:10-50``)."""
+    covered = np.zeros(text.size, bool)
+    for f in factors:
+        covered[f.pos : f.pos + f.len] = True
+    keep = ~covered
+    return Literals(text[keep], np.flatnonzero(keep))
+
+
+def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
+    """Shared factor-stream encoder (``lzss/LZSSCoding.hpp:19-92``)."""
+    n = int(text.size)
+    flen_min = factors.shortest if factors.shortest is not None else 0
+    flen_max = factors.longest
+    fdist_max = 0
+    p = 0
+    for f in factors:
+        fdist_max = max(fdist_max, f.pos - p)
+        p = f.pos + f.len
+    fdist_max = max(fdist_max, n - p)
+
+    text_r = Range(n)
+    flen_r = MinDistributedRange(flen_min, flen_max)
+    fdist_r = Range(fdist_max)
+
+    coder.encode(n, len_r)
+    coder.encode(flen_min, text_r)
+    coder.encode(flen_max, text_r)
+    coder.encode(fdist_max, text_r)
+
+    p = 0
+    for f in factors:
+        if f.pos == p:
+            coder.encode(0, bit_r)
+        else:
+            coder.encode(1, bit_r)
+            coder.encode(f.pos - p, fdist_r)
+            coder.encode_array(text[p : f.pos], literal_r)
+            p = f.pos
+        coder.encode(f.src, text_r)
+        coder.encode(f.len, flen_r)
+        p += f.len
+    if p < n:
+        coder.encode(1, bit_r)
+        coder.encode(n - p, fdist_r)
+        coder.encode_array(text[p:n], literal_r)
+    coder.finish()
+
+
+def decode_factor_text(decoder) -> bytes:
+    """Shared factor-stream decoder with a back-reference buffer
+    (``lzss/LZSSCoding.hpp:95-140`` + ``LZSSDecodeBackBuffer.hpp``)."""
+    n = decoder.decode(len_r)
+    text_r = Range(n)
+    flen_min = decoder.decode(text_r)
+    flen_max = decoder.decode(text_r)
+    flen_r = MinDistributedRange(flen_min, flen_max)
+    fdist_max = decoder.decode(text_r)
+    fdist_r = Range(fdist_max)
+
+    buf = np.zeros(n, np.uint8)
+    cursor = 0
+    while not decoder.eof():
+        if decoder.decode(bit_r):
+            num = decoder.decode(fdist_r)
+            got = decoder.decode_array(literal_r, num)
+            buf[cursor : cursor + num] = got
+            cursor += num
+        if decoder.eof():
+            break
+        src = decoder.decode(text_r)
+        length = decoder.decode(flen_r)
+        for k in range(length):  # overlapping copies must go one-by-one
+            buf[cursor + k] = buf[src + k]
+        cursor += length
+    return buf[:cursor].tobytes()
+
+
+# --- sliding window ------------------------------------------------------------
+
+
+def factorize_window(
+    text: np.ndarray, window: int, threshold: int
+):
+    """Greedy sliding-window factorization, exact reference semantics:
+    at position i, candidates start in [max(0, i-w), i); the lookahead is
+    bounded by the streaming buffer end min(n, max(2w, i+w)); the longest
+    match wins, ties to the leftmost candidate; matches may overlap i."""
+    n = text.size
+    t = text.tolist()
+    out = []  # (kind, ...) events in order
+    i = 0
+    while i < n:
+        buf_end = min(n, max(2 * window, i + window))
+        best_len = 0
+        best_src = 0
+        lo = max(0, i - window)
+        for k in range(lo, i):
+            j = 0
+            while i + j < buf_end and t[k + j] == t[i + j]:
+                j += 1
+            if j >= threshold and j > best_len:
+                best_len = j
+                best_src = k
+        if best_len > 0:
+            out.append(("f", i, best_src, best_len))
+            i += best_len
+        else:
+            out.append(("l", t[i]))
+            i += 1
+    return out
+
+
+class LZSSSlidingWindowCompressor(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta(
+            "compressor",
+            "lzss",
+            "Lempel-Ziv-Storer-Szymanski (Sliding Window)",
+        )
+        m.option_submeta("coder", "coder", default="bit")
+        m.option_dynamic("window", 16)
+        m.option_dynamic("threshold", 3)
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        window = self.env.option("window").as_int()
+        threshold = self.env.option("threshold").as_int()
+        text = np.frombuffer(data, np.uint8)
+        out = BitWriter()
+        coder = self.coder_encoder(out, Literals.none())
+        for ev in factorize_window(text, window, threshold):
+            if ev[0] == "f":
+                _, pos, src, length = ev
+                coder.encode(1, bit_r)
+                coder.encode(pos - src, Range(pos))
+                coder.encode(length, Range(window))
+            else:
+                coder.encode(0, bit_r)
+                coder.encode(ev[1], literal_r)
+        coder.finish()
+        return out.getvalue()
+
+    def decompress(self, data: bytes) -> bytes:
+        window = self.env.option("window").as_int()
+        decoder = self.coder_decoder(BitReader(data))
+        text = bytearray()
+        win_r = Range(window)
+        while not decoder.eof():
+            if decoder.decode(bit_r):
+                delta = decoder.decode(Range(len(text)))
+                src = len(text) - delta
+                length = decoder.decode(win_r)
+                for k in range(length):
+                    text.append(text[src + k])
+            else:
+                text.append(decoder.decode(literal_r))
+        return bytes(text)
+
+
+# --- SA/LCP based ---------------------------------------------------------------
+
+
+def factorize_lcp(text: np.ndarray, threshold: int) -> FactorBuffer:
+    """LZ77 factorization via SA/ISA/LCP with naive PSV/NSV scans
+    (reference ``LZSSLCPCompressor.hpp:60-115``; PSV preferred on ties)."""
+    ds = TextDS(text.tobytes())
+    sa = ds.require_sa().tolist()
+    isa = ds.require_isa().tolist()
+    lcp = ds.require_lcp().tolist()
+    n = text.size
+    factors = FactorBuffer()
+    i = 0
+    while i + 1 < n:
+        cur = isa[i]
+        # PSV: scan up, including current lcp, while suffixes start later
+        psv_lcp = lcp[cur]
+        psv_pos = cur - 1
+        if psv_lcp > 0:
+            while psv_pos >= 0 and sa[psv_pos] > sa[cur]:
+                psv_lcp = min(psv_lcp, lcp[psv_pos])
+                psv_pos -= 1
+        # NSV: scan down, excluding current
+        nsv_lcp = 0
+        nsv_pos = cur + 1
+        if nsv_pos < n:
+            nsv_lcp = float("inf")
+            while True:
+                nsv_lcp = min(nsv_lcp, lcp[nsv_pos])
+                if sa[nsv_pos] < sa[cur]:
+                    break
+                nsv_pos += 1
+                if nsv_pos >= n:
+                    nsv_lcp = 0
+                    break
+        max_lcp = max(psv_lcp, nsv_lcp)
+        if max_lcp >= threshold:
+            max_pos = psv_pos if max_lcp == psv_lcp else nsv_pos
+            factors.append(i, sa[max_pos], int(max_lcp))
+            i += int(max_lcp)
+        else:
+            i += 1
+    return factors
+
+
+class LZSSLCPCompressor(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta("compressor", "lzss_lcp", "LZSS Factorization using LCP")
+        m.option_submeta("coder", "coder", default="bit")
+        m.option_dynamic("threshold", 3)
+        m.needs_sentinel_terminator()
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        if not data.endswith(b"\x00"):
+            raise ValueError("lzss_lcp requires a sentineled input")
+        threshold = self.env.option("threshold").as_int()
+        text = np.frombuffer(data, np.uint8)
+        factors = factorize_lcp(text, threshold)
+        out = BitWriter()
+        coder = self.coder_encoder(out, uncovered_literals(text, factors))
+        encode_factor_text(coder, text, factors)
+        return out.getvalue()
+
+    def decompress(self, data: bytes) -> bytes:
+        decoder = self.coder_decoder(BitReader(data))
+        return decode_factor_text(decoder)

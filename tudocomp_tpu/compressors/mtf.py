@@ -1,0 +1,53 @@
+"""Move-to-front transform (byte-level).
+
+Format matches the reference ``compressors/MTFCompressor.hpp``: a 256-entry
+recency table initialized to the identity; each byte is replaced by its
+table index, then moved to the front.
+
+MTF is inherently sequential per stream; the framework parallelizes it
+block-locally (each block starts from the identity table — the device path
+in ``ops/mtf_jax.py`` scans within a block while blocks run data-parallel).
+The host implementation here is the specification.
+"""
+
+from __future__ import annotations
+
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.meta import Meta
+
+
+def mtf_encode(data: bytes) -> bytes:
+    table = list(range(256))
+    out = bytearray(len(data))
+    index = table.index
+    for i, c in enumerate(data):
+        j = index(c)
+        out[i] = j
+        if j:
+            del table[j]
+            table.insert(0, c)
+    return bytes(out)
+
+
+def mtf_decode(data: bytes) -> bytes:
+    table = list(range(256))
+    out = bytearray(len(data))
+    for i, j in enumerate(data):
+        c = table[j]
+        out[i] = c
+        if j:
+            del table[j]
+            table.insert(0, c)
+    return bytes(out)
+
+
+class MTFCompressor(Compressor):
+    @classmethod
+    def meta(cls):
+        return Meta("compressor", "mtf", "Move To Front Compressor")
+
+    def compress(self, data: bytes) -> bytes:
+        return mtf_encode(data)
+
+    def decompress(self, data: bytes) -> bytes:
+        return mtf_decode(data)

@@ -1,0 +1,104 @@
+"""Run-length encoder (byte-level).
+
+Format matches the reference ``compressors/RunLengthEncoder.hpp``: a run of
+``n >= 2`` equal bytes is stored as the byte twice followed by
+``vbyte(n - 2 + offset)``; single bytes are stored verbatim.
+
+The host encoder is fully vectorized (run boundaries via diff, vbyte via
+the array codec); this is also the shape of the device kernel (runs =
+segmented scan, emission = prefix-sum compaction).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.meta import Meta
+from tudocomp_tpu.utils.vbyte import decode_vbyte_array, encode_vbyte_array
+
+
+def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
+    if arr.size == 0:
+        return arr
+    boundary = np.empty(arr.size, bool)
+    boundary[0] = True
+    np.not_equal(arr[1:], arr[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    lens = np.diff(np.append(starts, arr.size))
+    chars = arr[starts]
+    is_run = lens >= 2
+    run_payload = encode_vbyte_array(
+        (lens[is_run] - 2 + offset).astype(np.uint64)
+    )
+    # per-run vbyte length
+    vlens = np.zeros(starts.size, np.int64)
+    if is_run.any():
+        v = (lens[is_run] - 2 + offset).astype(np.uint64)
+        nb = np.ones(v.shape, np.int64)
+        vv = v.copy()
+        for _ in range(9):
+            vv >>= np.uint64(7)
+            nb += (vv > 0).astype(np.int64)
+        vlens[is_run] = nb
+    out_lens = np.where(is_run, 2 + vlens, 1)
+    out_ends = np.cumsum(out_lens)
+    total = int(out_ends[-1])
+    out = np.empty(total, np.uint8)
+    out_starts = out_ends - out_lens
+    out[out_starts] = chars
+    out[out_starts[is_run] + 1] = chars[is_run]
+    # scatter vbyte payloads after the doubled chars
+    if is_run.any():
+        v_starts = out_starts[is_run] + 2
+        v_ends = v_starts + vlens[is_run]
+        idx = np.concatenate(
+            [np.arange(s, e) for s, e in zip(v_starts, v_ends)]
+        )
+        out[idx] = run_payload
+    return out
+
+
+def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
+    out = bytearray()
+    data = arr.tolist()
+    i = 0
+    n = len(data)
+    prev = -1
+    while i < n:
+        c = data[i]
+        out.append(c)
+        i += 1
+        if c == prev:
+            # read vbyte run length
+            run = 0
+            shift = 0
+            while True:
+                b = data[i]
+                i += 1
+                run |= (b & 0x7F) << shift
+                shift += 7
+                if not b & 0x80:
+                    break
+            run -= offset
+            out.extend([c] * run)
+            prev = -1  # reference resets pairing after a run
+        else:
+            prev = c
+    return bytes(out)
+
+
+class RunLengthEncoder(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta("compressor", "rle", "Run Length Encoding Compressor")
+        m.option_dynamic("offset", 0)
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        off = self.env.option("offset").as_int()
+        return rle_encode(np.frombuffer(data, np.uint8), off).tobytes()
+
+    def decompress(self, data: bytes) -> bytes:
+        off = self.env.option("offset").as_int()
+        return rle_decode(np.frombuffer(data, np.uint8), off)

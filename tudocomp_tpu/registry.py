@@ -121,8 +121,15 @@ class Registry:
         return env.cls(env)
 
     def restrictions_of(self, env: Env) -> InputRestrictions:
-        """Combined input restrictions of an Env tree (| over sub-algos)."""
+        """Combined input restrictions of an Env tree (| over sub-algos).
+
+        Algorithms that apply their sub-algorithms' restrictions themselves
+        (the chain compressor) set ``manages_sub_restrictions`` and stop the
+        upward merge.
+        """
         r = env.cls.meta().restrictions
+        if getattr(env.cls, "manages_sub_restrictions", False):
+            return r
         for ov in env._options.values():
             if ov.is_algorithm:
                 r = r | self.restrictions_of(ov.sub_env)
