@@ -1,0 +1,104 @@
+"""Device pipeline tests: RLE kernel vs host spec, flagship roundtrip."""
+
+import functools
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tudocomp_tpu.compressors.rle import rle_decode, rle_encode
+from tudocomp_tpu.coders.huffman import HuffmanTable
+from tudocomp_tpu.models.blockcodec import BlockCodec
+from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_encode_device
+
+from tests.helpers import roundtrip_corpus
+
+CORPUS = roundtrip_corpus()
+
+
+_CAP = 8192  # fixed shape -> one compilation for the whole corpus
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _rle_dev_jit(padded, length, offset):
+    words, n_bytes = rle_encode_device(padded, length, offset)
+    return bytes_from_words(words, _CAP + _CAP // 2 + 8), n_bytes
+
+
+def _device_rle(data: bytes, offset: int = 0) -> np.ndarray:
+    assert len(data) <= _CAP
+    padded = np.zeros(_CAP, np.uint8)
+    padded[: len(data)] = np.frombuffer(data, np.uint8)
+    out_cap, n_bytes = _rle_dev_jit(jnp.asarray(padded), len(data), offset)
+    return np.asarray(out_cap)[: int(n_bytes)]
+
+
+@pytest.mark.parametrize("offset", [0, 1])
+def test_device_rle_matches_host(offset):
+    cases = [
+        b"", b"a", b"aaa", b"abc", b"aabbccdd", b"a" * 300,
+        b"ab" * 50 + b"c" * 1000 + bytes(range(256)) * 3,
+    ] + [c for c in CORPUS if c]
+    for data in cases:
+        if not data:
+            continue
+        host = rle_encode(np.frombuffer(data, np.uint8), offset)
+        dev = _device_rle(data, offset)
+        assert dev.tobytes() == host.tobytes(), data[:40]
+
+
+def test_device_rle_padding_isolated():
+    # padding beyond `length` must not merge with a trailing run
+    raw = np.zeros(64, np.uint8)
+    raw[:10] = ord("x")
+    words, n_bytes = rle_encode_device(jnp.asarray(raw), 10, 0)
+    dev = np.asarray(bytes_from_words(words, int(n_bytes)))
+    host = rle_encode(np.full(10, ord("x"), np.uint8), 0)
+    assert dev.tobytes() == host.tobytes()
+    assert rle_decode(dev) == b"x" * 10
+
+
+def test_huffman_fast_decode_roundtrip():
+    rng = np.random.default_rng(0)
+    data = rng.choice(
+        np.frombuffer(b"abcde\xff\x00", np.uint8), size=5000,
+        p=[0.4, 0.2, 0.15, 0.1, 0.05, 0.05, 0.05],
+    )
+    counts = np.bincount(data, minlength=256)
+    table = HuffmanTable.from_counts(counts, max_len=31)
+    from tudocomp_tpu.io.bitio import BitWriter
+
+    w = BitWriter()
+    w.write_tokens(table.sym_code[data], table.sym_len[data].astype(np.int64))
+    # raw payload bytes without final-byte convention
+    from tudocomp_tpu.io.bitio import pack_tokens
+
+    payload, total_bits = pack_tokens(
+        table.sym_code[data].astype(np.uint64),
+        table.sym_len[data].astype(np.int64),
+    )
+    got = table.fast_decode(payload, data.size)
+    np.testing.assert_array_equal(got, data)
+
+
+@pytest.mark.parametrize("block_size,sub_chunks", [(256, 4), (1 << 12, 8)])
+def test_blockcodec_roundtrip(block_size, sub_chunks):
+    codec = BlockCodec(block_size=block_size, sub_chunks=sub_chunks)
+    rng = np.random.default_rng(1)
+    cases = [c for c in CORPUS] + [
+        rng.integers(0, 4, 5 * block_size + 17, dtype=np.uint8).tobytes(),
+        b"\x00" * (2 * block_size),
+        bytes(rng.integers(0, 256, block_size, dtype=np.uint8)),
+    ]
+    for data in cases:
+        comp = codec.compress(data)
+        assert codec.decompress(comp) == data, data[:40]
+
+
+def test_blockcodec_compresses():
+    codec = BlockCodec(block_size=1 << 12, sub_chunks=8)
+    data = (b"the quick brown fox " * 400)[: 1 << 13]
+    comp = codec.compress(data)
+    assert len(comp) < len(data) // 2
+    assert codec.decompress(comp) == data

@@ -1,0 +1,38 @@
+"""Sharded pipeline tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+
+from tudocomp_tpu.models.blockcodec import BlockCodec
+from tudocomp_tpu.parallel.mesh import make_mesh
+from tudocomp_tpu.parallel.pipeline import compress_sharded
+
+
+def _data():
+    rng = np.random.default_rng(7)
+    return (
+        b"sing, goddess, of the anger of achilles " * 120
+        + bytes(rng.integers(0, 16, 4096, dtype=np.uint8))
+        + b"\x00" * 1500
+    )
+
+
+def test_sharded_matches_single_device():
+    codec = BlockCodec(block_size=1024, sub_chunks=8)
+    data = _data()
+    single = codec.compress(data)
+    for sp in (1, 2, 4):
+        mesh = make_mesh(8, sp=sp)
+        sharded = compress_sharded(codec, mesh, data)
+        assert sharded == single, f"sp={sp}"
+    assert codec.decompress(single) == data
+
+
+def test_graft_entry():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    import jax
+
+    out = jax.jit(fn)(*args)
+    assert len(out) == 4
+    ge.dryrun_multichip(8)

@@ -37,6 +37,24 @@ from tudocomp_tpu.meta import Algorithm, Meta
 from tudocomp_tpu.ranges import BitRange, LiteralRange, Range
 
 
+def gen_codelengths_limited(counts: np.ndarray, max_len: int = 31):
+    """Optimal-then-flattened code lengths with ``max(len) <= max_len``.
+
+    The device bit packer emits one <= 32-bit token per codeword, so
+    codeword lengths are capped (the reference has no cap; its uint64
+    codewords can reach depth 255). Flattening halves the counts until the
+    optimal code fits — terminating at the uniform distribution (depth 8
+    for a byte alphabet). Lengths stay optimal for every realistic input;
+    only adversarial Fibonacci-like count vectors are touched at all.
+    """
+    c = np.asarray(counts, np.int64)
+    while True:
+        lengths = gen_codelengths(c)
+        if lengths.max() <= max_len:
+            return lengths
+        c = (c + 1) // 2
+
+
 def gen_codelengths(counts: np.ndarray) -> np.ndarray:
     """Optimal prefix-code lengths for positive ``counts`` (size >= 2)."""
     sigma = counts.size
@@ -86,11 +104,73 @@ class HuffmanTable:
         return fc
 
     @classmethod
-    def from_counts(cls, counts256: np.ndarray) -> "HuffmanTable":
+    def from_counts(
+        cls, counts256: np.ndarray, max_len: int | None = None
+    ) -> "HuffmanTable":
         eff = np.flatnonzero(counts256)
-        lengths = gen_codelengths(counts256[eff])
+        if max_len is None:
+            lengths = gen_codelengths(counts256[eff])
+        else:
+            lengths = gen_codelengths_limited(counts256[eff], max_len)
         order = np.argsort(lengths, kind="stable")
         return cls(eff[order].astype(np.uint8), lengths[order])
+
+    # -- fast vectorized decode ----------------------------------------------
+
+    def build_lut(self):
+        """Full-depth decode LUT (requires ``longest <= 22``): for every
+        ``longest``-bit window, the decoded symbol and its code length."""
+        k = self.longest
+        if k > 22:
+            raise ValueError("codeword too long for LUT decode")
+        lut_sym = np.zeros(1 << k, np.uint8)
+        lut_len = np.zeros(1 << k, np.uint8)
+        spans = (1 << (k - self.lengths.astype(np.int64)))
+        starts = (self.codewords.astype(np.int64)) * spans
+        for s, e, sym, ln in zip(
+            starts, starts + spans, self.symbols, self.lengths
+        ):
+            lut_sym[s:e] = sym
+            lut_len[s:e] = ln
+        return lut_sym, lut_len
+
+    def fast_decode(self, payload: np.ndarray, count: int) -> np.ndarray:
+        """Decode ``count`` symbols from an MSB-first byte payload.
+
+        Fully vectorized: (1) speculatively LUT-decode *every* bit offset,
+        (2) resolve the sequential decode chain ``p -> p + len[p]`` by
+        pointer doubling (jump tables compose associatively), (3) gather.
+        O(bits * log(count)) numpy work — no per-symbol Python loop.
+        """
+        if count == 0:
+            return np.zeros(0, np.uint8)
+        k = self.longest
+        lut_sym, lut_len = self.build_lut()
+        payload = np.asarray(payload, np.uint8)
+        nbits = payload.size * 8
+        bits = np.unpackbits(payload)
+        # window[p] = bits[p : p+k] as an integer (zero-padded past the end)
+        padded = np.concatenate([bits, np.zeros(k, np.uint8)]).astype(np.int64)
+        window = np.zeros(nbits, np.int64)
+        for j in range(k):
+            window = (window << 1) | padded[j : j + nbits]
+        sym_at = lut_sym[window]
+        len_at = lut_len[window].astype(np.int64)
+        # jump chain: position after one symbol decoded at p
+        sentinel = nbits
+        jump = np.minimum(np.arange(nbits, dtype=np.int64) + len_at, sentinel)
+        jump = np.concatenate([jump, [sentinel]])
+        pos = np.zeros(count, np.int64)
+        i = np.arange(count, dtype=np.int64)
+        b = 0
+        while (1 << b) <= count:
+            mask = (i >> b) & 1 == 1
+            pos[mask] = jump[pos[mask]]
+            jump = jump[np.minimum(jump, sentinel)]
+            b += 1
+        if pos.max(initial=0) >= nbits:
+            raise ValueError("huffman decode ran past end of stream")
+        return sym_at[pos]
 
     # -- serialization (reference huffmantable_encode/decode) ---------------
 

@@ -1,0 +1,251 @@
+"""Flagship device pipeline: block-parallel RLE + shared canonical Huffman.
+
+This is BASELINE.json config 1/2 re-designed TPU-first (reference
+counterparts: ``compressors/RunLengthEncoder.hpp`` + ``coders/
+HuffmanCoder.hpp``, composed like ``rle:encode(huff)``):
+
+- the input splits into fixed-size **blocks** (the data-parallel unit over
+  chips, see ``parallel/pipeline.py``);
+- each block RLEs on device (token emission + bitpack — no sequential
+  loop);
+- ONE canonical Huffman table is built (host, ~256-element problem) from
+  the device-computed *global* histogram of RLE bytes — across chips the
+  histogram merges with psum and the table broadcasts (SURVEY.md §2.7);
+- each block's RLE bytes split into ``sub_chunks`` fixed slices that
+  Huffman-pack **independently** (gather + bitpack). Sub-chunk framing is
+  the TPU-native wire-format decision: it costs a few bytes per chunk and
+  buys (a) sequence-parallel encode across chips within a block and
+  (b) embarrassingly parallel decode.
+
+Container layout (integers are byte-aligned vbyte):
+
+    magic "TBC1" | vbyte(header_len) |
+    header (finished bit stream): block_size, sub_chunks, offset, orig_len,
+        table flag + huffman table (as coders/huffman.py) |
+    per block: vbyte(rle_len), sub_chunks x vbyte(chunk_bits),
+        payload bytes per chunk (byte-aligned)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tudocomp_tpu.coders.huffman import HuffmanTable
+from tudocomp_tpu.compressors.rle import rle_decode
+from tudocomp_tpu.io.bitio import BitReader, BitWriter
+from tudocomp_tpu.ops.huffman_jax import huffman_pack_device, masked_histogram
+from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_encode_device
+from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
+
+MAGIC = b"TBC1"
+
+
+def rle_capacity(block_size: int, sub_chunks: int) -> int:
+    """Worst-case RLE output bytes (1.5x: length-2 runs), aligned so every
+    sub-chunk is a multiple of 4 bytes."""
+    cap = block_size + block_size // 2 + 8
+    align = 4 * sub_chunks
+    return cap + (-cap) % align
+
+
+@functools.partial(jax.jit, static_argnames=("offset", "cap"))
+def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
+    """Stage 1 (per batch of blocks): device RLE + global histogram.
+
+    Returns ``(rle_bytes: u8[B,cap], rle_lens: i32[B], hist: u32[256])``.
+    """
+
+    def one(block, length):
+        words, n_bytes = rle_encode_device(block, length, offset)
+        byts = bytes_from_words(words, cap)
+        return byts, n_bytes
+
+    rle_bytes, rle_lens = jax.vmap(one)(blocks, lengths)
+    hist = masked_histogram_blocks(rle_bytes, rle_lens)
+    return rle_bytes, rle_lens, hist
+
+
+def masked_histogram_blocks(rle_bytes, rle_lens):
+    hists = jax.vmap(masked_histogram)(rle_bytes, rle_lens)
+    return jnp.sum(hists, axis=0, dtype=jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("sub_chunks",))
+def pack_step(rle_bytes, rle_lens, sym_code, sym_len, *, sub_chunks: int):
+    """Stage 2: per sub-chunk Huffman gather-encode + bitpack.
+
+    Returns ``(words: u32[B,S,Wc], bits: i32[B,S])``.
+    """
+    b, cap = rle_bytes.shape
+    cs = cap // sub_chunks
+    chunks = rle_bytes.reshape(b, sub_chunks, cs)
+    starts = jnp.arange(sub_chunks, dtype=jnp.int32) * cs
+    chunk_lens = jnp.clip(
+        rle_lens[:, None] - starts[None, :], 0, cs
+    )
+
+    def one(chunk, clen):
+        return huffman_pack_device(chunk, clen, sym_code, sym_len)
+
+    words, bits = jax.vmap(jax.vmap(one))(chunks, chunk_lens)
+    return words, bits
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offset", "cap", "sub_chunks")
+)
+def flagship_step(
+    blocks, lengths, sym_code, sym_len, *, offset: int, cap: int,
+    sub_chunks: int,
+):
+    """The full fused encode step (histogram emitted for the next batch's
+    table — the two-pass pipeline software-pipelines over batches)."""
+    rle_bytes, rle_lens, hist = rle_histogram_step(
+        blocks, lengths, offset=offset, cap=cap
+    )
+    words, bits = pack_step(
+        rle_bytes, rle_lens, sym_code, sym_len, sub_chunks=sub_chunks
+    )
+    return words, bits, rle_lens, hist
+
+
+class BlockCodec:
+    """Host orchestration: split -> device encode -> container assembly."""
+
+    def __init__(
+        self, block_size: int = 1 << 20, sub_chunks: int = 8,
+        offset: int = 0,
+    ):
+        self.block_size = block_size
+        self.sub_chunks = sub_chunks
+        self.offset = offset
+        self.cap = rle_capacity(block_size, sub_chunks)
+
+    # -- encode --------------------------------------------------------------
+
+    def split_blocks(self, data: bytes):
+        n = len(data)
+        bs = self.block_size
+        n_blocks = max(1, -(-n // bs))
+        arr = np.zeros((n_blocks, bs), np.uint8)
+        flat = np.frombuffer(data, np.uint8)
+        for i in range(n_blocks):
+            piece = flat[i * bs : (i + 1) * bs]
+            arr[i, : piece.size] = piece
+        lengths = np.minimum(
+            np.full(n_blocks, bs, np.int32),
+            n - bs * np.arange(n_blocks, dtype=np.int64),
+        ).astype(np.int32)
+        return arr, lengths
+
+    def compress(self, data: bytes) -> bytes:
+        blocks, lengths = self.split_blocks(data)
+        n_blocks = blocks.shape[0]
+        # pad the batch to a power of two: one compilation per size bucket
+        b2 = 1 << (n_blocks - 1).bit_length() if n_blocks > 1 else 1
+        if b2 != n_blocks:
+            blocks = np.pad(blocks, ((0, b2 - n_blocks), (0, 0)))
+            lengths = np.pad(lengths, (0, b2 - n_blocks))
+        rle_bytes, rle_lens, hist = rle_histogram_step(
+            jnp.asarray(blocks), jnp.asarray(lengths),
+            offset=self.offset, cap=self.cap,
+        )
+        hist = np.asarray(hist, np.int64)
+        table = self._table_from_hist(hist)
+        sym_code, sym_len = self._device_table(table)
+        words, bits = pack_step(
+            rle_bytes, rle_lens, sym_code, sym_len,
+            sub_chunks=self.sub_chunks,
+        )
+        return self._assemble(
+            data, np.asarray(rle_lens)[:n_blocks],
+            np.asarray(words)[:n_blocks], np.asarray(bits)[:n_blocks],
+            table,
+        )
+
+    @staticmethod
+    def _table_from_hist(hist: np.ndarray):
+        if (hist > 0).sum() <= 1:
+            return None
+        return HuffmanTable.from_counts(hist, max_len=31)
+
+    @staticmethod
+    def _device_table(table):
+        if table is None:
+            # identity 8-bit "code" so the device path is still exercised
+            return (
+                jnp.arange(256, dtype=jnp.uint32),
+                jnp.full(256, 8, jnp.uint32),
+            )
+        return (
+            jnp.asarray(table.sym_code.astype(np.uint32)),
+            jnp.asarray(table.sym_len.astype(np.uint32)),
+        )
+
+    def _assemble(self, data, rle_lens, words, bits, table) -> bytes:
+        out = bytearray(MAGIC)
+        head = BitWriter()
+        head.write_compressed_int(self.block_size)
+        head.write_compressed_int(self.sub_chunks)
+        head.write_compressed_int(self.offset)
+        head.write_compressed_int(len(data))
+        if table is None:
+            head.write_bit(0)
+        else:
+            head.write_bit(1)
+            table.write(head)
+        header = head.getvalue()
+        write_vbyte(out, len(header))
+        out += header
+        n_blocks = words.shape[0]
+        be_words = words.astype(">u4")
+        for bi in range(n_blocks):
+            write_vbyte(out, int(rle_lens[bi]))
+            for s in range(self.sub_chunks):
+                write_vbyte(out, int(bits[bi, s]))
+            for s in range(self.sub_chunks):
+                nbytes = (int(bits[bi, s]) + 7) // 8
+                out += be_words[bi, s].view(np.uint8)[:nbytes].tobytes()
+        return bytes(out)
+
+    # -- decode (host specification; device decode: ops/hufdec_jax.py) ------
+
+    def decompress(self, data: bytes) -> bytes:
+        if data[:4] != MAGIC:
+            raise ValueError("bad magic")
+        header_len, pos = read_vbyte(data, 4)
+        head = BitReader(data[pos : pos + header_len])
+        pos += header_len
+        block_size = head.read_compressed_int()
+        sub_chunks = head.read_compressed_int()
+        offset = head.read_compressed_int()
+        orig_len = head.read_compressed_int()
+        table = HuffmanTable.read(head) if head.read_bit() else None
+        cap = rle_capacity(block_size, sub_chunks)
+        cs = cap // sub_chunks
+        out = bytearray()
+        while len(out) < orig_len:
+            rle_len, pos = read_vbyte(data, pos)
+            chunk_bits = []
+            for _ in range(sub_chunks):
+                cb, pos = read_vbyte(data, pos)
+                chunk_bits.append(cb)
+            rle = np.zeros(rle_len, np.uint8)
+            for s in range(sub_chunks):
+                nbytes = (chunk_bits[s] + 7) // 8
+                payload = np.frombuffer(data, np.uint8, nbytes, pos)
+                pos += nbytes
+                clen = min(max(rle_len - s * cs, 0), cs)
+                if clen == 0:
+                    continue
+                if table is None:
+                    syms = payload[:clen]  # identity 8-bit codes
+                else:
+                    syms = table.fast_decode(payload, clen)
+                rle[s * cs : s * cs + clen] = syms
+            out += rle_decode(rle, offset)
+        return bytes(out[:orig_len])

@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for variable-length bit packing.
+
+The XLA formulation (``ops/bitpack.py``: cumsum + segment_sum) is
+scatter-bound: measured on v5e, segment_sum runs ~0.3 s per 1M tokens and
+searchsorted-based gather variants are worse. This kernel reaches memory
+speed by re-mapping the problem onto the MXU:
+
+- the grid walks token tiles **sequentially**, carrying (bit-in-word,
+  base word index, partial word) in SMEM — the bitstream dependency
+  collapses into 3 scalars;
+- in-tile exclusive bit-offset cumsum = triangular-ones matmuls (MXU);
+- word placement = one-hot(word-index) matmuls on 4 byte planes: every
+  f32 accumulation is an exact integer < 256 because all token bit
+  ranges are disjoint;
+- each tile DMAs a fixed-size word window to HBM at its dynamic base
+  word; the partial tail word is re-written by the next tile
+  (append-only, sequential grid) — no read-modify-write.
+
+Layout discipline (Mosaic): every vector's last dim is 128-aligned —
+words live on the LANE axis as (1, wt) / (8, wt); all integer math is
+int32 with ``lax.shift_right_logical`` (Mosaic has no u32<->f32 casts).
+
+Token contract: ``lens[i] <= 32`` bits of ``values[i]``, MSB-first;
+``lens == 0`` tokens contribute nothing (fixed-shape padding). Output is
+bit-identical to ``ops/bitpack.py:pack_tokens_device`` / the host spec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+_I32 = jnp.int32
+
+
+def _srl(x, n):
+    return lax.shift_right_logical(x, jnp.broadcast_to(_I32(n), x.shape) if isinstance(n, int) else n)
+
+
+def _byte_planes_bf16(x):
+    """(rows, 128) i32 bit pattern -> 4 x (rows, 128) bf16 byte planes."""
+    return [
+        (_srl(x, 24) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (_srl(x, 16) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (_srl(x, 8) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (x & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+    ]
+
+
+def _pack_kernel(
+    values_ref, lens_ref, words_ref,
+    acc_ref, out_words_ref, carry_ref, state_ref, dma_sem,
+    *, rows: int, wt: int,
+):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init():
+        # bit position within the current 128-word superword and the
+        # (128-aligned) base word index — DMA offsets must be lane-tile
+        # aligned, so flushing happens at superword granularity and the
+        # unflushed tail lives in carry_ref.
+        state_ref[0] = _I32(0)
+        state_ref[1] = _I32(0)
+        carry_ref[:, :] = jnp.zeros((1, LANES), _I32)
+
+    s0 = state_ref[0]  # in [0, 4096)
+    base = state_ref[1]  # multiple of 128
+
+    lens = lens_ref[0]  # (rows, 128) int32, values in [0, 32]
+    values = values_ref[0]  # (rows, 128) int32 bit patterns
+
+    # bit-offset exclusive cumsum in row-major order, no narrow vectors:
+    # in-row: strict-lower-tri matmul; row base: broadcast row sums via
+    # an all-ones matmul, then cumsum down the sublane axis.
+    lens_bf = lens.astype(jnp.float32).astype(jnp.bfloat16)
+    tri = (
+        lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        < lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+    ).astype(jnp.bfloat16)
+    excl_in_row = lax.dot_general(
+        lens_bf, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(_I32)  # exact: sums < 2**16
+    ones = jnp.ones((LANES, LANES), jnp.bfloat16)
+    row_sums = lax.dot_general(
+        lens_bf, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (rows, 128), every lane = row total
+    # inclusive scan down sublanes by log-shift adds (no cumsum in Mosaic)
+    incl = row_sums
+    shift = 1
+    while shift < rows:
+        shifted = jnp.concatenate(
+            [jnp.zeros((shift, LANES), incl.dtype), incl[:-shift]], axis=0
+        )
+        incl = incl + shifted
+        shift *= 2
+    row_base = (incl - row_sums).astype(_I32)
+    offs = s0 + row_base + excl_in_row
+    tile_bits = jnp.sum(lens)
+
+    # split each token into a word-aligned part + spill into next word
+    mask = jnp.where(lens >= 32, _I32(-1), (_I32(1) << lens) - 1)
+    v = values & mask
+    bitpos = offs & 31
+    sh = 32 - bitpos - lens  # in [-31, 32]
+    lsh = jnp.clip(sh, 0, 31)
+    rsh = jnp.clip(-sh, 0, 31)
+    part1 = jnp.where(sh >= 0, v << lsh, _srl(v, rsh))
+    spill = jnp.where(
+        sh < 0,
+        (v & ((_I32(1) << rsh) - 1)) << ((32 - rsh) & 31),
+        _I32(0),
+    )
+    w0 = _srl(offs, 5)  # word index within tile, < wt - 1
+
+    acc_ref[:, :] = jnp.zeros((8, wt), jnp.float32)
+    p1_planes = _byte_planes_bf16(part1)
+    sp_planes = _byte_planes_bf16(spill)
+    words_iota = lax.broadcasted_iota(_I32, (wt, LANES), 0)
+    for r in range(rows):
+        oh1 = (words_iota == w0[r][None, :]).astype(jnp.bfloat16)
+        oh2 = (words_iota == (w0[r] + 1)[None, :]).astype(jnp.bfloat16)
+        planes1 = jnp.stack([p[r] for p in p1_planes], axis=0)  # (4,128)
+        planes2 = jnp.stack([p[r] for p in sp_planes], axis=0)
+        # (4, 128) x (wt, 128) contracted on lanes -> (4, wt)
+        a1 = lax.dot_general(
+            planes1, oh1, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        a2 = lax.dot_general(
+            planes2, oh2, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:, :] += jnp.concatenate([a1, a2], axis=0)
+
+    acc = acc_ref[:, :]  # (8, wt) exact small ints
+    b = [acc[k : k + 1, :].astype(_I32) for k in range(8)]
+    words = (
+        (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+        | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+    )  # (1, wt); disjoint bits -> OR == ADD
+
+    # fold the carried (unflushed) superword tail into local words [0,128)
+    words = words | jnp.concatenate(
+        [carry_ref[:, :], jnp.zeros((1, wt - LANES), _I32)], axis=1
+    )
+    out_words_ref[:, :] = words
+
+    t_end = s0 + tile_bits
+    flushed = (_srl(t_end, 12)) * 128  # whole superwords now final
+    state_ref[0] = t_end & 4095
+    state_ref[1] = base + flushed
+    carry_ref[:, :] = out_words_ref[
+        :, pl.ds(pl.multiple_of(flushed, LANES), LANES)
+    ]
+
+    c = pl.program_id(0)
+    dma = pltpu.make_async_copy(
+        out_words_ref.at[:, :],
+        words_ref.at[c, :, pl.ds(pl.multiple_of(base, LANES), wt)],
+        dma_sem,
+    )
+    dma.start()
+    dma.wait()
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pack_tokens_chunks(
+    values: jnp.ndarray, lens: jnp.ndarray, *,
+    tile: int = 2048, interpret: bool | None = None,
+):
+    """Pack per-chunk token streams on device.
+
+    ``values, lens: u32[C, N]`` (N % tile == 0, tile % 128 == 0).
+    Returns ``(words: u32[C, cap], bits: i32[C])`` where
+    ``cap = N + tile + 256``; only the first ``ceil(bits/32)`` words per
+    chunk are meaningful.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    c, n = values.shape
+    assert n % tile == 0 and tile % LANES == 0
+    rows = tile // LANES
+    # max words one tile can touch: carried superword (<=127 words +
+    # partial) + 32*tile new bits
+    wt = tile + 2 * LANES
+    cap = n + wt + LANES
+    n_tiles = n // tile
+    values = lax.bitcast_convert_type(
+        values.astype(jnp.uint32), jnp.int32
+    ).reshape(c, n // LANES, LANES)
+    lens = lens.astype(jnp.int32).reshape(c, n // LANES, LANES)
+
+    grid = (c, n_tiles)
+    kernel = functools.partial(_pack_kernel, rows=rows, wt=wt)
+    spec_in = pl.BlockSpec(
+        (1, rows, LANES), lambda ci, ti: (ci, ti, 0),
+        memory_space=pltpu.VMEM,
+    )
+    words = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec_in, spec_in],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((c, 1, cap), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, wt), jnp.float32),
+            pltpu.VMEM((1, wt), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(values, lens)
+    bits = jnp.sum(lens, axis=(1, 2), dtype=jnp.int32)
+    return lax.bitcast_convert_type(words[:, 0, :], jnp.uint32), bits
