@@ -1,12 +1,13 @@
 """Run-length encoder (byte-level).
 
-Format matches the reference ``compressors/RunLengthEncoder.hpp``: a run of
-``n >= 2`` equal bytes is stored as the byte twice followed by
-``vbyte(n - 2 + offset)``; single bytes are stored verbatim.
-
-The host encoder is fully vectorized (run boundaries via diff, vbyte via
-the array codec); this is also the shape of the device kernel (runs =
-segmented scan, emission = prefix-sum compaction).
+Format follows the reference ``compressors/RunLengthEncoder.hpp``: a run
+of ``n >= 2`` equal bytes is stored as the byte twice followed by
+``vbyte(n - 2 + offset)``; single bytes are stored verbatim. One
+TPU-native amendment (see ``ops/rle_jax.py``): runs are split into pieces
+of at most ``RUN_CAP = 8192`` bytes, so every piece's wire contribution
+fits one 32-bit packer token. Any conforming decoder — including the
+reference's — decodes split pieces identically; the size cost is 3 bytes
+per 8 KiB of run.
 """
 
 from __future__ import annotations
@@ -15,7 +16,9 @@ import numpy as np
 
 from tudocomp_tpu.compressors.base import Compressor
 from tudocomp_tpu.meta import Meta
-from tudocomp_tpu.utils.vbyte import decode_vbyte_array, encode_vbyte_array
+from tudocomp_tpu.utils.vbyte import encode_vbyte_array
+
+RUN_CAP = 8192
 
 
 def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
@@ -24,17 +27,20 @@ def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
     boundary = np.empty(arr.size, bool)
     boundary[0] = True
     np.not_equal(arr[1:], arr[:-1], out=boundary[1:])
-    starts = np.flatnonzero(boundary)
-    lens = np.diff(np.append(starts, arr.size))
-    chars = arr[starts]
+    run_starts = np.flatnonzero(boundary)
+    run_lens = np.diff(np.append(run_starts, arr.size))
+    run_chars = arr[run_starts]
+    # split runs into <= RUN_CAP pieces
+    n_pieces = -(-run_lens // RUN_CAP)
+    chars = np.repeat(run_chars, n_pieces)
+    lens = np.full(chars.size, RUN_CAP, np.int64)
+    last_piece = np.cumsum(n_pieces) - 1
+    lens[last_piece] = run_lens - (n_pieces - 1) * RUN_CAP
     is_run = lens >= 2
-    run_payload = encode_vbyte_array(
-        (lens[is_run] - 2 + offset).astype(np.uint64)
-    )
-    # per-run vbyte length
-    vlens = np.zeros(starts.size, np.int64)
+    v = (lens[is_run] - 2 + offset).astype(np.uint64)
+    run_payload = encode_vbyte_array(v)
+    vlens = np.zeros(chars.size, np.int64)
     if is_run.any():
-        v = (lens[is_run] - 2 + offset).astype(np.uint64)
         nb = np.ones(v.shape, np.int64)
         vv = v.copy()
         for _ in range(9):

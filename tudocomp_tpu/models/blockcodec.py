@@ -37,9 +37,34 @@ import numpy as np
 from tudocomp_tpu.coders.huffman import HuffmanTable
 from tudocomp_tpu.compressors.rle import rle_decode
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
-from tudocomp_tpu.ops.huffman_jax import huffman_pack_device, masked_histogram
-from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_encode_device
+from tudocomp_tpu.ops.bitpack_pallas import pack_tokens_chunks
+from tudocomp_tpu.ops.hist_pallas import histogram_chunks
+from tudocomp_tpu.ops.huffman_jax import lookup_codes
+from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_tokens
 from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
+
+def PACK_TILE() -> int:
+    """Token tile for the Pallas pack: large on TPU for MXU efficiency,
+    small under CPU interpret mode (tests) to avoid padding waste."""
+    return 2048 if jax.default_backend() == "tpu" else 256
+
+
+def _pad_tokens(values, lens, tile):
+    """Pad token arrays to a tile multiple with zero-length tokens."""
+    n = values.shape[-1]
+    pad = (-n) % tile
+    if pad:
+        values = jnp.pad(values, ((0, 0), (0, pad)))
+        lens = jnp.pad(lens, ((0, 0), (0, pad)))
+    return values, lens
+
+
+def _pad_bytes(data, tile):
+    n = data.shape[-1]
+    pad = (-n) % tile
+    if pad:
+        data = jnp.pad(data, ((0, 0), (0, pad)))
+    return data
 
 MAGIC = b"TBC1"
 
@@ -56,43 +81,62 @@ def rle_capacity(block_size: int, sub_chunks: int) -> int:
 def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
     """Stage 1 (per batch of blocks): device RLE + global histogram.
 
+    Token emission is elementwise XLA; the variable-length pack and the
+    histogram run in the Pallas kernels (ops/bitpack_pallas.py,
+    ops/hist_pallas.py).
+
     Returns ``(rle_bytes: u8[B,cap], rle_lens: i32[B], hist: u32[256])``.
     """
-
-    def one(block, length):
-        words, n_bytes = rle_encode_device(block, length, offset)
-        byts = bytes_from_words(words, cap)
-        return byts, n_bytes
-
-    rle_bytes, rle_lens = jax.vmap(one)(blocks, lengths)
-    hist = masked_histogram_blocks(rle_bytes, rle_lens)
+    values, lens = jax.vmap(
+        lambda b, l: rle_tokens(b, l, offset)
+    )(blocks, lengths)
+    tile = PACK_TILE()
+    values, lens = _pad_tokens(values, lens, tile)
+    words, bits = pack_tokens_chunks(values, lens, tile=tile)
+    rle_lens = bits >> 3
+    rle_bytes = jax.vmap(lambda w: bytes_from_words(w, cap))(words)
+    hist = histogram_chunks(
+        _pad_bytes(rle_bytes, tile), rle_lens, tile=tile
+    )
     return rle_bytes, rle_lens, hist
-
-
-def masked_histogram_blocks(rle_bytes, rle_lens):
-    hists = jax.vmap(masked_histogram)(rle_bytes, rle_lens)
-    return jnp.sum(hists, axis=0, dtype=jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("sub_chunks",))
 def pack_step(rle_bytes, rle_lens, sym_code, sym_len, *, sub_chunks: int):
-    """Stage 2: per sub-chunk Huffman gather-encode + bitpack.
+    """Stage 2: per sub-chunk Huffman lookup (one-hot MXU) + Pallas pack.
 
     Returns ``(words: u32[B,S,Wc], bits: i32[B,S])``.
     """
     b, cap = rle_bytes.shape
     cs = cap // sub_chunks
-    chunks = rle_bytes.reshape(b, sub_chunks, cs)
+    values, lens = lookup_codes(
+        rle_bytes.reshape(-1), sym_code, sym_len
+    )
+    values = values.reshape(b * sub_chunks, cs)
+    lens = lens.reshape(b * sub_chunks, cs)
     starts = jnp.arange(sub_chunks, dtype=jnp.int32) * cs
     chunk_lens = jnp.clip(
         rle_lens[:, None] - starts[None, :], 0, cs
+    ).reshape(-1)
+    mask = (
+        jnp.arange(cs, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
     )
-
-    def one(chunk, clen):
-        return huffman_pack_device(chunk, clen, sym_code, sym_len)
-
-    words, bits = jax.vmap(jax.vmap(one))(chunks, chunk_lens)
-    return words, bits
+    lens = jnp.where(mask, lens, jnp.uint32(0))
+    # codes are length-limited to 16 bits, so adjacent token pairs merge
+    # into one <= 32-bit token: halves the Pallas pack workload
+    values = jnp.where(lens > 0, values, jnp.uint32(0))
+    v0, v1 = values[:, 0::2], values[:, 1::2]
+    l0, l1 = lens[:, 0::2], lens[:, 1::2]
+    values = (v0 << l1) | v1
+    lens = l0 + l1
+    tile = PACK_TILE()
+    values, lens = _pad_tokens(values, lens, tile)
+    words, bits = pack_tokens_chunks(values, lens, tile=tile)
+    wc = words.shape[-1]
+    return (
+        words.reshape(b, sub_chunks, wc),
+        bits.reshape(b, sub_chunks),
+    )
 
 
 @functools.partial(
@@ -171,7 +215,9 @@ class BlockCodec:
     def _table_from_hist(hist: np.ndarray):
         if (hist > 0).sum() <= 1:
             return None
-        return HuffmanTable.from_counts(hist, max_len=31)
+        # 16-bit cap: keeps codes mergeable in pairs for the packer; the
+        # ratio cost vs unlimited Huffman is negligible for byte alphabets
+        return HuffmanTable.from_counts(hist, max_len=16)
 
     @staticmethod
     def _device_table(table):

@@ -126,27 +126,26 @@ def _pack_kernel(
     sp_planes = _byte_planes_bf16(spill)
     words_iota = lax.broadcasted_iota(_I32, (wt, LANES), 0)
     for r in range(rows):
+        # ONE one-hot per row: spill rows accumulate at w0 as well and the
+        # recombined spill vector is shifted one word right afterwards.
         oh1 = (words_iota == w0[r][None, :]).astype(jnp.bfloat16)
-        oh2 = (words_iota == (w0[r] + 1)[None, :]).astype(jnp.bfloat16)
-        planes1 = jnp.stack([p[r] for p in p1_planes], axis=0)  # (4,128)
-        planes2 = jnp.stack([p[r] for p in sp_planes], axis=0)
-        # (4, 128) x (wt, 128) contracted on lanes -> (4, wt)
-        a1 = lax.dot_general(
-            planes1, oh1, (((1,), (1,)), ((), ())),
+        planes = jnp.stack(
+            [p[r] for p in p1_planes] + [p[r] for p in sp_planes], axis=0
+        )  # (8, 128)
+        acc_ref[:, :] += lax.dot_general(
+            planes, oh1, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        a2 = lax.dot_general(
-            planes2, oh2, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:, :] += jnp.concatenate([a1, a2], axis=0)
 
     acc = acc_ref[:, :]  # (8, wt) exact small ints
     b = [acc[k : k + 1, :].astype(_I32) for k in range(8)]
-    words = (
-        (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
-        | (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
-    )  # (1, wt); disjoint bits -> OR == ADD
+    words_p1 = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+    words_sp = (b[4] << 24) | (b[5] << 16) | (b[6] << 8) | b[7]
+    lane_iota = lax.broadcasted_iota(_I32, (1, wt), 1)
+    words_sp = jnp.where(
+        lane_iota == 0, _I32(0), pltpu.roll(words_sp, 1, 1)
+    )  # spill belongs one word after its token's w0
+    words = words_p1 | words_sp  # (1, wt); disjoint bits -> OR == ADD
 
     # fold the carried (unflushed) superword tail into local words [0,128)
     words = words | jnp.concatenate(

@@ -1,24 +1,26 @@
 """Device run-length encoding as a token-emission kernel.
 
-Re-derivation of the reference format (``compressors/RunLengthEncoder.hpp``:
-run of n >= 2 equal bytes -> byte, byte, vbyte(n - 2 + offset); single byte
-verbatim) as an array program (no sequential loop):
+Format: the reference scheme (``compressors/RunLengthEncoder.hpp``: run of
+n >= 2 equal bytes -> byte, byte, vbyte(n - 2 + offset); single byte
+verbatim) with one TPU-native amendment — **runs are split into pieces of
+at most RUN_CAP = 8192 bytes**. The reference decoder (and ours,
+``compressors/rle.py:rle_decode``) decodes split pieces identically (it
+re-arms after every run), the size cost is 3 bytes per 8 KiB of run, and
+the gain is that every piece emits ONE <= 32-bit token (char or
+char,char,vbyte<=2B merged), so the stream is exactly one token slot per
+input byte:
 
-1. run boundaries  = elementwise neq with left neighbor
-2. run lengths     = distance to next boundary (reverse cummin of boundary
-                     indices) — computed *at run starts only*
-3. token emission  = 2 token slots per input position:
-                     slot 0: ``c`` (8 bits) or ``cc`` (16 bits) at run starts
-                     slot 1: the vbyte payload as ONE MSB-first token
-                             (<= 4 vbyte bytes = 32 bits, i.e. run lengths
-                             < 2^28 — far above any block size we use)
-4. packing         = the universal bitpack kernel; all token lengths are
-                     multiples of 8, so the packed words ARE the RLE byte
-                     stream.
+1. run boundaries   = elementwise neq with left neighbor
+2. start-of-run     = forward cummax of boundary indices — the ONLY scan
+3. piece ends       = elementwise: next char differs, end of input, or
+                      (i - sor) hits the cap; piece length is local math
+4. token emission   = at piece *ends* (stream order preserved), zero-len
+                      tokens elsewhere
+5. packing          = the Pallas bitpack kernel
 
 Bit-exact vs the host specification ``compressors/rle.py:rle_encode``.
-Positions >= ``length`` (padding in fixed-shape batches) emit nothing and
-never merge with real runs (a boundary is forced at ``length``).
+Positions >= ``length`` (fixed-shape padding) emit nothing and never
+merge with real runs.
 """
 
 from __future__ import annotations
@@ -29,66 +31,60 @@ from jax import lax
 from tudocomp_tpu.ops.bitpack import pack_tokens_device
 
 _U32 = jnp.uint32
+_I32 = jnp.int32
+
+RUN_CAP = 8192  # max piece length; keeps vbyte(n-2+offset) <= 2 bytes
 
 
-def vbyte_token(v: jnp.ndarray):
-    """Vectorized vbyte (7 data bits + continuation MSB, little-endian byte
-    order) of ``v < 2**28`` as a single MSB-first token ``(value, bits)``."""
+def vbyte2_token(v: jnp.ndarray):
+    """vbyte of ``v < 2**14`` as one MSB-first token ``(value, bits)``."""
     v = v.astype(_U32)
-    nb = (
-        jnp.ones(v.shape, jnp.int32)
-        + (v >= _U32(1 << 7)).astype(jnp.int32)
-        + (v >= _U32(1 << 14)).astype(jnp.int32)
-        + (v >= _U32(1 << 21)).astype(jnp.int32)
-    )
-    value = jnp.zeros(v.shape, _U32)
-    for k in range(4):
-        byte = ((v >> _U32(7 * k)) & _U32(0x7F)) | jnp.where(
-            k < nb - 1, _U32(0x80), _U32(0)
-        )
-        shift = jnp.clip((nb - 1 - k) * 8, 0, 31).astype(_U32)
-        value = value | jnp.where(k < nb, byte << shift, _U32(0))
-    return value, nb * 8
+    two = v >= _U32(1 << 7)
+    b0 = (v & _U32(0x7F)) | jnp.where(two, _U32(0x80), _U32(0))
+    b1 = (v >> _U32(7)) & _U32(0x7F)
+    value = jnp.where(two, (b0 << _U32(8)) | b1, b0)
+    bits = jnp.where(two, 16, 8)
+    return value, bits
 
 
 def rle_tokens(block: jnp.ndarray, length, offset: int = 0):
-    """RLE token arrays for ``block[:length]``.
+    """RLE token arrays for ``block[:length]`` — ONE token per position.
 
-    Returns ``(values: u32[2N], lens: u32[2N])`` in emission order.
+    Returns ``(values: u32[N], lens: u32[N])`` in stream order (tokens
+    are emitted at piece ends).
     """
+    assert 0 <= offset < RUN_CAP // 2
     a = block.astype(_U32)
     n = a.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    length = jnp.asarray(length, jnp.int32)
+    idx = jnp.arange(n, dtype=_I32)
+    length = jnp.asarray(length, _I32)
     boundary = jnp.concatenate(
         [jnp.ones(1, bool), a[1:] != a[:-1]]
     ) | (idx >= length)
-    # next boundary strictly after i (reverse cummin over boundary indices)
-    b_idx = jnp.where(boundary, idx, jnp.int32(n))
-    rcm = lax.cummin(b_idx, reverse=True)
-    nxt = jnp.concatenate([rcm[1:], jnp.full(1, n, jnp.int32)])
-    run_len = jnp.minimum(nxt, length) - idx
-    is_start = boundary & (idx < length)
-    is_run = is_start & (run_len >= 2)
-    # slot 0: char (8 bits) or doubled char (16 bits)
-    v0 = jnp.where(is_run, (a << _U32(8)) | a, a)
-    l0 = jnp.where(is_start, jnp.where(is_run, 16, 8), 0)
-    # slot 1: vbyte(run_len - 2 + offset)
-    vb_val, vb_bits = vbyte_token(
-        jnp.maximum(run_len - 2 + offset, 0).astype(_U32)
+    # start of own run: forward cummax of boundary positions
+    sor = lax.cummax(jnp.where(boundary, idx, _I32(0)))
+    # piece end: next position starts a new run / is padding / cap hit
+    next_boundary = jnp.concatenate(
+        [boundary[1:], jnp.ones(1, bool)]
+    ) | (idx + 1 >= length)
+    since = idx - sor
+    piece_len = (since % RUN_CAP) + 1
+    is_end = (next_boundary | (piece_len == RUN_CAP)) & (idx < length)
+    is_run = piece_len >= 2
+    vb_val, vb_bits = vbyte2_token(
+        jnp.maximum(piece_len - 2 + offset, 0).astype(_U32)
     )
-    v1 = vb_val
-    l1 = jnp.where(is_run, vb_bits, 0)
-    values = jnp.stack([v0, v1], axis=1).reshape(-1)
-    lens = jnp.stack([l0, l1], axis=1).reshape(-1).astype(_U32)
-    return values, lens
+    cc = (a << _U32(8)) | a
+    run_val = (cc << vb_bits.astype(_U32)) | vb_val
+    run_bits = 16 + vb_bits
+    values = jnp.where(is_run, run_val, a)
+    lens = jnp.where(is_end, jnp.where(is_run, run_bits, 8), 0)
+    return values, lens.astype(_U32)
 
 
 def rle_encode_device(block: jnp.ndarray, length, offset: int = 0):
-    """RLE byte stream of ``block[:length]`` as packed big-endian words.
-
-    Returns ``(words: u32[2N+1], n_bytes: i32)``.
-    """
+    """Single-chunk RLE byte stream (reference packer; kernels use
+    ``models/blockcodec.py``'s batched path). Returns (words, n_bytes)."""
     values, lens = rle_tokens(block, length, offset)
     words, total_bits = pack_tokens_device(values, lens)
     return words, total_bits >> 3
