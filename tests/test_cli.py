@@ -1,0 +1,83 @@
+"""CLI driver tests (reference ``tudocomp_driver_tests.cpp``)."""
+
+import json
+import pathlib
+
+import pytest
+
+from tudocomp_tpu import cli
+from tudocomp_tpu.stats import StatPhase
+
+from tests.helpers import roundtrip_corpus
+
+
+@pytest.mark.parametrize(
+    "algo",
+    [
+        "rle",
+        "encode(coder=huff)",
+        "bwt:rle:mtf:encode(coder=huff)",
+        "lzss_lcp(coder=huff)",
+        "lz78",
+    ],
+)
+def test_cli_roundtrip_with_header(algo):
+    for data in roundtrip_corpus()[:8]:
+        c = cli.compress(algo, data)
+        assert c.split(b"%")[0].decode().startswith(algo.split("(")[0].split(":")[0]) or b"%" in c
+        assert cli.decompress(c) == data
+
+
+def test_cli_raw_mode():
+    data = b"banana band " * 40
+    c = cli.compress("rle", data, raw=True)
+    assert not c.startswith(b"rle")
+    assert cli.decompress(c, raw_algo="rle") == data
+
+
+def test_cli_header_selfdescribing():
+    # options that affect decoding must round through the header
+    data = b"x" * 500
+    c = cli.compress("rle(offset=1)", data)
+    assert c.startswith(b"rle(offset=1)%")
+    assert cli.decompress(c) == data
+
+
+def test_cli_generators():
+    assert cli.generate("fib(5)") == b"abaab"
+    assert len(cli.generate("thue_morse(4)")) == 8
+    assert len(cli.generate("random(100, 7)")) == 100
+    assert cli.generate("run_rich(3)")
+
+
+def test_cli_files(tmp_path):
+    p = tmp_path / "in.bin"
+    data = bytes(range(256)) * 4
+    p.write_bytes(data)
+    assert cli.main([str(p), "-a", "encode(coder=huff)"]) == 0
+    assert cli.main([str(p), "-a", "encode(coder=huff)"]) == 1  # exists
+    assert cli.main([str(p) + ".tdc", "-d", "-o", str(p) + ".out"]) == 0
+    assert (tmp_path / "in.bin.out").read_bytes() == data
+
+
+def test_cli_list(capsys):
+    assert cli.main(["--list"]) == 0
+    out = capsys.readouterr().out
+    for name in ("lzss_lcp", "huff", "ternary", "chain"):
+        assert name in out
+
+
+def test_statphase_tree():
+    with StatPhase("root") as root:
+        with StatPhase("a"):
+            with StatPhase("a1"):
+                pass
+        with StatPhase("b") as b:
+            b.log_stat("factors", 42)
+    j = root.to_json()
+    assert j["title"] == "root"
+    assert [c["title"] for c in j["sub"]] == ["a", "b"]
+    assert j["sub"][0]["sub"][0]["title"] == "a1"
+    assert j["sub"][1]["stats"] == [{"key": "factors", "value": 42}]
+    json.dumps(j)  # serializable
+    assert j["timeDelta"] >= 0
