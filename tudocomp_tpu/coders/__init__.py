@@ -28,3 +28,9 @@ CONSUMING_ENTROPY_CODERS = [ArithmeticCoder, SLECoder]
 
 ALL_CODERS = UNIVERSAL_CODERS + ENTROPY_CODERS + CONSUMING_ENTROPY_CODERS
 NON_CONSUMING_CODERS = UNIVERSAL_CODERS + ENTROPY_CODERS
+
+#: CLI-enumeration name sets (reference ``etc/registry_config.py:12-37``)
+UNIVERSAL_CODER_NAMES = ("ascii", "bit", "gamma", "delta", "ternary")
+NON_CONSUMING_CODER_NAMES = UNIVERSAL_CODER_NAMES + ("huff",)
+ALL_CODER_NAMES = NON_CONSUMING_CODER_NAMES + ("arithmetic", "sle")
+LCPCOMP_CODER_NAMES = ("ascii", "huff", "sle")

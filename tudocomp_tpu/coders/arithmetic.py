@@ -33,6 +33,12 @@ _UMAX = (1 << 64) - 1
 
 
 def _offset(range_, cum, total):
+    if total == 0:
+        raise ValueError(
+            "arithmetic coder: literal encoded without a literal "
+            "pre-pass — this consuming coder needs the full literal "
+            "stream up front (see the coder taxonomy in coders/__init__)"
+        )
     # guard against 64-bit overflow exactly like the reference's two regimes
     if range_ <= total:
         return range_ * cum // total

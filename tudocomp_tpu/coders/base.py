@@ -45,6 +45,11 @@ class Literals:
         return cls(a, None)
 
 
+
+#: reference parity alias: an empty literal pre-pass (``NoLiterals``)
+def NoLiterals():
+    return Literals()
+
 class Encoder(Algorithm):
     is_consuming = False
 

@@ -22,6 +22,11 @@ from tudocomp_tpu.compressors.lzss import (  # noqa: F401
 from tudocomp_tpu.compressors.lz78 import LZ78Compressor  # noqa: F401
 from tudocomp_tpu.compressors.lzw import LZWCompressor  # noqa: F401
 from tudocomp_tpu.compressors.lz78_trie import ALL_TRIES  # noqa: F401
+from tudocomp_tpu.compressors.lcpcomp import LCPCompressor  # noqa: F401
+from tudocomp_tpu.compressors.repair import RePairCompressor  # noqa: F401
+from tudocomp_tpu.compressors.esp import EspCompressor  # noqa: F401
+from tudocomp_tpu.compressors.lz78u import LZ78UCompressor  # noqa: F401
+from tudocomp_tpu.compressors.lfs import LFSCompressor  # noqa: F401
 
 for _coder in _coders.ALL_CODERS:
     REGISTRY.register(_coder)
@@ -40,5 +45,6 @@ for _comp in (
     LZSSLCPCompressor,
     LZ78Compressor,
     LZWCompressor,
+    RePairCompressor,
 ):
     REGISTRY.register(_comp)

@@ -1,0 +1,335 @@
+"""ESP: grammar compression by Edit-Sensitive Parsing.
+
+Reference: ``compressors/EspCompressor.hpp`` + ``compressors/esp/``
+(round loop ``EspContextImpl.hpp:14-165``, metablocks
+``meta_blocks.hpp:34-187``, alphabet reduction labels ``esp_math.hpp``,
+landmark spanner ``landmarks.hpp:29-80``, 1-block merging
+``BlockAdjust.hpp``, grammar dedup ``GrammarRules.hpp:16-80``, output
+format ``PlainSLPCoder.hpp``).
+
+Each round splits the current symbol string into *metablocks*:
+
+- type 1: maximal runs of >= 2 equal symbols — split eagerly 3,3,...,
+  with remainder 4 -> 2+2;
+- type 2: the remaining segments — an ``iter_log(alphabet)``-length
+  prefix is split like type 1 (as "type 3"), the suffix goes through
+  iterated alphabet reduction (XOR-ctz labels) down to alphabet <= 3,
+  landmark marking (local maxima, then isolated local minima) and
+  landmark-spanned 2/3-blocks with ties to the right.
+
+Blocks of length 1 (possible at segment edges) merge with a neighbor
+(2/3; 4 -> 2+2). Every block becomes a deduplicated binary SLP rule
+(3-blocks as two rules); rounds repeat on the rule-id string until one
+symbol remains. All round computations here are vectorized numpy — the
+per-round work is elementwise/stencil over the round string, which is
+also the device formulation (SURVEY.md §7 step 7).
+
+Wire format = reference ``PlainSLPCoder``: 6-bit rule bit width, root
+rule id, then (left, right) pairs at that width. Terminals are 0..255,
+rules start at 256.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.io.bitio import BitReader, BitWriter
+from tudocomp_tpu.meta import Algorithm, Meta
+from tudocomp_tpu.registry import REGISTRY
+from tudocomp_tpu.stats import StatPhase
+from tudocomp_tpu.utils.bits import bits_for
+
+
+def iter_log(n: int) -> int:
+    """Reference ``esp_math.hpp:iter_log`` (paper-tuned log*)."""
+    if n < 7:
+        return 0
+    if n < 9:
+        return 1
+    if n < 17:
+        return 2
+    if n < 257:
+        return 3
+    return 4
+
+
+def _label(left: np.ndarray, right: np.ndarray) -> np.ndarray:
+    """Alphabet-reduction label: 2*ctz(l^r) + bit(ctz, r)."""
+    diff = left ^ right
+    # ctz via bit tricks (diff != 0 guaranteed: neighbors differ)
+    ctz = np.zeros(diff.shape, np.int64)
+    d = diff.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = (d & ((np.int64(1) << shift) - 1)) == 0
+        ctz += np.where(mask, shift, 0)
+        d = np.where(mask, d >> shift, d)
+    bit = (right >> ctz) & 1
+    return 2 * ctz + bit
+
+
+def _split_eager13(length: int) -> list[int]:
+    """3,3,...,remainder split (reference ``eager_mb13``)."""
+    out = []
+    rest = length
+    while rest > 4:
+        out.append(3)
+        rest -= 3
+    if rest == 4:
+        out += [2, 2]
+    elif rest:
+        out.append(rest)  # 3, 2 or 1
+    return out
+
+
+def _landmark_blocks(seg: np.ndarray, tie_to_right: bool = True) -> list[int]:
+    """2/3-block lengths for a type-2 suffix via alphabet reduction +
+    landmarks. ``seg`` values are the *reduced* labels (alphabet <= 3,
+    no adjacent equal)."""
+    m = seg.size
+    if m == 1:
+        return [1]
+    left = np.concatenate([[np.int64(-1)], seg[:-1]])
+    right = np.concatenate([seg[1:], [np.int64(-1)]])
+    high = (seg > left) & (seg > right)
+    lowleft = np.concatenate([[np.int64(4)], seg[:-1]])
+    lowright = np.concatenate([seg[1:], [np.int64(4)]])
+    low = (seg < lowleft) & (seg < lowright)
+    landmarks = high.copy()
+    # isolated local minima become landmarks too
+    lm_left = np.concatenate([[False], landmarks[:-1]])
+    lm_right = np.concatenate([landmarks[1:], [False]])
+    landmarks |= low & ~lm_left & ~lm_right
+    # landmark spanner (reference ``landmark_spanner``): each landmark
+    # spans [i-1, i+1] clipped; adjacent overlaps resolve by the tie rule;
+    # continuity is enforced (every position belongs to some block) and
+    # any over-long span re-splits eagerly.
+    idx = np.flatnonzero(landmarks).tolist()
+    if not idx:
+        return _split_eager13(m)
+    spans = []
+    for i in idx:
+        l = i - 1 if i > 0 else i
+        r = i + 1 if i < m - 1 else i
+        if spans:
+            if l == spans[-1][1]:  # overlap with previous span
+                if tie_to_right:
+                    spans[-1][1] -= 1
+                else:
+                    l += 1
+            l = spans[-1][1] + 1  # force continuity over gaps
+            if l > r:
+                continue
+        else:
+            l = 0
+        spans.append([l, r])
+    spans[-1][1] = m - 1
+    blocks: list[int] = []
+    for l, r in spans:
+        blocks.extend(_split_eager13(r - l + 1))
+    return blocks
+
+
+def _reduce_alphabet(seg: np.ndarray, passes: int) -> np.ndarray:
+    """Iterated label reduction, then 6 -> 3 neighbor-avoiding remap."""
+    buf = seg.astype(np.int64)
+    for _ in range(passes):
+        buf = _label(buf[:-1], buf[1:])
+    # reduce alphabet {0..5} to {0..2}: replace 3,4,5 by the smallest
+    # value not equal to either neighbor (sequential small loop per value)
+    for to_replace in (3, 4, 5):
+        hits = np.flatnonzero(buf == to_replace)
+        for i in hits.tolist():
+            e = 0
+            neigh = []
+            if i > 0:
+                neigh.append(buf[i - 1])
+            if i < buf.size - 1:
+                neigh.append(buf[i + 1])
+            for n in neigh:
+                if n == e:
+                    e += 1
+            for n in neigh:
+                if n == e:
+                    e += 1
+            buf[i] = e
+    return buf
+
+
+def _merge_one_blocks(blocks: list[list[int]]) -> list[int]:
+    """Merge length-1 blocks with a neighbor so all are 2/3
+    (behavioral equivalent of reference ``BlockAdjust.hpp``: 1+1 -> 2,
+    1+2 -> 3, 1+3 -> 2+2)."""
+    out: list[int] = []
+    for length, _type in blocks:
+        out.append(length)
+        while len(out) >= 2 and (out[-1] == 1 or out[-2] == 1):
+            b = out.pop()
+            a = out.pop()
+            total = a + b
+            if total == 4:
+                out.extend([2, 2])
+            else:
+                out.append(total)
+    # a sole length-1 block only happens for round strings of length 1,
+    # which the round loop terminates on before splitting
+    return out
+
+
+def esp_rounds(data: bytes):
+    """Run ESP to completion. Returns (rules: int64[R,2], root, empty)."""
+    s = np.frombuffer(data, np.uint8).astype(np.int64)
+    rules: dict[tuple[int, int], int] = {}
+    rule_list: list[tuple[int, int]] = []
+
+    def rule_id(a: int, b: int) -> int:
+        key = (a, b)
+        rid = rules.get(key)
+        if rid is None:
+            rid = 256 + len(rule_list)
+            rules[key] = rid
+            rule_list.append(key)
+        return rid
+
+    alphabet = 256
+    if s.size == 0:
+        return np.zeros((0, 2), np.int64), 0, True
+    while s.size > 1:
+        # -- metablock classification -----------------------------------
+        boundary = np.concatenate([[True], s[1:] != s[:-1]])
+        starts = np.flatnonzero(boundary)
+        lens = np.diff(np.append(starts, s.size))
+        blocks: list[list[int]] = []  # (len, type)
+        i = 0
+        r = 0
+        while r < starts.size:
+            if lens[r] >= 2:  # type 1: repeating run
+                for L in _split_eager13(int(lens[r])):
+                    blocks.append([L, 1])
+                r += 1
+            else:  # group consecutive length-1 runs: type 2 segment
+                r2 = r
+                while r2 < starts.size and lens[r2] == 1:
+                    r2 += 1
+                seg = s[starts[r] : starts[r2 - 1] + 1]
+                p = min(iter_log(alphabet), seg.size)
+                for L in _split_eager13(p):
+                    blocks.append([L, 3])
+                if p < seg.size:
+                    reduced = _reduce_alphabet(seg, p)
+                    for L in _landmark_blocks(reduced):
+                        blocks.append([L, 2])
+                r = r2
+        lens_adj = _merge_one_blocks(blocks)
+        # -- blocks -> rules -------------------------------------------
+        new_syms = []
+        pos = 0
+        for L in lens_adj:
+            if L == 2:
+                new_syms.append(rule_id(int(s[pos]), int(s[pos + 1])))
+            else:
+                inner = rule_id(int(s[pos]), int(s[pos + 1]))
+                new_syms.append(rule_id(inner, int(s[pos + 2])))
+            pos += L
+        assert pos == s.size, (pos, s.size)
+        alphabet = 256 + len(rule_list)
+        s = np.asarray(new_syms, np.int64)
+    root = int(s[0])
+    return np.asarray(rule_list, np.int64).reshape(-1, 2), root, False
+
+
+def derive_text(rules: np.ndarray, root: int, empty: bool) -> bytes:
+    if empty:
+        return b""
+    out = bytearray()
+    stack = [root]
+    while stack:
+        x = stack.pop()
+        if x < 256:
+            out.append(x)
+        else:
+            l, r = rules[x - 256]
+            stack.append(int(r))
+            stack.append(int(l))
+    return bytes(out)
+
+
+class PlainSLPCoder(Algorithm):
+    """Reference ``esp/PlainSLPCoder.hpp`` format."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("slp_coder", "plain", "Plain SLP encoding")
+
+    def encode(self, rules: np.ndarray, root: int, empty: bool) -> bytes:
+        out = BitWriter()
+        if empty:
+            out.write_int(0, 6)
+            return out.getvalue()
+        max_val = rules.shape[0] + 256 - 1
+        width = bits_for(max_val)
+        out.write_int(width, 6)
+        out.write_int(root, width)
+        flat = rules.reshape(-1).astype(np.uint64)
+        out.write_int_array(flat, width)
+        return out.getvalue()
+
+    def decode(self, data: bytes):
+        inp = BitReader(data)
+        width = inp.read_int(6)
+        if width == 0:
+            return np.zeros((0, 2), np.int64), 0, True
+        root = inp.read_int(width)
+        pairs = []
+        while not inp.eof():
+            a = inp.read_int(width)
+            if inp.eof():
+                break
+            b = inp.read_int(width)
+            pairs.append((a, b))
+        rules = np.asarray(pairs, np.int64).reshape(-1, 2)
+        return rules, root, False
+
+
+class StdUnorderedMapIPD(Algorithm):
+    @classmethod
+    def meta(cls):
+        return Meta("ipd", "std_unordered_map", "Hash map pair dictionary")
+
+
+class HashMapIPD(Algorithm):
+    @classmethod
+    def meta(cls):
+        return Meta("ipd", "hash_map", "Custom hash map pair dictionary")
+
+
+class DynamicSizeIPD(Algorithm):
+    @classmethod
+    def meta(cls):
+        return Meta("ipd", "dynamic_size", "Bit-width-adaptive IPD")
+
+
+class EspCompressor(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta("compressor", "esp", "ESP based grammar compression")
+        m.option_submeta("slp_coder", "slp_coder", default="plain")
+        m.option_submeta("ipd", "ipd", default="std_unordered_map")
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        with StatPhase("ESP Algorithm"):
+            rules, root, empty = esp_rounds(data)
+            StatPhase.log("SLP size", int(rules.shape[0]))
+        coder = self.env.instantiate("slp_coder")
+        return coder.encode(rules, root, empty)
+
+    def decompress(self, data: bytes) -> bytes:
+        coder = self.env.instantiate("slp_coder")
+        rules, root, empty = coder.decode(data)
+        return derive_text(rules, root, empty)
+
+
+for _cls in (PlainSLPCoder, StdUnorderedMapIPD, HashMapIPD,
+             DynamicSizeIPD, EspCompressor):
+    REGISTRY.register(_cls)

@@ -1,0 +1,265 @@
+"""lcpcomp: greedy longest-first LCP factorization (reference flagship).
+
+Reference: ``compressors/LCPCompressor.hpp`` + ``lcpcomp/``. The input's
+LCP array is consumed greedily: repeatedly take a suffix-array entry with
+maximal remaining LCP ``l >= threshold``, emit the factor
+``(pos=sa[i], src=sa[i-1], len=l)``, then invalidate the covered
+positions and truncate overlapping candidates. Factors may point
+*forward*, so decompression resolves reference chains.
+
+Compression strategies (``comp=``):
+- ``arrays`` (default): one candidate bucket per LCP value with lazy
+  decrease-key (reference ``compress/ArraysComp.hpp:22-117``)
+- ``heap``: max-heap with lazy invalidation (reference
+  ``compress/MaxHeapStrategy.hpp``-equivalent behavior)
+- ``naive``: rescan for the max each round (reference
+  ``compress/NaiveStrategy.hpp``)
+
+Decompression strategies (``dec=``): ``scan`` (default) and ``compact``.
+Both use the TPU-native re-derivation of the reference's chain-chasing
+(``decompress/ScanDec.hpp:61-120``): every factor-covered position maps
+to its source position, and the mapping is resolved to literal roots by
+**pointer doubling** — O(log chain) vectorized rounds instead of the
+reference's sequential rounds + eager chase.
+
+Wire format: the shared lzss factor stream (``lzss/LZSSCoding.hpp``),
+identical to the reference's lcpcomp output structure.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+from tudocomp_tpu.compressors.base import Compressor
+from tudocomp_tpu.compressors.lzss import (
+    FactorBuffer,
+    encode_factor_text,
+    uncovered_literals,
+)
+from tudocomp_tpu.ds.suffix import TextDS
+from tudocomp_tpu.meta import Algorithm, Meta
+from tudocomp_tpu.ranges import (
+    BitRange,
+    LiteralRange,
+    MinDistributedRange,
+    Range,
+    len_r,
+)
+from tudocomp_tpu.registry import REGISTRY
+from tudocomp_tpu.stats import StatPhase
+
+bit_r = BitRange()
+literal_r = LiteralRange()
+
+
+def _emit_factor(factors, sa, isa, lcp, index, threshold):
+    """Emit one factor and invalidate/truncate affected LCP entries
+    (reference ``ArraysComp.hpp:92-112``)."""
+    pos = int(sa[index])
+    src = int(sa[index - 1])
+    length = int(lcp[index])
+    factors.append(pos, src, length)
+    # erase suffixes starting inside the replaced area
+    lcp[isa[pos : pos + length]] = 0
+    # truncate suffixes whose LCP would reach into the replaced area
+    max_affect = min(length, pos)
+    if max_affect:
+        ks = np.arange(1, max_affect + 1)
+        inds = isa[pos - ks]
+        np.minimum.at(lcp, inds, ks)
+    return length
+
+
+class ArraysComp(Algorithm):
+    """Bucket array per LCP value, lazy decrease-key."""
+
+    @classmethod
+    def meta(cls):
+        return Meta(
+            "lcpcomp_comp", "arrays",
+            "Bucket arrays per LCP value, lazy decrease-key",
+        )
+
+    def factorize(self, text: TextDS, threshold: int,
+                  factors: FactorBuffer) -> None:
+        sa = text.require_sa()
+        isa = text.require_isa()
+        lcp = text.require_lcp().copy()
+        if lcp.size == 0:
+            return
+        maxlcp = int(lcp.max())
+        if maxlcp < threshold:
+            return
+        cand: list[list[int]] = [[] for _ in range(maxlcp + 1 - threshold)]
+        for i in np.flatnonzero(lcp >= threshold):
+            cand[lcp[i] - threshold].append(int(i))
+        for cur in range(maxlcp, threshold - 1, -1):
+            col = cand[cur - threshold]
+            for index in col:
+                lv = int(lcp[index])
+                if lv < cur:
+                    if lv >= threshold:  # push down (lazy decrease-key)
+                        cand[lv - threshold].append(index)
+                    continue
+                _emit_factor(factors, sa, isa, lcp, index, threshold)
+            col.clear()
+
+
+class MaxHeapStrategy(Algorithm):
+    """Max-heap ordered factorization with lazy invalidation."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "heap", "Max-heap LCP factorization")
+
+    def factorize(self, text, threshold, factors):
+        sa = text.require_sa()
+        isa = text.require_isa()
+        lcp = text.require_lcp().copy()
+        heap = [
+            (-int(lcp[i]), int(i))
+            for i in np.flatnonzero(lcp >= threshold)
+        ]
+        heapq.heapify(heap)
+        while heap:
+            neg, index = heapq.heappop(heap)
+            lv = int(lcp[index])
+            if lv != -neg:
+                if lv >= threshold:
+                    heapq.heappush(heap, (-lv, index))
+                continue
+            _emit_factor(factors, sa, isa, lcp, index, threshold)
+
+
+class NaiveStrategy(Algorithm):
+    """Rescan for the maximum each round (reference NaiveStrategy)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "naive", "Naive max-LCP rescan")
+
+    def factorize(self, text, threshold, factors):
+        sa = text.require_sa()
+        isa = text.require_isa()
+        lcp = text.require_lcp().copy()
+        while lcp.size:
+            index = int(lcp.argmax())
+            if lcp[index] < threshold:
+                break
+            _emit_factor(factors, sa, isa, lcp, index, threshold)
+
+
+class ScanDec(Algorithm):
+    """Pointer-doubling chain resolution (parallel ScanDec)."""
+
+    @classmethod
+    def meta(cls):
+        m = Meta("lcpcomp_dec", "scan", "Scan decoding (parallelized)")
+        m.option_dynamic("rounds", 25)  # reference scan(25); advisory
+        return m
+
+
+class CompactDec(Algorithm):
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_dec", "compact", "Compact decoding")
+
+
+def resolve_factors(n: int, literals, lit_positions, factors) -> bytes:
+    """Resolve possibly-forward factor references by pointer doubling."""
+    buf = np.zeros(n, np.uint8)
+    buf[lit_positions] = literals
+    mapping = np.full(n, -1, np.int64)
+    for pos, src, length in factors:
+        mapping[pos : pos + length] = np.arange(src, src + length)
+    root = np.where(mapping >= 0, mapping, np.arange(n))
+    # iterate root = root[root]; converges in O(log max-chain) rounds
+    for _ in range(max(1, int(np.ceil(np.log2(n + 1))) + 1)):
+        nxt = root[root]
+        if np.array_equal(nxt, root):
+            break
+        root = nxt
+    if (mapping[root] >= 0).any():
+        raise ValueError("unresolvable factor chain (cyclic reference)")
+    return buf[root].tobytes()
+
+
+class LCPCompressor(Compressor):
+    @classmethod
+    def meta(cls):
+        m = Meta(
+            "compressor", "lcpcomp",
+            "Factorizes the input by redundant phrases in the LCP table",
+        )
+        from tudocomp_tpu.coders import LCPCOMP_CODER_NAMES
+        m.option_submeta(
+            "coder", "coder", accepts=LCPCOMP_CODER_NAMES
+        )
+        m.option_submeta("comp", "lcpcomp_comp", default="arrays")
+        m.option_submeta("dec", "lcpcomp_dec", default="scan")
+        m.option_dynamic("threshold", 5)
+        m.option_dynamic("flatten", 1)
+        m.needs_sentinel_terminator()
+        return m
+
+    def compress(self, data: bytes) -> bytes:
+        text = np.frombuffer(data, np.uint8)
+        threshold = self.env.option("threshold").as_int()
+        ds = TextDS(data)
+        factors = FactorBuffer()
+        with StatPhase("factorize"):
+            strategy = self.env.instantiate("comp")
+            strategy.factorize(ds, threshold, factors)
+            StatPhase.log("factors", len(factors))
+        factors.sort()
+        if self.env.option("flatten").as_int():
+            factors.flatten()
+        from tudocomp_tpu.io.bitio import BitWriter
+
+        out = BitWriter()
+        coder = self.coder_encoder(out, uncovered_literals(text, factors))
+        encode_factor_text(coder, text, factors)
+        return out.getvalue()
+
+    def decompress(self, data: bytes) -> bytes:
+        from tudocomp_tpu.io.bitio import BitReader
+
+        decoder = self.coder_decoder(BitReader(data))
+        n = decoder.decode(len_r)
+        text_r = Range(n)
+        flen_min = decoder.decode(text_r)
+        flen_max = decoder.decode(text_r)
+        flen_r = MinDistributedRange(flen_min, flen_max)
+        fdist_max = decoder.decode(text_r)
+        fdist_r = Range(fdist_max)
+        lits: list[np.ndarray] = []
+        lit_pos: list[np.ndarray] = []
+        factors = []
+        cursor = 0
+        while not decoder.eof():
+            if decoder.decode(bit_r):
+                num = decoder.decode(fdist_r)
+                got = decoder.decode_array(literal_r, num)
+                lits.append(np.asarray(got, np.uint8))
+                lit_pos.append(np.arange(cursor, cursor + num))
+                cursor += num
+            if decoder.eof():
+                break
+            src = decoder.decode(text_r)
+            length = decoder.decode(flen_r)
+            factors.append((cursor, src, length))
+            cursor += length
+        literals = (
+            np.concatenate(lits) if lits else np.zeros(0, np.uint8)
+        )
+        positions = (
+            np.concatenate(lit_pos) if lit_pos else np.zeros(0, np.int64)
+        )
+        return resolve_factors(cursor, literals, positions, factors)
+
+
+for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, ScanDec,
+             CompactDec, LCPCompressor):
+    REGISTRY.register(_cls)

@@ -24,7 +24,11 @@ class LZ78Compressor(Compressor):
     @classmethod
     def meta(cls):
         m = Meta("compressor", "lz78", "Lempel-Ziv 78")
-        m.option_submeta("coder", "coder", default="bit")
+        from tudocomp_tpu.coders import UNIVERSAL_CODER_NAMES
+        m.option_submeta(
+            "coder", "coder", default="bit",
+            accepts=UNIVERSAL_CODER_NAMES,
+        )
         m.option_submeta("lz78trie", "lz78trie", default="ternary")
         m.option_dynamic("dict_size", 0)
         return m

@@ -28,6 +28,10 @@ from dataclasses import dataclass
 import numpy as np
 
 from tudocomp_tpu.coders.base import Literals
+from tudocomp_tpu.coders import (
+    NON_CONSUMING_CODER_NAMES,
+    UNIVERSAL_CODER_NAMES,
+)
 from tudocomp_tpu.compressors.base import Compressor
 from tudocomp_tpu.ds.suffix import TextDS
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
@@ -209,7 +213,10 @@ class LZSSSlidingWindowCompressor(Compressor):
             "lzss",
             "Lempel-Ziv-Storer-Szymanski (Sliding Window)",
         )
-        m.option_submeta("coder", "coder", default="bit")
+        m.option_submeta(
+            "coder", "coder", default="bit",
+            accepts=UNIVERSAL_CODER_NAMES,
+        )
         m.option_dynamic("window", 16)
         m.option_dynamic("threshold", 3)
         return m
@@ -298,7 +305,10 @@ class LZSSLCPCompressor(Compressor):
     @classmethod
     def meta(cls):
         m = Meta("compressor", "lzss_lcp", "LZSS Factorization using LCP")
-        m.option_submeta("coder", "coder", default="bit")
+        m.option_submeta(
+            "coder", "coder", default="bit",
+            accepts=NON_CONSUMING_CODER_NAMES,
+        )
         m.option_dynamic("threshold", 3)
         m.needs_sentinel_terminator()
         return m

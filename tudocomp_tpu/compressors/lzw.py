@@ -22,7 +22,11 @@ class LZWCompressor(Compressor):
     @classmethod
     def meta(cls):
         m = Meta("compressor", "lzw", "Lempel-Ziv-Welch")
-        m.option_submeta("coder", "coder", default="bit")
+        from tudocomp_tpu.coders import UNIVERSAL_CODER_NAMES
+        m.option_submeta(
+            "coder", "coder", default="bit",
+            accepts=UNIVERSAL_CODER_NAMES,
+        )
         m.option_submeta("lz78trie", "lz78trie", default="ternary")
         m.option_dynamic("dict_size", 0)
         return m

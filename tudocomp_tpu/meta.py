@@ -47,6 +47,10 @@ class OptionDecl:
     kind: str  # "dynamic" | "submeta"
     default: Any = None  # value for dynamic; algorithm string for submeta
     accepted_type: Optional[str] = None  # for submeta: required algo type
+    accepts: Optional[tuple] = None  # for submeta: names the CLI registry
+    #                                  enumerates (None = all); library
+    #                                  instantiation is never restricted,
+    #                                  like the reference's create_algo
 
 
 class Meta:
@@ -65,16 +69,22 @@ class Meta:
         return self
 
     def option_submeta(
-        self, name: str, accepted_type: str, default: Optional[str] = None
+        self, name: str, accepted_type: str, default: Optional[str] = None,
+        accepts=None,
     ) -> "Meta":
         """Option taking a sub-algorithm of the given type.
 
         ``default`` is an algorithm string (e.g. ``"bit"``); if None the
-        option is mandatory.
+        option is mandatory. ``accepts`` restricts which names the registry
+        *enumerates* for this slot (reference ``etc/registry_config.py``
+        taxonomy, e.g. consuming coders only where interleaving allows).
         """
         self._check(name)
         self.options.append(
-            OptionDecl(name, "submeta", default, accepted_type)
+            OptionDecl(
+                name, "submeta", default, accepted_type,
+                tuple(accepts) if accepts is not None else None,
+            )
         )
         return self
 

@@ -169,6 +169,8 @@ class Registry:
                 continue
             subs = []
             for sub_name in self.names(t):
+                if o.accepts is not None and sub_name not in o.accepts:
+                    continue
                 subs.extend(self._enum_cls(t, sub_name, d, cap))
             if not subs:
                 if o.default is None:
