@@ -1,0 +1,42 @@
+"""Device SA/ISA/BWT kernels vs the host specification."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tudocomp_tpu.ds.suffix import inverse_suffix_array, suffix_array
+from tudocomp_tpu.ops.suffix_jax import (
+    bwt_device,
+    isa_device,
+    suffix_array_device,
+)
+
+
+CASES = [
+    b"banana\0",
+    b"mississippi mississippi\0",
+    b"aaaaaaaaaaaaaaa\0",
+    b"\0",
+    b"z\0",
+]
+
+
+def _rand_cases():
+    rng = np.random.default_rng(3)
+    return [
+        bytes(rng.integers(1, 5, 999, dtype=np.uint8)) + b"\0",
+        (b"abcab" * 321) + b"\0",
+        bytes(rng.integers(1, 256, 2048, dtype=np.uint8)) + b"\0",
+    ]
+
+
+@pytest.mark.parametrize("case", CASES + _rand_cases())
+def test_device_sa_isa_bwt(case):
+    arr = np.frombuffer(case, np.uint8)
+    sa_h = suffix_array(arr)
+    sa_d = np.asarray(suffix_array_device(jnp.asarray(arr)))
+    np.testing.assert_array_equal(sa_d, sa_h)
+    isa_d = np.asarray(isa_device(jnp.asarray(sa_d)))
+    np.testing.assert_array_equal(isa_d, inverse_suffix_array(sa_h))
+    bwt_d = np.asarray(bwt_device(jnp.asarray(arr), jnp.asarray(isa_d)))
+    np.testing.assert_array_equal(bwt_d, arr[(sa_h - 1) % arr.size])

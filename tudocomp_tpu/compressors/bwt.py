@@ -16,6 +16,15 @@ from tudocomp_tpu.ds.suffix import suffix_array
 from tudocomp_tpu.meta import Meta
 
 
+def _on_tpu() -> bool:
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 class BWTCompressor(Compressor):
     @classmethod
     def meta(cls):
@@ -23,10 +32,24 @@ class BWTCompressor(Compressor):
         m.needs_sentinel_terminator()
         return m
 
+    #: inputs at least this long use the device SA/BWT path on TPU
+    DEVICE_MIN = 1 << 15
+
     def compress(self, data: bytes) -> bytes:
         if not data.endswith(b"\x00"):
             raise ValueError("bwt requires a sentineled input")
         t = np.frombuffer(data, np.uint8)
+        if len(data) >= self.DEVICE_MIN and _on_tpu():
+            import jax.numpy as jnp
+
+            from tudocomp_tpu.ops.suffix_jax import (
+                bwt_device, isa_device, suffix_array_device,
+            )
+
+            td = jnp.asarray(t)
+            sa = suffix_array_device(td)
+            bw = bwt_device(td, isa_device(sa))
+            return np.asarray(bw).tobytes()
         sa = suffix_array(t)
         return bwt_forward(t, sa).tobytes()
 
