@@ -1,0 +1,224 @@
+// Native host runtime kernels for tudocomp-tpu.
+//
+// The TPU compute path is JAX/XLA/Pallas; these are the *host-side*
+// sequential kernels where the reference's C++ runtime had tight loops a
+// Python interpreter cannot match: BWT LF-walks, MTF table updates,
+// canonical-Huffman bit walks, RLE/vbyte stream decoding and the LZ78
+// hash-trie parse ((parent<<8)|char keys, reference
+// lz78/squeeze_node.hpp:10-30). Exposed as a plain C ABI for ctypes.
+//
+// Build: g++ -O3 -march=native -shared -fPIC tdc_native.cpp -o tdc_native.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---- MTF --------------------------------------------------------------
+
+void tdc_mtf_encode(const uint8_t* in, uint8_t* out, int64_t n) {
+    uint8_t table[256];
+    for (int i = 0; i < 256; i++) table[i] = uint8_t(i);
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        uint8_t j = 0;
+        while (table[j] != c) j++;
+        out[i] = j;
+        memmove(table + 1, table, j);
+        table[0] = c;
+    }
+}
+
+void tdc_mtf_decode(const uint8_t* in, uint8_t* out, int64_t n) {
+    uint8_t table[256];
+    for (int i = 0; i < 256; i++) table[i] = uint8_t(i);
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t j = in[i];
+        uint8_t c = table[j];
+        out[i] = c;
+        memmove(table + 1, table, j);
+        table[0] = c;
+    }
+}
+
+// ---- BWT decode (LF walk) --------------------------------------------
+// bwt: n bytes of the BWT of a 0-sentineled text (sentinel included).
+// out receives n-1 bytes (text without sentinel). Returns 0 on success.
+
+int tdc_bwt_decode(const uint8_t* bwt, uint8_t* out, int64_t n) {
+    if (n <= 1) return 0;
+    std::vector<int64_t> counts(257, 0);
+    for (int64_t i = 0; i < n; i++) counts[bwt[i] + 1]++;
+    for (int i = 0; i < 256; i++) counts[i + 1] += counts[i];
+    std::vector<int64_t> lf(n);
+    for (int64_t i = 0; i < n; i++) lf[i] = counts[bwt[i]]++;
+    int64_t p = 0;
+    for (int64_t j = 1; j < n; j++) {
+        out[n - 1 - j] = bwt[p];
+        p = lf[p];
+    }
+    return 0;
+}
+
+// ---- RLE decode -------------------------------------------------------
+// Decodes the capped-run format (cc + vbyte(run-2+offset)). Returns the
+// number of output bytes, or -1 if out_cap would be exceeded.
+
+int64_t tdc_rle_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                       int64_t out_cap, int64_t offset) {
+    int64_t o = 0;
+    int64_t i = 0;
+    int prev = -1;
+    while (i < n) {
+        uint8_t c = in[i++];
+        if (o >= out_cap) return -1;
+        out[o++] = c;
+        if (int(c) == prev) {
+            uint64_t run = 0;
+            int shift = 0;
+            while (i < n) {
+                uint8_t b = in[i++];
+                run |= uint64_t(b & 0x7F) << shift;
+                shift += 7;
+                if (!(b & 0x80)) break;
+            }
+            run -= uint64_t(offset);
+            if (o + int64_t(run) > out_cap) return -1;
+            memset(out + o, c, size_t(run));
+            o += int64_t(run);
+            prev = -1;
+        } else {
+            prev = int(c);
+        }
+    }
+    return o;
+}
+
+// ---- canonical Huffman decode ----------------------------------------
+// MSB-first payload; lut_sym/lut_len are 2^k entries (full-depth LUT).
+// Returns bits consumed, or -1 on error.
+
+int64_t tdc_huffman_decode(const uint8_t* payload, int64_t payload_len,
+                           int64_t count, const uint8_t* lut_sym,
+                           const uint8_t* lut_len, int k,
+                           uint8_t* out) {
+    uint64_t window = 0;
+    int have = 0;
+    int64_t pos = 0;  // next payload byte
+    int64_t bits_used = 0;
+    for (int64_t i = 0; i < count; i++) {
+        while (have < k && pos < payload_len) {
+            window = (window << 8) | payload[pos++];
+            have += 8;
+        }
+        if (have < k) {  // pad with zeros at stream end
+            window <<= (k - have);
+            have = k;
+        }
+        uint64_t idx = (window >> (have - k)) & ((1ULL << k) - 1);
+        uint8_t len = lut_len[idx];
+        if (len == 0 || len > have) return -1;
+        out[i] = lut_sym[idx];
+        have -= len;
+        bits_used += len;
+    }
+    return bits_used;
+}
+
+// ---- LZ78/LZW hash-trie parse ----------------------------------------
+// Parses `in` with an LZ78 dictionary backed by an open-addressing hash
+// table keyed by (parent << 8) | char. Emits (ref, char) pairs for LZ78
+// (lzw == 0) or running references for LZW (lzw == 1, roots preseeded).
+// Returns the number of factors, or -1 if out buffers are too small.
+
+static inline uint64_t mix(uint64_t x) {
+    x ^= x >> 33; x *= 0xff51afd7ed558ccdULL;
+    x ^= x >> 33; x *= 0xc4ceb9fe1a85ec53ULL;
+    x ^= x >> 33; return x;
+}
+
+int64_t tdc_lz78_parse(const uint8_t* in, int64_t n, int lzw,
+                       int64_t dict_limit,
+                       uint32_t* out_refs, uint8_t* out_chars,
+                       int64_t out_cap) {
+    int64_t cap = 64;
+    while (cap < 4 * n + 1024) cap <<= 1;
+    std::vector<uint64_t> keys(cap, ~0ULL);
+    std::vector<uint32_t> vals(cap, 0);
+    uint64_t mask = uint64_t(cap) - 1;
+
+    auto find_or_insert = [&](uint32_t parent, uint8_t c,
+                              uint32_t fresh) -> int64_t {
+        uint64_t key = (uint64_t(parent) << 8) | c;
+        uint64_t h = mix(key) & mask;
+        while (true) {
+            if (keys[h] == ~0ULL) {
+                keys[h] = key;
+                vals[h] = fresh;
+                return -1;  // inserted
+            }
+            if (keys[h] == key) return int64_t(vals[h]);
+            h = (h + 1) & mask;
+        }
+    };
+
+    int64_t count = 0;       // factors emitted
+    uint32_t next_id = 1;    // LZ78: ids start at 1 (0 = root)
+    uint32_t lzw_next = 256; // LZW: roots 0..255 preseeded
+    uint32_t node = 0;       // current node (LZ78: 0 = root)
+    int lzw_active = 0;
+    uint32_t lzw_node = 0;
+
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        if (!lzw) {
+            int64_t child = find_or_insert(node, c, next_id);
+            if (child < 0) {
+                if (count >= out_cap) return -1;
+                out_refs[count] = node;
+                out_chars[count] = c;
+                count++;
+                next_id++;
+                node = 0;
+                if (dict_limit && next_id > uint32_t(dict_limit)) {
+                    // dictionary reset (reference LZ78Compressor :110-116)
+                    std::fill(keys.begin(), keys.end(), ~0ULL);
+                    next_id = 1;
+                }
+            } else {
+                node = uint32_t(child);
+            }
+        } else {
+            if (!lzw_active) { lzw_node = c; lzw_active = 1; continue; }
+            int64_t child = find_or_insert(lzw_node, c, lzw_next);
+            if (child < 0) {
+                if (count >= out_cap) return -1;
+                out_refs[count++] = lzw_node;
+                lzw_next++;
+                lzw_node = c;
+                if (dict_limit && lzw_next > uint32_t(dict_limit) + 256) {
+                    std::fill(keys.begin(), keys.end(), ~0ULL);
+                    lzw_next = 256;
+                }
+            } else {
+                lzw_node = uint32_t(child);
+            }
+        }
+    }
+    // trailing state
+    if (!lzw) {
+        if (node != 0) {
+            if (count >= out_cap) return -1;
+            out_refs[count] = node;
+            out_chars[count] = 0;  // caller handles the partial marker
+            count++;
+        }
+    } else if (lzw_active) {
+        if (count >= out_cap) return -1;
+        out_refs[count++] = lzw_node;
+    }
+    return count;
+}
+
+}  // extern "C"

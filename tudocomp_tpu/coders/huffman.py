@@ -146,6 +146,13 @@ class HuffmanTable:
             return np.zeros(0, np.uint8)
         k = self.longest
         lut_sym, lut_len = self.build_lut()
+        from tudocomp_tpu import native
+
+        got = native.huffman_decode(
+            np.asarray(payload, np.uint8), count, lut_sym, lut_len, k
+        )
+        if got is not None:
+            return got
         payload = np.asarray(payload, np.uint8)
         nbits = payload.size * 8
         bits = np.unpackbits(payload)

@@ -54,4 +54,6 @@ class BWTCompressor(Compressor):
         return bwt_forward(t, sa).tobytes()
 
     def decompress(self, data: bytes) -> bytes:
-        return bwt_decode(data) + b"\x00"
+        from tudocomp_tpu import native
+
+        return native.bwt_decode(data) + b"\x00"

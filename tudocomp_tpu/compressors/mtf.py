@@ -47,7 +47,11 @@ class MTFCompressor(Compressor):
         return Meta("compressor", "mtf", "Move To Front Compressor")
 
     def compress(self, data: bytes) -> bytes:
-        return mtf_encode(data)
+        from tudocomp_tpu import native
+
+        return native.mtf_encode(data)
 
     def decompress(self, data: bytes) -> bytes:
-        return mtf_decode(data)
+        from tudocomp_tpu import native
+
+        return native.mtf_decode(data)

@@ -106,5 +106,7 @@ class RunLengthEncoder(Compressor):
         return rle_encode(np.frombuffer(data, np.uint8), off).tobytes()
 
     def decompress(self, data: bytes) -> bytes:
+        from tudocomp_tpu import native
+
         off = self.env.option("offset").as_int()
-        return rle_decode(np.frombuffer(data, np.uint8), off)
+        return native.rle_decode(np.frombuffer(data, np.uint8), off)

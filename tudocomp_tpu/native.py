@@ -1,0 +1,156 @@
+"""Loader/bindings for the native host runtime (``native/tdc_native.cpp``).
+
+Compiles the C++ kernels once with the system toolchain (g++ -O3) into a
+cached shared object and binds them via ctypes. Every entry point has a
+pure-Python/numpy fallback, so the framework works without a compiler;
+``available()`` reports which path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_SRC = os.path.join(_ROOT, "native", "tdc_native.cpp")
+_BUILD_DIR = os.path.join(_ROOT, "native", "build")
+_SO = os.path.join(_BUILD_DIR, "tdc_native.so")
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    os.makedirs(_BUILD_DIR, exist_ok=True)
+    if os.path.exists(_SO) and (
+        os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
+    ):
+        return True
+    try:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", _SRC, "-o", _SO,
+            ],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        lib = ctypes.CDLL(_SO)
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        lib.tdc_mtf_encode.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.tdc_mtf_decode.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.tdc_bwt_decode.argtypes = [u8p, u8p, ctypes.c_int64]
+        lib.tdc_bwt_decode.restype = ctypes.c_int
+        lib.tdc_rle_decode.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.tdc_rle_decode.restype = ctypes.c_int64
+        lib.tdc_huffman_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+            ctypes.c_int, u8p,
+        ]
+        lib.tdc_huffman_decode.restype = ctypes.c_int64
+        lib.tdc_lz78_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            u32p, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78_parse.restype = ctypes.c_int64
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+# ---- wrappers with fallback -------------------------------------------
+
+
+def mtf_encode(data: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        from tudocomp_tpu.compressors.mtf import mtf_encode as py
+
+        return py(data)
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(inp.size, np.uint8)
+    lib.tdc_mtf_encode(inp, out, inp.size)
+    return out.tobytes()
+
+
+def mtf_decode(data: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        from tudocomp_tpu.compressors.mtf import mtf_decode as py
+
+        return py(data)
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(inp.size, np.uint8)
+    lib.tdc_mtf_decode(inp, out, inp.size)
+    return out.tobytes()
+
+
+def bwt_decode(bwt_bytes: bytes) -> bytes:
+    lib = _load()
+    if lib is None:
+        from tudocomp_tpu.ds.bwt import bwt_decode as py
+
+        return py(bwt_bytes)
+    inp = np.frombuffer(bwt_bytes, np.uint8)
+    if inp.size <= 1:
+        return b""
+    out = np.empty(inp.size - 1, np.uint8)
+    lib.tdc_bwt_decode(inp, out, inp.size)
+    return out.tobytes()
+
+
+def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
+    lib = _load()
+    if lib is None:
+        from tudocomp_tpu.compressors.rle import rle_decode as py
+
+        return py(arr, offset)
+    inp = np.ascontiguousarray(arr, np.uint8)
+    cap = max(64, inp.size * 4)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_rle_decode(inp, inp.size, out, cap, offset)
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
+                   lut_len: np.ndarray, k: int):
+    """Returns decoded symbols or None if native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    out = np.empty(count, np.uint8)
+    got = lib.tdc_huffman_decode(
+        payload, payload.size, count,
+        np.ascontiguousarray(lut_sym, np.uint8),
+        np.ascontiguousarray(lut_len, np.uint8), k, out,
+    )
+    if got < 0:
+        raise ValueError("native huffman decode failed")
+    return out
