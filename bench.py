@@ -111,15 +111,32 @@ def main() -> None:
         t0 = time.perf_counter()
         encode_all()
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    gbps = (n_batches * BATCH / 1024) / best
+    t_enc = min(times)
+
+    # decode: full container roundtrip of the same corpus (device encode
+    # once into the container, then the decode path: native canonical-
+    # Huffman LUT walk + native RLE expansion per sub-chunk)
+    container = codec.compress(data.tobytes())
+    dtimes = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = codec.decompress(container)
+        dtimes.append(time.perf_counter() - t0)
+    assert out == data.tobytes()
+    t_dec = min(dtimes)
+
+    size_gb = n_batches * BATCH / 1024
+    gbps = size_gb / (t_enc + t_dec)
     print(
         json.dumps(
             {
-                "metric": "blockcodec_encode_gbps_per_chip",
+                "metric": "blockcodec_encode_decode_gbps_per_chip",
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 2),
+                "encode_gbps": round(size_gb / t_enc, 4),
+                "decode_gbps": round(size_gb / t_dec, 4),
+                "ratio": round(len(container) / len(data), 4),
             }
         )
     )

@@ -119,7 +119,10 @@ class HuffmanTable:
 
     def build_lut(self):
         """Full-depth decode LUT (requires ``longest <= 22``): for every
-        ``longest``-bit window, the decoded symbol and its code length."""
+        ``longest``-bit window, the decoded symbol and its code length.
+        Cached after the first build."""
+        if getattr(self, "_lut", None) is not None:
+            return self._lut
         k = self.longest
         if k > 22:
             raise ValueError("codeword too long for LUT decode")
@@ -132,7 +135,8 @@ class HuffmanTable:
         ):
             lut_sym[s:e] = sym
             lut_len[s:e] = ln
-        return lut_sym, lut_len
+        self._lut = (lut_sym, lut_len)
+        return self._lut
 
     def fast_decode(self, payload: np.ndarray, count: int) -> np.ndarray:
         """Decode ``count`` symbols from an MSB-first byte payload.

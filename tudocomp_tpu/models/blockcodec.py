@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tudocomp_tpu.coders.huffman import HuffmanTable
-from tudocomp_tpu.compressors.rle import rle_decode
+from tudocomp_tpu.native import rle_decode
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
 from tudocomp_tpu.ops.bitpack_pallas import pack_tokens_chunks
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
