@@ -273,25 +273,48 @@ class BlockCodec:
         table = HuffmanTable.read(head) if head.read_bit() else None
         cap = rle_capacity(block_size, sub_chunks)
         cs = cap // sub_chunks
-        out = bytearray()
-        while len(out) < orig_len:
+        if table is not None:
+            table.build_lut()  # build once before the worker pool
+
+        # pass 1: scan block frames (cheap); pass 2: decode blocks in a
+        # thread pool — the native kernels release the GIL, so sub-chunk
+        # Huffman walks and RLE expansion run on all host cores
+        frames = []  # (rle_len, [(payload_off, nbytes, clen)])
+        done = 0
+        while done < orig_len:
             rle_len, pos = read_vbyte(data, pos)
+            chunks = []
             chunk_bits = []
             for _ in range(sub_chunks):
                 cb, pos = read_vbyte(data, pos)
                 chunk_bits.append(cb)
-            rle = np.zeros(rle_len, np.uint8)
             for s in range(sub_chunks):
                 nbytes = (chunk_bits[s] + 7) // 8
-                payload = np.frombuffer(data, np.uint8, nbytes, pos)
-                pos += nbytes
                 clen = min(max(rle_len - s * cs, 0), cs)
+                chunks.append((pos, nbytes, clen))
+                pos += nbytes
+            frames.append((rle_len, chunks))
+            done += min(block_size, orig_len - done)
+
+        def decode_block(frame):
+            rle_len, chunks = frame
+            rle = np.zeros(rle_len, np.uint8)
+            for s, (off, nbytes, clen) in enumerate(chunks):
                 if clen == 0:
                     continue
+                payload = np.frombuffer(data, np.uint8, nbytes, off)
                 if table is None:
                     syms = payload[:clen]  # identity 8-bit codes
                 else:
                     syms = table.fast_decode(payload, clen)
                 rle[s * cs : s * cs + clen] = syms
-            out += rle_decode(rle, offset)
-        return bytes(out[:orig_len])
+            return rle_decode(rle, offset)
+
+        if len(frames) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor() as ex:
+                parts = list(ex.map(decode_block, frames))
+        else:
+            parts = [decode_block(f) for f in frames]
+        return b"".join(parts)[:orig_len]
