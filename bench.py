@@ -103,20 +103,24 @@ def main() -> None:
         ]
         # one honest sync: pull one scalar that depends on the last output
         np.asarray(out[-1][1][0, 0])
-        return out
+        return table, stage1, out
 
     encode_all()  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        encode_all()
+        table, stage1, out = encode_all()
         times.append(time.perf_counter() - t0)
     t_enc = min(times)
 
-    # decode: full container roundtrip of the same corpus (device encode
-    # once into the container, then the decode path: native canonical-
-    # Huffman LUT walk + native RLE expansion per sub-chunk)
-    container = codec.compress(data.tobytes())
+    # container assembly from the batched outputs (no extra compile)
+    container = codec._assemble(
+        data.tobytes(),
+        np.concatenate([np.asarray(rl) for _, rl, _ in stage1]),
+        np.concatenate([np.asarray(w) for w, _ in out]),
+        np.concatenate([np.asarray(b) for _, b in out]),
+        table,
+    )
     dtimes = []
     for _ in range(3):
         t0 = time.perf_counter()
