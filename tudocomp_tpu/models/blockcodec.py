@@ -77,13 +77,33 @@ def rle_capacity(block_size: int, sub_chunks: int) -> int:
     return cap + (-cap) % align
 
 
+#: blocks with RLE capacity below this use the full histogram — for
+#: small blocks the fixed table overhead dominates, not the hist pass
+TABLE_SAMPLE_MIN_CAP = 1 << 18
+
+
+def table_histogram(rle_bytes, rle_lens, cap: int, tile: int):
+    """Histogram for table construction, sampled 1/8 for large blocks
+    (the one-hot hist kernel is VMEM-bandwidth bound)."""
+    if cap >= TABLE_SAMPLE_MIN_CAP:
+        sample_cap = max(tile, (cap >> 3) // tile * tile)
+        return histogram_chunks(
+            _pad_bytes(rle_bytes[:, :sample_cap], tile),
+            jnp.minimum(rle_lens, sample_cap),
+            tile=tile,
+        )
+    return histogram_chunks(_pad_bytes(rle_bytes, tile), rle_lens, tile=tile)
+
+
 @functools.partial(jax.jit, static_argnames=("offset", "cap"))
 def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
-    """Stage 1 (per batch of blocks): device RLE + global histogram.
+    """Stage 1 (per batch of blocks): device RLE + table histogram.
 
     Token emission is elementwise XLA; the variable-length pack and the
     histogram run in the Pallas kernels (ops/bitpack_pallas.py,
-    ops/hist_pallas.py).
+    ops/hist_pallas.py). For large blocks the table histogram samples the
+    first 1/8 of each block's RLE bytes (the zstd approach; the +1 in
+    ``_table_from_hist`` keeps every byte value encodable).
 
     Returns ``(rle_bytes: u8[B,cap], rle_lens: i32[B], hist: u32[256])``.
     """
@@ -95,9 +115,7 @@ def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
     words, bits = pack_tokens_chunks(values, lens, tile=tile)
     rle_lens = bits >> 3
     rle_bytes = jax.vmap(lambda w: bytes_from_words(w, cap))(words)
-    hist = histogram_chunks(
-        _pad_bytes(rle_bytes, tile), rle_lens, tile=tile
-    )
+    hist = table_histogram(rle_bytes, rle_lens, cap, tile)
     return rle_bytes, rle_lens, hist
 
 
@@ -211,12 +229,15 @@ class BlockCodec:
             table,
         )
 
-    @staticmethod
-    def _table_from_hist(hist: np.ndarray):
+    def _table_from_hist(self, hist: np.ndarray):
+        hist = np.asarray(hist, np.int64)
+        if self.cap >= TABLE_SAMPLE_MIN_CAP:
+            # the histogram was sampled: +1 keeps every byte value
+            # encodable at sub-0.1% ratio cost
+            hist = hist + 1
         if (hist > 0).sum() <= 1:
             return None
-        # 16-bit cap: keeps codes mergeable in pairs for the packer; the
-        # ratio cost vs unlimited Huffman is negligible for byte alphabets
+        # 16-bit cap keeps codes pair-mergeable for the packer
         return HuffmanTable.from_counts(hist, max_len=16)
 
     @staticmethod

@@ -40,14 +40,23 @@ def _hist_kernel(lengths_ref, data_ref, hist_ref, acc_ref, *, rows: int,
     pos = base + row * LANES + lane
     mask = (pos < length).astype(jnp.float32).astype(jnp.bfloat16)
 
-    bins = lax.broadcasted_iota(_I32, (LANES, 256), 1)
-    for r in range(rows):
-        oh = (bins == data[r][:, None]).astype(jnp.bfloat16)  # (128, 256)
-        m = mask[r][None, :]  # (1, 128)
-        acc_ref[r % 8 : r % 8 + 1, :] += lax.dot_general(
-            m, oh, (((1,), (0,)), ((), ())),
+    # one batched matmul per tile: rows are the batch dim, then a
+    # rows-reduction; accumulator row (t % 8) keeps each f32 entry
+    # below 2^24 (exact) for inputs up to 16M bytes per chunk set
+    oh = (
+        data[:, :, None]
+        == lax.broadcasted_iota(_I32, (rows, LANES, 256), 2)
+    ).astype(jnp.bfloat16)
+    tile_hist = jnp.sum(
+        lax.dot_general(
+            mask[:, None, :], oh,
+            (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        )
+        ),
+        axis=0,
+    )  # (1, 256)
+    slot = (c * pl.num_programs(1) + t) % 8
+    acc_ref[pl.ds(slot, 1), :] += tile_hist
 
     @pl.when((c == pl.num_programs(0) - 1) & (t == pl.num_programs(1) - 1))
     def _flush():

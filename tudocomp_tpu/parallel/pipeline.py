@@ -50,13 +50,13 @@ def sharded_histogram(mesh: Mesh, blocks, lengths, *, offset: int, cap: int):
         mesh=mesh,
         in_specs=(P("dp"), P("dp")),
         out_specs=P(),
+        check_vma=False,  # pallas_call inside shard_map
     )
     def hist_fn(blocks, lengths):
+        from tudocomp_tpu.models.blockcodec import PACK_TILE, table_histogram
+
         rle_bytes, rle_lens = _rle_local(blocks, lengths, offset, cap)
-        h = jnp.sum(
-            jax.vmap(masked_histogram)(rle_bytes, rle_lens),
-            axis=0, dtype=jnp.uint32,
-        )
+        h = table_histogram(rle_bytes, rle_lens, cap, PACK_TILE())
         # blocks are replicated over sp: count each dp shard once
         h = jnp.where(jax.lax.axis_index("sp") == 0, h, jnp.uint32(0))
         h = jax.lax.psum(h, ("dp", "sp"))
@@ -86,13 +86,13 @@ def sharded_encode_step(
         mesh=mesh,
         in_specs=(P("dp"), P("dp"), P(), P()),
         out_specs=(P("dp", "sp"), P("dp", "sp"), P("dp"), P()),
+        check_vma=False,  # pallas_call inside shard_map
     )
     def encode_fn(blocks, lengths, sym_code, sym_len):
+        from tudocomp_tpu.models.blockcodec import PACK_TILE, table_histogram
+
         rle_bytes, rle_lens = _rle_local(blocks, lengths, offset, cap)
-        hist = jnp.sum(
-            jax.vmap(masked_histogram)(rle_bytes, rle_lens),
-            axis=0, dtype=jnp.uint32,
-        )
+        hist = table_histogram(rle_bytes, rle_lens, cap, PACK_TILE())
         sp_idx = jax.lax.axis_index("sp")
         # blocks are replicated over sp: count each dp shard once
         hist = jnp.where(sp_idx == 0, hist, jnp.uint32(0))
