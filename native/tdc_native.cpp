@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC tdc_native.cpp -o tdc_native.so
 
 #include <cstdint>
+#include <climits>
 #include <cstring>
 #include <vector>
 
@@ -167,11 +168,14 @@ int64_t tdc_lz78_parse(const uint8_t* in, int64_t n, int lzw,
     uint32_t next_id = 1;    // LZ78: ids start at 1 (0 = root)
     uint32_t lzw_next = 256; // LZW: roots 0..255 preseeded
     uint32_t node = 0;       // current node (LZ78: 0 = root)
+    uint32_t parent = 0;     // node's parent (for the trailing factor)
+    uint8_t last_c = 0;
     int lzw_active = 0;
     uint32_t lzw_node = 0;
 
     for (int64_t i = 0; i < n; i++) {
         uint8_t c = in[i];
+        last_c = c;
         if (!lzw) {
             int64_t child = find_or_insert(node, c, next_id);
             if (child < 0) {
@@ -180,13 +184,14 @@ int64_t tdc_lz78_parse(const uint8_t* in, int64_t n, int lzw,
                 out_chars[count] = c;
                 count++;
                 next_id++;
-                node = 0;
+                parent = node = 0;
                 if (dict_limit && next_id > uint32_t(dict_limit)) {
                     // dictionary reset (reference LZ78Compressor :110-116)
                     std::fill(keys.begin(), keys.end(), ~0ULL);
                     next_id = 1;
                 }
             } else {
+                parent = node;
                 node = uint32_t(child);
             }
         } else {
@@ -206,17 +211,66 @@ int64_t tdc_lz78_parse(const uint8_t* in, int64_t n, int lzw,
             }
         }
     }
-    // trailing state
+    // trailing state: the partial phrase is (parent, last char)
     if (!lzw) {
         if (node != 0) {
             if (count >= out_cap) return -1;
-            out_refs[count] = node;
-            out_chars[count] = 0;  // caller handles the partial marker
+            out_refs[count] = parent;
+            out_chars[count] = last_c;
             count++;
         }
     } else if (lzw_active) {
         if (count >= out_cap) return -1;
         out_refs[count++] = lzw_node;
+    }
+    return count;
+}
+
+// ---- lzss_lcp factorization ------------------------------------------
+// Naive PSV/NSV factorization over SA/ISA/LCP (mirrors the Python spec
+// in compressors/lzss.py:factorize_lcp, reference
+// LZSSLCPCompressor.hpp:60-115). Returns factor count or -1 on overflow.
+
+int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
+                               const int64_t* lcp, int64_t n,
+                               int64_t threshold,
+                               int64_t* out_pos, int64_t* out_src,
+                               int64_t* out_len, int64_t cap) {
+    int64_t count = 0;
+    int64_t i = 0;
+    while (i + 1 < n) {
+        int64_t cur = isa[i];
+        int64_t psv_lcp = lcp[cur];
+        int64_t psv_pos = cur - 1;
+        if (psv_lcp > 0) {
+            while (psv_pos >= 0 && sa[psv_pos] > sa[cur]) {
+                if (lcp[psv_pos] < psv_lcp) psv_lcp = lcp[psv_pos];
+                psv_pos--;
+            }
+        }
+        int64_t nsv_lcp = 0;
+        int64_t nsv_pos = cur + 1;
+        if (nsv_pos < n) {
+            nsv_lcp = INT64_MAX;
+            while (true) {
+                if (lcp[nsv_pos] < nsv_lcp) nsv_lcp = lcp[nsv_pos];
+                if (sa[nsv_pos] < sa[cur]) break;
+                nsv_pos++;
+                if (nsv_pos >= n) { nsv_lcp = 0; break; }
+            }
+        }
+        int64_t max_lcp = psv_lcp > nsv_lcp ? psv_lcp : nsv_lcp;
+        if (max_lcp >= threshold) {
+            int64_t max_pos = (max_lcp == psv_lcp) ? psv_pos : nsv_pos;
+            if (count >= cap) return -1;
+            out_pos[count] = i;
+            out_src[count] = sa[max_pos];
+            out_len[count] = max_lcp;
+            count++;
+            i += max_lcp;
+        } else {
+            i++;
+        }
     }
     return count;
 }

@@ -35,9 +35,24 @@ class LZ78Compressor(Compressor):
 
     def compress(self, data: bytes) -> bytes:
         dict_max = self.env.option("dict_size").as_int()
-        trie = self.env.instantiate("lz78trie")
         out = BitWriter()
         coder = self.coder_encoder(out, Literals.none())
+        if dict_max == 0:
+            # all tries produce the canonical LZ78 parse; the native
+            # hash-trie parser is the fast path (lz78/squeeze_node.hpp)
+            from tudocomp_tpu import native
+
+            got = native.lz78_parse(data)
+            if got is not None:
+                refs, chars = got
+                for fc, (r, ch) in enumerate(
+                    zip(refs.tolist(), chars.tolist())
+                ):
+                    coder.encode(r, Range(fc))
+                    coder.encode(ch, literal_r)
+                coder.finish()
+                return out.getvalue()
+        trie = self.env.instantiate("lz78trie")
 
         trie.add_rootnode(0)
         factor_count = 0

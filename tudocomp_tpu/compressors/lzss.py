@@ -261,8 +261,19 @@ class LZSSSlidingWindowCompressor(Compressor):
 
 def factorize_lcp(text: np.ndarray, threshold: int) -> FactorBuffer:
     """LZ77 factorization via SA/ISA/LCP with naive PSV/NSV scans
-    (reference ``LZSSLCPCompressor.hpp:60-115``; PSV preferred on ties)."""
+    (reference ``LZSSLCPCompressor.hpp:60-115``; PSV preferred on ties).
+    The native runtime runs the identical loop when available."""
     ds = TextDS(text.tobytes())
+    from tudocomp_tpu import native
+
+    got = native.lzss_lcp_factorize(
+        ds.require_sa(), ds.require_isa(), ds.require_lcp(), threshold
+    )
+    if got is not None:
+        factors = FactorBuffer()
+        for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
+            factors.append(p, s, ln)
+        return factors
     sa = ds.require_sa().tolist()
     isa = ds.require_isa().tolist()
     lcp = ds.require_lcp().tolist()

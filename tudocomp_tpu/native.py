@@ -68,6 +68,12 @@ def _load():
             ctypes.c_int, u8p,
         ]
         lib.tdc_huffman_decode.restype = ctypes.c_int64
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.tdc_lzss_lcp_factorize.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_lzss_lcp_factorize.restype = ctypes.c_int64
         lib.tdc_lz78_parse.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
             u32p, u8p, ctypes.c_int64,
@@ -136,6 +142,44 @@ def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+
+
+def lzss_lcp_factorize(sa, isa, lcp, threshold: int):
+    """Returns (pos, src, len) int64 arrays, or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    isa = np.ascontiguousarray(isa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64)
+    n = sa.size
+    cap = max(16, n)
+    pos = np.empty(cap, np.int64)
+    src = np.empty(cap, np.int64)
+    length = np.empty(cap, np.int64)
+    got = lib.tdc_lzss_lcp_factorize(
+        sa, isa, lcp, n, threshold, pos, src, length, cap
+    )
+    if got < 0:
+        raise RuntimeError("factor buffer overflow")
+    return pos[:got], src[:got], length[:got]
+
+
+def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0):
+    """LZ78/LZW canonical parse. Returns (refs u32[], chars u8[]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    inp = np.frombuffer(data, np.uint8)
+    cap = max(16, inp.size + 2)
+    refs = np.empty(cap, np.uint32)
+    chars = np.empty(cap, np.uint8)
+    got = lib.tdc_lz78_parse(
+        inp, inp.size, int(lzw), dict_limit, refs, chars, cap
+    )
+    if got < 0:
+        raise RuntimeError("lz78 parse buffer overflow")
+    return refs[:got], chars[:got]
 
 
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
