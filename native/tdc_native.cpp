@@ -275,4 +275,32 @@ int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
     return count;
 }
 
+// ---- LZ78 phrase expansion -------------------------------------------
+// Replays (ref, char) factors; refs are 1-based into prior factors,
+// 0 = root. Returns output length or -1 if out_cap exceeded.
+
+int64_t tdc_lz78_expand(const uint32_t* refs, const uint8_t* chars,
+                        int64_t nfac, uint8_t* out, int64_t out_cap) {
+    // factor end offsets in the output let us copy phrases directly
+    std::vector<int64_t> ends(nfac);
+    int64_t o = 0;
+    for (int64_t f = 0; f < nfac; f++) {
+        uint32_t r = refs[f];
+        int64_t phrase_len = 1;
+        if (r != 0) {
+            int64_t prev_start = (r >= 2) ? ends[r - 2] : 0;
+            int64_t prev_len = ends[r - 1] - prev_start;
+            phrase_len += prev_len;
+            if (o + phrase_len > out_cap) return -1;
+            memcpy(out + o, out + prev_start, size_t(prev_len));
+            o += prev_len;
+        } else if (o + 1 > out_cap) {
+            return -1;
+        }
+        out[o++] = chars[f];
+        ends[f] = o;
+    }
+    return o;
+}
+
 }  // extern "C"

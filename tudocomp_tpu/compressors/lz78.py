@@ -41,15 +41,34 @@ class LZ78Compressor(Compressor):
             # all tries produce the canonical LZ78 parse; the native
             # hash-trie parser is the fast path (lz78/squeeze_node.hpp)
             from tudocomp_tpu import native
+            from tudocomp_tpu.coders.simple import BitCoder
+            from tudocomp_tpu.utils.bits import bits_for_arr
 
             got = native.lz78_parse(data)
             if got is not None:
                 refs, chars = got
-                for fc, (r, ch) in enumerate(
-                    zip(refs.tolist(), chars.tolist())
-                ):
-                    coder.encode(r, Range(fc))
-                    coder.encode(ch, literal_r)
+                if isinstance(coder, BitCoder.Encoder):
+                    # ref width grows as bits_for(factor index): emit the
+                    # whole stream as one bulk token write
+                    import numpy as np
+
+                    nfac = refs.size
+                    widths = bits_for_arr(
+                        np.arange(nfac, dtype=np.uint64)
+                    )
+                    values = np.empty(2 * nfac, np.uint64)
+                    lens = np.empty(2 * nfac, np.int64)
+                    values[0::2] = refs
+                    lens[0::2] = widths
+                    values[1::2] = chars
+                    lens[1::2] = 8
+                    out.write_tokens(values, lens)
+                else:
+                    for fc, (r, ch) in enumerate(
+                        zip(refs.tolist(), chars.tolist())
+                    ):
+                        coder.encode(r, Range(fc))
+                        coder.encode(ch, literal_r)
                 coder.finish()
                 return out.getvalue()
         trie = self.env.instantiate("lz78trie")
@@ -81,7 +100,15 @@ class LZ78Compressor(Compressor):
 
     def decompress(self, data: bytes) -> bytes:
         dict_max = self.env.option("dict_size").as_int()
-        decoder = self.coder_decoder(BitReader(data))
+        reader = BitReader(data)
+        decoder = self.coder_decoder(reader)
+        if dict_max == 0:
+            from tudocomp_tpu.coders.simple import BitCoder
+
+            if isinstance(decoder, BitCoder.Decoder):
+                fast = self._decompress_bulk(reader)
+                if fast is not None:
+                    return fast
         indices: list[int] = []
         literals: list[int] = []
         out = bytearray()
@@ -107,3 +134,37 @@ class LZ78Compressor(Compressor):
                 literals.clear()
                 factor_count = 0
         return bytes(out)
+
+    @staticmethod
+    def _decompress_bulk(reader) -> bytes | None:
+        """Bulk BitCoder decode: factor widths are a known function of
+        the factor index, so the whole stream reads in one vectorized
+        pass and expands in the native runtime."""
+        import numpy as np
+
+        from tudocomp_tpu import native
+        from tudocomp_tpu.utils.bits import bits_for_arr
+
+        avail = reader.total - reader.pos
+        if avail == 0:
+            return b""
+        # find the factor count: sum of (bits_for(f) + 8) == avail
+        est = avail // 9 + 2
+        per = bits_for_arr(np.arange(est, dtype=np.uint64)).astype(
+            np.int64
+        ) + 8
+        cum = np.cumsum(per)
+        hits = np.flatnonzero(cum == avail)
+        if hits.size == 0:
+            return None  # malformed or not a plain factor stream
+        nfac = int(hits[0]) + 1
+        widths = np.empty(2 * nfac, np.int64)
+        widths[0::2] = per[:nfac] - 8
+        widths[1::2] = 8
+        vals = reader.read_var_int_array(widths)
+        refs = vals[0::2].astype(np.uint32)
+        chars = vals[1::2].astype(np.uint8)
+        expanded = native.lz78_expand(refs, chars)
+        if expanded is None:
+            return None
+        return expanded

@@ -349,6 +349,33 @@ class BitReader:
 
     # -- vectorized bulk reads ------------------------------------------------
 
+    def read_var_int_array(self, widths) -> np.ndarray:
+        """Read consecutive integers with per-item bit widths (<= 56).
+
+        Vectorized: gathers a max-width bit window per item and shifts
+        down to each item's width.
+        """
+        widths = np.asarray(widths, np.int64)
+        if widths.size == 0:
+            return np.zeros(0, np.uint64)
+        offs = self.pos + np.concatenate(
+            [[0], np.cumsum(widths)[:-1]]
+        )
+        total = int(widths.sum())
+        if self.pos + total > self.total:
+            raise EOFError("bulk read past end of stream")
+        mw = int(widths.max())
+        idx = offs[:, None] + np.arange(mw)
+        valid = idx < (self.pos + total)
+        window = np.where(
+            valid, self._bits[np.minimum(idx, self.total - 1)], 0
+        ).astype(np.uint64)
+        weights = _U64_1 << np.arange(mw - 1, -1, -1, dtype=np.uint64)
+        vals = (window * weights).sum(axis=1, dtype=np.uint64)
+        vals >>= (mw - widths).astype(np.uint64)
+        self.pos += total
+        return vals
+
     def read_int_array(self, bits: int, count: int) -> np.ndarray:
         """Read ``count`` consecutive fixed-width integers (bits <= 64)."""
         if count == 0:

@@ -79,6 +79,10 @@ def _load():
             u32p, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78_parse.restype = ctypes.c_int64
+        lib.tdc_lz78_expand.argtypes = [
+            u32p, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78_expand.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -182,6 +186,20 @@ def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0):
     return refs[:got], chars[:got]
 
 
+def lz78_expand(refs: np.ndarray, chars: np.ndarray):
+    """Expand (ref, char) factors to text; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    refs = np.ascontiguousarray(refs, np.uint32)
+    chars = np.ascontiguousarray(chars, np.uint8)
+    cap = max(64, int(chars.size) * 4)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lz78_expand(refs, chars, refs.size, out, cap)
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
                    lut_len: np.ndarray, k: int):
     """Returns decoded symbols or None if native is unavailable."""
