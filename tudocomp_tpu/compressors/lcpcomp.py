@@ -151,6 +151,111 @@ class NaiveStrategy(Algorithm):
             _emit_factor(factors, sa, isa, lcp, index, threshold)
 
 
+class MaxLCPStrategy(Algorithm):
+    """The original BA-thesis strategy (reference
+    ``compress/MaxLCPStrategy.hpp`` via ``MaxLCPSuffixList``): an
+    LCP-bucketed list popped max-first with *eager* removal. The factor
+    sequence matches the heap strategy's (both take maxima in the same
+    order with the same invalidation rules)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "max_lcp", "Max-LCP suffix list")
+
+    factorize = MaxHeapStrategy.factorize
+
+
+class PLCPStrategy(Algorithm):
+    """PLCP peak strategy (re-derivation of reference
+    ``compress/PLCPStrategy.hpp:20-171``): scan PLCP left to right,
+    climb to each local peak >= threshold, factorize there, and resume
+    past the replaced span. The reference implements the wave of peaks
+    with a Boost pairing heap; the greedy peak climb selects the same
+    dominant peaks without the heap bookkeeping."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "plcp", "PLCP peak factorization")
+
+    climb_strict = True
+
+    def factorize(self, text, threshold, factors):
+        sa = text.require_sa()
+        isa = text.require_isa()
+        plcp = text.require_plcp()
+        n = sa.size
+        i = 0
+        while i + 1 < n:
+            if plcp[i] < threshold:
+                i += 1
+                continue
+            j = i
+            if self.climb_strict:
+                while j + 1 < n and plcp[j + 1] > plcp[j]:
+                    j += 1
+            else:
+                while j + 1 < n and plcp[j + 1] >= plcp[j]:
+                    j += 1
+            length = int(plcp[j])
+            factors.append(j, int(sa[isa[j] - 1]), length)
+            i = j + length
+
+
+class PLCPPeaksStrategy(PLCPStrategy):
+    """Peak variant with non-strict climbs (reference
+    ``compress/PLCPPeaksStrategy.hpp``)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "plcppeaks", "PLCP peaks")
+
+    climb_strict = False
+
+
+class BulldozerStrategy(Algorithm):
+    """Interval sweep (reference ``compress/BulldozerStrategy.hpp``):
+    for every LCP entry >= threshold both (sa[i], sa[i-1], lcp) and the
+    swap become candidate intervals, sorted by (target, -len); the sweep
+    takes an interval when its source run is unmarked, marks the target,
+    and jumps past overlapping targets. (The reference's inner
+    ``intervals`` vector shadows the outer one — a bug that makes it
+    emit nothing; this implements the intended behavior.)"""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_comp", "bulldozer", "Interval sweep")
+
+    def factorize(self, text, threshold, factors):
+        sa = text.require_sa()
+        lcp = text.require_lcp()
+        n = sa.size
+        intervals = []
+        for i in range(1, n):
+            if lcp[i] >= threshold:
+                intervals.append((int(sa[i]), int(sa[i - 1]), int(lcp[i])))
+                intervals.append((int(sa[i - 1]), int(sa[i]), int(lcp[i])))
+        intervals.sort(key=lambda x: (x[0], -x[2]))
+        marked = np.zeros(n, bool)
+        x = 0
+        while x < len(intervals):
+            p, q, max_l = intervals[x]
+            if not marked[q]:
+                length = 1
+                while (
+                    length < max_l and q + length < n
+                    and not marked[q + length]
+                ):
+                    length += 1
+                if length >= threshold and not marked[p : p + length].any():
+                    factors.append(p, q, length)
+                    marked[p : p + length] = True
+                    x += 1
+                    while x < len(intervals) and intervals[x][0] < p + length:
+                        x += 1
+                    continue
+            x += 1
+
+
 class ScanDec(Algorithm):
     """Pointer-doubling chain resolution (parallel ScanDec)."""
 
@@ -260,6 +365,7 @@ class LCPCompressor(Compressor):
         return resolve_factors(cursor, literals, positions, factors)
 
 
-for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, ScanDec,
+for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, MaxLCPStrategy,
+             PLCPStrategy, PLCPPeaksStrategy, BulldozerStrategy, ScanDec,
              CompactDec, LCPCompressor):
     REGISTRY.register(_cls)
