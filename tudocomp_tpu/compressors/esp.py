@@ -291,6 +291,144 @@ class PlainSLPCoder(Algorithm):
         return rules, root, False
 
 
+class DPlain(Algorithm):
+    """RHS coded as fixed-width ints (reference ``DRCoder.hpp:66``)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("d_coding", "plain", "Plain fixed-width D coding")
+
+    def encode(self, rhs: np.ndarray, out: BitWriter, width: int) -> None:
+        out.write_int_array(rhs.astype(np.uint64), width)
+
+    def decode(self, inp: BitReader, width: int, count: int) -> np.ndarray:
+        return inp.read_int_array(width, count).astype(np.int64)
+
+
+class DDiff(Algorithm):
+    """RHS coded as signed unary deltas (reference ``DRCoder.hpp:485``
+    ``encode_unary_diff`` behavior re-specified: sign bit + gamma)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("d_coding", "diff", "Unary-diff D coding")
+
+    def encode(self, rhs: np.ndarray, out: BitWriter, width: int) -> None:
+        last = 0
+        for v in rhs.tolist():
+            d = v - last
+            out.write_bit(1 if d < 0 else 0)
+            out.write_elias_gamma(abs(d) + 1)
+            last = v
+
+    def decode(self, inp: BitReader, width: int, count: int) -> np.ndarray:
+        vals = np.zeros(count, np.int64)
+        last = 0
+        for i in range(count):
+            neg = inp.read_bit()
+            mag = inp.read_elias_gamma() - 1
+            last = last - mag if neg else last + mag
+            vals[i] = last
+        return vals
+
+
+def slp_dep_sort(rules: np.ndarray, root: int):
+    """Renumber rules so left-hand children are non-decreasing
+    (reference ``SLPDepSort.hpp``; the permutation differs, the decoded
+    grammar is identical).
+
+    Single-pass construction: a min-heap keyed by each rule's *new*
+    left-child id. A popped key is always <= every later insertion
+    (a newly assigned rule inserts key ``256 + assignment_index``, which
+    exceeds any key popped so far), so assignment order = sorted lhs.
+    """
+    import heapq
+
+    r = np.asarray(rules, np.int64)
+    n = r.shape[0]
+    if n == 0:
+        return r.copy(), root
+    waiting: dict[int, list[int]] = {}  # old left rule id -> old rule ids
+    heap = []
+    for old in range(n):
+        left = int(r[old, 0])
+        if left < 256:
+            heapq.heappush(heap, (left, old))
+        else:
+            waiting.setdefault(left, []).append(old)
+    newid = np.full(n, -1, np.int64)
+    order = []
+    while heap:
+        key, old = heapq.heappop(heap)
+        idx = len(order)
+        newid[old] = idx
+        order.append((key, old))
+        for dep in waiting.pop(256 + old, []):
+            heapq.heappush(heap, (256 + idx, dep))
+    assert not waiting and len(order) == n
+    remap = np.concatenate([np.arange(256), 256 + newid])
+    out = np.empty_like(r)
+    for new_idx, (key, old) in enumerate(order):
+        out[new_idx, 0] = key
+        out[new_idx, 1] = remap[r[old, 1]]
+    new_root = int(remap[root]) if root >= 256 else root
+    return out, new_root
+
+
+class SortedSLPCoder(Algorithm):
+    """Dependency-sorted SLP encoding (reference
+    ``esp/SortedSLPCoder.hpp``): after dep-sorting, left children are
+    non-decreasing and code as unary deltas; right children go through
+    the pluggable ``d_coding``. Header mirrors the reference (6-bit
+    width, max value, root)."""
+
+    @classmethod
+    def meta(cls):
+        m = Meta("slp_coder", "sorted", "Dependency-sorted SLP encoding")
+        m.option_submeta("d_coding", "d_coding", default="plain")
+        return m
+
+    def encode(self, rules: np.ndarray, root: int, empty: bool) -> bytes:
+        out = BitWriter()
+        if empty:
+            out.write_int(0, 6)
+            return out.getvalue()
+        rules, root = slp_dep_sort(np.asarray(rules, np.int64), root)
+        max_val = rules.shape[0] + 256 - 1
+        width = bits_for(max_val)
+        out.write_int(width, 6)
+        out.write_int(max_val, width)
+        out.write_int(root, width)
+        if root < 256:
+            return out.getvalue()
+        # left children: non-decreasing -> unary deltas from 0
+        lhs = rules[:, 0]
+        deltas = np.diff(np.concatenate([[0], lhs]))
+        out.write_unary_array(deltas.astype(np.uint64))
+        d = self.env.instantiate("d_coding")
+        d.encode(rules[:, 1], out, width)
+        return out.getvalue()
+
+
+    def decode(self, data: bytes):
+        inp = BitReader(data)
+        width = inp.read_int(6)
+        if width == 0:
+            return np.zeros((0, 2), np.int64), 0, True
+        max_val = inp.read_int(width)
+        root = inp.read_int(width)
+        count = max_val - 256 + 1
+        if root < 256 or count <= 0:
+            return np.zeros((0, 2), np.int64), root, False
+        deltas = np.array(
+            [inp.read_unary() for _ in range(count)], np.int64
+        )
+        lhs = np.cumsum(deltas)
+        d = self.env.instantiate("d_coding")
+        rhs = d.decode(inp, width, count)
+        return np.stack([lhs, rhs], axis=1), root, False
+
+
 class StdUnorderedMapIPD(Algorithm):
     @classmethod
     def meta(cls):
@@ -330,6 +468,7 @@ class EspCompressor(Compressor):
         return derive_text(rules, root, empty)
 
 
-for _cls in (PlainSLPCoder, StdUnorderedMapIPD, HashMapIPD,
-             DynamicSizeIPD, EspCompressor):
+for _cls in (PlainSLPCoder, SortedSLPCoder, DPlain, DDiff,
+             StdUnorderedMapIPD, HashMapIPD, DynamicSizeIPD,
+             EspCompressor):
     REGISTRY.register(_cls)
