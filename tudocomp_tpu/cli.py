@@ -120,8 +120,9 @@ def main(argv=None) -> int:
     elif args.usestdin:
         data = sys.stdin.buffer.read()
     elif args.input:
-        with open(args.input, "rb") as f:
-            data = f.read()
+        from tudocomp_tpu.io.input import Input
+
+        data = Input(args.input).as_bytes()  # mmap-backed read
     else:
         p.error("no input (file, --usestdin, or -g)")
 
