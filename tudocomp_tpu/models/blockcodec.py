@@ -37,9 +37,11 @@ import numpy as np
 from tudocomp_tpu.coders.huffman import HuffmanTable
 from tudocomp_tpu.native import rle_decode
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
-from tudocomp_tpu.ops.bitpack_pallas import pack_tokens_chunks
+from tudocomp_tpu.ops.bitpack_pallas import (
+    pack_bytes_huffman_chunks,
+    pack_tokens_chunks,
+)
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
-from tudocomp_tpu.ops.huffman_jax import lookup_codes
 from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_tokens
 from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
 
@@ -121,35 +123,24 @@ def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
 
 @functools.partial(jax.jit, static_argnames=("sub_chunks",))
 def pack_step(rle_bytes, rle_lens, sym_code, sym_len, *, sub_chunks: int):
-    """Stage 2: per sub-chunk Huffman lookup (one-hot MXU) + Pallas pack.
+    """Stage 2: fused per-sub-chunk Huffman lookup + Pallas pack — the
+    (code, len) table rides the MXU inside the pack kernel, so no token
+    arrays round-trip through HBM.
 
     Returns ``(words: u32[B,S,Wc], bits: i32[B,S])``.
     """
     b, cap = rle_bytes.shape
     cs = cap // sub_chunks
-    values, lens = lookup_codes(
-        rle_bytes.reshape(-1), sym_code, sym_len
-    )
-    values = values.reshape(b * sub_chunks, cs)
-    lens = lens.reshape(b * sub_chunks, cs)
+    chunks = rle_bytes.reshape(b * sub_chunks, cs)
     starts = jnp.arange(sub_chunks, dtype=jnp.int32) * cs
     chunk_lens = jnp.clip(
         rle_lens[:, None] - starts[None, :], 0, cs
     ).reshape(-1)
-    mask = (
-        jnp.arange(cs, dtype=jnp.int32)[None, :] < chunk_lens[:, None]
-    )
-    lens = jnp.where(mask, lens, jnp.uint32(0))
-    # codes are length-limited to 16 bits, so adjacent token pairs merge
-    # into one <= 32-bit token: halves the Pallas pack workload
-    values = jnp.where(lens > 0, values, jnp.uint32(0))
-    v0, v1 = values[:, 0::2], values[:, 1::2]
-    l0, l1 = lens[:, 0::2], lens[:, 1::2]
-    values = (v0 << l1) | v1
-    lens = l0 + l1
     tile = PACK_TILE()
-    values, lens = _pad_tokens(values, lens, tile)
-    words, bits = pack_tokens_chunks(values, lens, tile=tile)
+    chunks = _pad_bytes(chunks, tile)
+    words, bits = pack_bytes_huffman_chunks(
+        chunks, chunk_lens, sym_code, sym_len, tile=tile
+    )
     wc = words.shape[-1]
     return (
         words.reshape(b, sub_chunks, wc),

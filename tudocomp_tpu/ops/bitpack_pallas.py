@@ -53,11 +53,10 @@ def _byte_planes_bf16(x):
     ]
 
 
-def _pack_kernel(
-    values_ref, lens_ref, words_ref,
-    acc_ref, out_words_ref, carry_ref, state_ref, dma_sem,
-    *, rows: int, wt: int,
-):
+def _pack_tile(values, lens, words_ref, acc_ref, out_words_ref,
+               carry_ref, state_ref, dma_sem, *, rows: int, wt: int):
+    """Shared tile body: pack (rows,128) int32 (values, lens<=32) tokens
+    into the chunk's output stream with the superword carry protocol."""
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -72,9 +71,6 @@ def _pack_kernel(
 
     s0 = state_ref[0]  # in [0, 4096)
     base = state_ref[1]  # multiple of 128
-
-    lens = lens_ref[0]  # (rows, 128) int32, values in [0, 32]
-    values = values_ref[0]  # (rows, 128) int32 bit patterns
 
     # bit-offset exclusive cumsum in row-major order, no narrow vectors:
     # in-row: strict-lower-tri matmul; row base: broadcast row sums via
@@ -169,6 +165,137 @@ def _pack_kernel(
     )
     dma.start()
     dma.wait()
+
+
+def _pack_kernel(
+    values_ref, lens_ref, words_ref,
+    acc_ref, out_words_ref, carry_ref, state_ref, dma_sem,
+    *, rows: int, wt: int,
+):
+    _pack_tile(
+        values_ref[0], lens_ref[0], words_ref, acc_ref, out_words_ref,
+        carry_ref, state_ref, dma_sem, rows=rows, wt=wt,
+    )
+
+
+def _pack_huffman_kernel(
+    lengths_ref, data_ref, table_ref, words_ref,
+    acc_ref, out_words_ref, carry_ref, state_ref, dma_sem,
+    *, rows: int, wt: int, tile: int,
+):
+    """Fused canonical-Huffman lookup + pack: bytes in, bit stream out.
+
+    The (code_hi, code_lo, len) table rides the MXU as an (8, 256)
+    matrix against a per-row one-hot of the byte values — no token
+    arrays ever touch HBM. Codes must be <= 16 bits.
+    """
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    data = data_ref[0]  # (rows, 128) int32 byte values
+    table = table_ref[:, :]  # (8, 256) bf16: rows 0..2 = hi, lo, len
+
+    length = lengths_ref[c]
+    base_pos = t * tile
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    pos = base_pos + row * LANES + lane
+
+    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
+    his = []
+    los = []
+    lns = []
+    for r in range(rows):
+        oh = (bins == data[r][None, :]).astype(jnp.bfloat16)  # (256,128)
+        got = lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8, 128)
+        his.append(got[0:1, :])
+        los.append(got[1:2, :])
+        lns.append(got[2:3, :])
+    hi = jnp.concatenate(his, axis=0).astype(_I32)
+    lo = jnp.concatenate(los, axis=0).astype(_I32)
+    lens = jnp.concatenate(lns, axis=0).astype(_I32)
+    values = (hi << 8) | lo
+    lens = jnp.where(pos < length, lens, _I32(0))
+    _pack_tile(
+        values, lens, words_ref, acc_ref, out_words_ref,
+        carry_ref, state_ref, dma_sem, rows=rows, wt=wt,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "interpret"))
+def pack_bytes_huffman_chunks(
+    data: jnp.ndarray, lengths: jnp.ndarray,
+    sym_code: jnp.ndarray, sym_len: jnp.ndarray, *,
+    tile: int = 2048, interpret: bool | None = None,
+):
+    """Huffman-encode + pack per-chunk byte buffers in one fused kernel.
+
+    ``data: u8[C, N]`` (N % tile == 0), ``lengths: i32[C]`` mask the
+    tails; codes must be <= 16 bits. Returns ``(words u32[C,cap],
+    bits i32[C])`` — ``bits`` comes from a table lookup reduction.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    csize, n = data.shape
+    assert n % tile == 0 and tile % LANES == 0
+    rows = tile // LANES
+    wt = tile // 2 + 2 * LANES  # max 16 bits per byte
+    cap = n // 2 + wt + LANES
+    data_i = data.astype(jnp.int32).reshape(csize, n // LANES, LANES)
+    code = sym_code.astype(jnp.uint32)
+    table = jnp.stack(
+        [
+            ((code >> 8) & 0xFF).astype(jnp.float32),
+            (code & 0xFF).astype(jnp.float32),
+            sym_len.astype(jnp.float32),
+        ]
+        + [jnp.zeros(256, jnp.float32)] * 5,
+        axis=0,
+    ).astype(jnp.bfloat16)
+
+    kernel = functools.partial(
+        _pack_huffman_kernel, rows=rows, wt=wt, tile=tile
+    )
+    words = pl.pallas_call(
+        kernel,
+        grid=(csize, n // tile),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, rows, LANES), lambda ci, ti: (ci, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((csize, 1, cap), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, wt), jnp.float32),
+            pltpu.VMEM((1, wt), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), data_i, table)
+    # total bits per chunk: sum of masked symbol code lengths (dynamic
+    # gather is slow on TPU — use the one-hot MXU lookup)
+    from tudocomp_tpu.ops.huffman_jax import table_lookup_mxu
+
+    (lens_all,) = table_lookup_mxu(
+        data.reshape(-1), (sym_len.astype(jnp.uint32),)
+    )
+    mask = (
+        jnp.arange(n, dtype=jnp.int32)[None, :] < lengths[:, None]
+    )
+    bits = jnp.sum(
+        jnp.where(mask, lens_all.reshape(csize, n).astype(jnp.int32), 0),
+        axis=1, dtype=jnp.int32,
+    )
+    return lax.bitcast_convert_type(words[:, 0, :], jnp.uint32), bits
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
