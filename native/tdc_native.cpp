@@ -303,4 +303,60 @@ int64_t tdc_lz78_expand(const uint32_t* refs, const uint8_t* chars,
     return o;
 }
 
+// ---- LZW expansion ----------------------------------------------------
+// Replays LZW codes (roots 0..255, entries learned one code late). A
+// dictionary entry's content is a contiguous span of the output
+// (previous phrase + first char of the next), so expansion is memcpy.
+// Returns output length or -1 if out_cap exceeded.
+
+int64_t tdc_lzw_expand(const uint32_t* codes, int64_t ncodes,
+                       uint8_t* out, int64_t out_cap) {
+    std::vector<int64_t> estart;
+    std::vector<int64_t> elen;
+    estart.reserve(ncodes);
+    elen.reserve(ncodes);
+    int64_t o = 0;
+    int64_t prev_start = 0, prev_len = 0;
+    for (int64_t j = 0; j < ncodes; j++) {
+        uint32_t k = codes[j];
+        int64_t cur_start = o, cur_len;
+        if (k < 256) {
+            if (o + 1 > out_cap) return -1;
+            out[o++] = uint8_t(k);
+            cur_len = 1;
+        } else {
+            uint32_t e = k - 256;
+            int64_t src, len;
+            if (e < estart.size()) {
+                src = estart[e]; len = elen[e];
+            } else if (e == estart.size() && j > 0) {
+                // self-referential: prev phrase + its first char
+                src = prev_start; len = prev_len + 1;
+                if (o + len > out_cap) return -1;
+                memcpy(out + o, out + prev_start, size_t(prev_len));
+                out[o + prev_len] = out[prev_start];
+                o += len;
+                // register the entry being used
+                estart.push_back(prev_start);
+                elen.push_back(prev_len + 1);
+                prev_start = cur_start; prev_len = len;
+                continue;
+            } else {
+                return -2;  // invalid code
+            }
+            if (o + len > out_cap) return -1;
+            memcpy(out + o, out + src, size_t(len));
+            o += len;
+            cur_len = len;
+        }
+        if (j > 0) {
+            estart.push_back(prev_start);
+            elen.push_back(prev_len + 1);
+        }
+        prev_start = cur_start;
+        prev_len = cur_len;
+    }
+    return o;
+}
+
 }  // extern "C"

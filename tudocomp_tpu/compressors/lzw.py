@@ -33,9 +33,13 @@ class LZWCompressor(Compressor):
 
     def compress(self, data: bytes) -> bytes:
         dict_max = self.env.option("dict_size").as_int()
-        trie = self.env.instantiate("lz78trie")
         out = BitWriter()
         coder = self.coder_encoder(out, Literals.none())
+        if dict_max == 0 and data:
+            fast = self._compress_bulk(data, out, coder)
+            if fast is not None:
+                return fast
+        trie = self.env.instantiate("lz78trie")
 
         def reset():
             trie.clear()
@@ -67,7 +71,15 @@ class LZWCompressor(Compressor):
 
     def decompress(self, data: bytes) -> bytes:
         dict_max = self.env.option("dict_size").as_int() or (1 << 32)
-        decoder = self.coder_decoder(BitReader(data))
+        reader = BitReader(data)
+        decoder = self.coder_decoder(reader)
+        if self.env.option("dict_size").as_int() == 0:
+            from tudocomp_tpu.coders.simple import BitCoder
+
+            if isinstance(decoder, BitCoder.Decoder):
+                fast = self._decompress_bulk(reader)
+                if fast is not None:
+                    return fast
         out = bytearray()
 
         NONE = -1
@@ -118,3 +130,53 @@ class LZWCompressor(Compressor):
             out.extend(s)
             i = k
         return bytes(out)
+
+
+    # -- bulk fast paths (canonical parse; bit coder widths are a known
+    #    function of the factor index) --------------------------------------
+
+    def _compress_bulk(self, data, out, coder):
+        import numpy as np
+
+        from tudocomp_tpu import native
+        from tudocomp_tpu.coders.simple import BitCoder
+        from tudocomp_tpu.ranges import Range
+        from tudocomp_tpu.utils.bits import bits_for_arr
+
+        got = native.lz78_parse(data, lzw=True)
+        if got is None:
+            return None
+        refs, _ = got
+        if isinstance(coder, BitCoder.Encoder):
+            n = refs.size
+            widths = bits_for_arr(
+                np.arange(n, dtype=np.uint64) + 256
+            )
+            out.write_tokens(refs.astype(np.uint64), widths)
+        else:
+            for fc, r in enumerate(refs.tolist()):
+                coder.encode(r, Range(fc + 256))
+        coder.finish()
+        return out.getvalue()
+
+    @staticmethod
+    def _decompress_bulk(reader):
+        import numpy as np
+
+        from tudocomp_tpu import native
+        from tudocomp_tpu.utils.bits import bits_for_arr
+
+        avail = reader.total - reader.pos
+        if avail == 0:
+            return b""
+        est = avail // 9 + 2
+        per = bits_for_arr(
+            np.arange(est, dtype=np.uint64) + 256
+        ).astype(np.int64)
+        cum = np.cumsum(per)
+        hits = np.flatnonzero(cum == avail)
+        if hits.size == 0:
+            return None
+        nfac = int(hits[0]) + 1
+        codes = reader.read_var_int_array(per[:nfac]).astype(np.uint32)
+        return native.lzw_expand(codes)

@@ -40,6 +40,7 @@ from tudocomp_tpu.io.bitio import BitReader, BitWriter
 from tudocomp_tpu.ops.bitpack_pallas import (
     pack_bytes_huffman_chunks,
     pack_tokens_chunks,
+    rle_pack_chunks,
 )
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
 from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_tokens
@@ -109,13 +110,10 @@ def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
 
     Returns ``(rle_bytes: u8[B,cap], rle_lens: i32[B], hist: u32[256])``.
     """
-    values, lens = jax.vmap(
-        lambda b, l: rle_tokens(b, l, offset)
-    )(blocks, lengths)
     tile = PACK_TILE()
-    values, lens = _pad_tokens(values, lens, tile)
-    words, bits = pack_tokens_chunks(values, lens, tile=tile)
-    rle_lens = bits >> 3
+    words, rle_lens = rle_pack_chunks(
+        blocks, lengths, tile=tile, offset=offset
+    )
     rle_bytes = jax.vmap(lambda w: bytes_from_words(w, cap))(words)
     hist = table_histogram(rle_bytes, rle_lens, cap, tile)
     return rle_bytes, rle_lens, hist

@@ -83,6 +83,10 @@ def _load():
             u32p, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78_expand.restype = ctypes.c_int64
+        lib.tdc_lzw_expand.argtypes = [
+            u32p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lzw_expand.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -200,6 +204,23 @@ def lz78_expand(refs: np.ndarray, chars: np.ndarray):
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+def lzw_expand(codes: np.ndarray):
+    """Expand LZW codes to text; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, np.uint32)
+    cap = max(64, int(codes.size) * 8)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lzw_expand(codes, codes.size, out, cap)
+        if got == -2:
+            raise ValueError("invalid LZW code")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
                    lut_len: np.ndarray, k: int):
     """Returns decoded symbols or None if native is unavailable."""

@@ -165,6 +165,7 @@ def _pack_tile(values, lens, words_ref, acc_ref, out_words_ref,
     )
     dma.start()
     dma.wait()
+    return tile_bits
 
 
 def _pack_kernel(
@@ -349,3 +350,189 @@ def pack_tokens_chunks(
     )(values, lens)
     bits = jnp.sum(lens, axis=(1, 2), dtype=jnp.int32)
     return lax.bitcast_convert_type(words[:, 0, :], jnp.uint32), bits
+
+
+def _rle_pack_kernel(
+    lengths_ref, data_ref, words_ref,
+    acc_ref, out_words_ref, carry_ref, state_ref, rle_state_ref, dma_sem,
+    *, rows: int, wt: int, tile: int, cap: int, offset: int,
+):
+    """Fused RLE: boundaries, start-of-run cummax, capped-piece token
+    emission AND bit packing in one kernel (ops/rle_jax.py spec).
+
+    Pieces emit at their END positions; the end decision for a position
+    needs the NEXT byte, so each grid step emits tokens for the
+    positions one before its own (window shifted by one) and the grid
+    runs one extra step per chunk. Carries: the previous tile's last
+    byte, the running start-of-run position, and the total bit count.
+    """
+    from tudocomp_tpu.ops.rle_jax import RUN_CAP
+
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _init_rle():
+        rle_state_ref[0] = _I32(-1)  # previous byte (-1: none)
+        rle_state_ref[1] = _I32(0)   # start of current run
+        rle_state_ref[2] = _I32(0)   # total bits emitted
+
+    length = lengths_ref[c]
+    data = data_ref[0]  # (rows, 128) int32 bytes
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    pos = t * tile + row * LANES + lane
+
+    # prev[i] = byte at pos-1 (carry for the tile's first position)
+    rolled = pltpu.roll(data, 1, 1)  # lane-1 shift (wraps)
+    row_last = jnp.max(
+        jnp.where(lane == LANES - 1, data, _I32(-1)),
+        axis=1, keepdims=True,
+    )  # (rows, 1): each row's last byte
+    prev_rows = jnp.concatenate(
+        [jnp.full((1, 1), rle_state_ref[0], _I32), row_last[:-1]], axis=0
+    )  # (rows, 1): previous row's last byte
+    prev = jnp.where(lane == 0, prev_rows, rolled)
+
+    boundary = (data != prev) | (pos == 0) | (pos >= length)
+
+    # inclusive running max of boundary positions (start of run at pos)
+    b_idx = jnp.where(boundary, pos, _I32(-1))
+    m = b_idx
+    shift = 1
+    while shift < LANES:  # in-row lane cummax by log shifts
+        sh = pltpu.roll(m, shift, 1)
+        m = jnp.maximum(m, jnp.where(lane >= shift, sh, _I32(-1)))
+        shift *= 2
+    row_max = jnp.max(m, axis=1, keepdims=True)  # (rows, 1)
+    rm = row_max
+    shift = 1
+    while shift < rows:  # down-sublane cummax of row maxima
+        rm = jnp.maximum(
+            rm,
+            jnp.concatenate(
+                [jnp.full((shift, 1), _I32(-1)), rm[:-shift]], axis=0
+            ),
+        )
+        shift *= 2
+    prev_row_max = jnp.concatenate(
+        [jnp.full((1, 1), _I32(-1)), rm[:-1]], axis=0
+    )
+    sor = jnp.maximum(
+        jnp.maximum(m, prev_row_max), rle_state_ref[1]
+    )  # (rows,128): start of run at each position (inclusive)
+
+    # emission for e = pos - 1: end of piece iff boundary at pos or cap
+    e = pos - 1
+    c_e = prev  # byte at e
+    sor_e_prev = jnp.where(lane == 0,
+                           jnp.concatenate([
+                               jnp.full((1, 1), rle_state_ref[1], _I32),
+                               jnp.max(jnp.where(
+                                   lane == LANES - 1, sor, _I32(-1)
+                               ), axis=1, keepdims=True)[:-1],
+                           ], axis=0),
+                           pltpu.roll(sor, 1, 1))
+    since = e - sor_e_prev
+    piece_len = (since % RUN_CAP) + 1
+    is_end = (boundary | (piece_len == RUN_CAP)) & (e >= 0) & (e < length)
+    is_run = piece_len >= 2
+
+    # vbyte(piece_len - 2 + offset) as one <= 16-bit token
+    v = jnp.maximum(piece_len - 2 + offset, 0)
+    two = v >= 128
+    b0 = (v & 0x7F) | jnp.where(two, _I32(0x80), _I32(0))
+    b1 = _srl(v, 7) & 0x7F
+    vb_val = jnp.where(two, (b0 << 8) | b1, b0)
+    vb_bits = jnp.where(two, 16, 8)
+    cc = (c_e << 8) | c_e
+    run_val = (cc << vb_bits) | vb_val
+    values = jnp.where(is_run, run_val, c_e)
+    lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
+
+    tile_bits = _pack_tile(
+        values, lens, words_ref, acc_ref, out_words_ref,
+        carry_ref, state_ref, dma_sem, rows=rows, wt=wt,
+    )
+
+    # update RLE carries
+    rle_state_ref[0] = jnp.max(
+        jnp.where((row == rows - 1) & (lane == LANES - 1), data, _I32(-1))
+    )
+    rle_state_ref[1] = jnp.max(sor)
+    rle_state_ref[2] = rle_state_ref[2] + tile_bits
+
+    # final step: publish the chunk's total bits in the tail superword
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _publish():
+        lane1 = lax.broadcasted_iota(_I32, (1, LANES), 1)
+        carry_ref[:, :] = jnp.where(
+            lane1 == 0, rle_state_ref[2], _I32(0)
+        )
+        dma2 = pltpu.make_async_copy(
+            carry_ref.at[:, :],
+            words_ref.at[c, :, pl.ds(cap - LANES, LANES)],
+            dma_sem,
+        )
+        dma2.start()
+        dma2.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile", "offset", "interpret")
+)
+def rle_pack_chunks(
+    data: jnp.ndarray, lengths: jnp.ndarray, *,
+    tile: int = 2048, offset: int = 0, interpret: bool | None = None,
+):
+    """Fused RLE encode: bytes in -> packed RLE byte stream out.
+
+    ``data: u8[C, N]`` (N % tile == 0); returns
+    ``(words u32[C, cap], rle_bytes_len i32[C])`` — the packed stream is
+    byte-aligned RLE output (all token lengths are multiples of 8).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    csize, n = data.shape
+    assert n % tile == 0 and tile % LANES == 0
+    rows = tile // LANES
+    wt = tile + 2 * LANES  # tokens <= 32 bits
+    cap = n + wt + 2 * LANES
+    cap += (-cap) % LANES
+    # one extra tile step (shifted emission window) + padding data tile
+    data_i = jnp.pad(
+        data.astype(jnp.int32), ((0, 0), (0, tile))
+    ).reshape(csize, (n + tile) // LANES, LANES)
+
+    kernel = functools.partial(
+        _rle_pack_kernel, rows=rows, wt=wt, tile=tile, cap=cap,
+        offset=offset,
+    )
+    words = pl.pallas_call(
+        kernel,
+        grid=(csize, n // tile + 1),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, rows, LANES), lambda ci, ti: (ci, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        out_shape=jax.ShapeDtypeStruct((csize, 1, cap), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((8, wt), jnp.float32),
+            pltpu.VMEM((1, wt), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lengths.astype(jnp.int32), data_i)
+    bits = words[:, 0, cap - LANES]
+    return (
+        lax.bitcast_convert_type(words[:, 0, :], jnp.uint32),
+        _srl(bits, 3),
+    )
