@@ -39,6 +39,14 @@ LANES = 128
 _I32 = jnp.int32
 
 
+def _wt_for(tile: int, max_bits: int) -> int:
+    """Accumulator width: enough words for the tile's bits (+ carry
+    slack) AND for the last row's 384-word aligned placement window."""
+    by_bits = tile * max_bits // 32 + 2 * LANES
+    by_window = ((4095 + max_bits * tile) // 4096) * 128 + 3 * LANES
+    return max(by_bits, by_window)
+
+
 def _srl(x, n):
     return lax.shift_right_logical(x, jnp.broadcast_to(_I32(n), x.shape) if isinstance(n, int) else n)
 
@@ -120,17 +128,25 @@ def _pack_tile(values, lens, words_ref, acc_ref, out_words_ref,
     acc_ref[:, :] = jnp.zeros((8, wt), jnp.float32)
     p1_planes = _byte_planes_bf16(part1)
     sp_planes = _byte_planes_bf16(spill)
-    words_iota = lax.broadcasted_iota(_I32, (wt, LANES), 0)
+    # per-row placement through a narrow 384-word window: a row's 128
+    # tokens span <= 129 words, so the one-hot is (WINDOW, 128) instead
+    # of (wt, 128) — ~6x less VMEM traffic. The window starts at the
+    # row's 128-aligned superword, so the accumulate slice stays legal.
+    WINDOW = 3 * LANES
+    win_iota = lax.broadcasted_iota(_I32, (WINDOW, LANES), 0)
+    row_start_bits = s0 + row_base  # (rows, 128); same value per lane
     for r in range(rows):
-        # ONE one-hot per row: spill rows accumulate at w0 as well and the
-        # recombined spill vector is shifted one word right afterwards.
-        oh1 = (words_iota == w0[r][None, :]).astype(jnp.bfloat16)
+        aligned = (jnp.max(row_start_bits[r : r + 1, :]) >> 12) * 128
+        w0_local = w0[r][None, :] - aligned
+        oh1 = (win_iota == w0_local).astype(jnp.bfloat16)
         planes = jnp.stack(
             [p[r] for p in p1_planes] + [p[r] for p in sp_planes], axis=0
         )  # (8, 128)
-        acc_ref[:, :] += lax.dot_general(
-            planes, oh1, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc_ref[:, pl.ds(pl.multiple_of(aligned, LANES), WINDOW)] += (
+            lax.dot_general(
+                planes, oh1, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         )
 
     acc = acc_ref[:, :]  # (8, wt) exact small ints
@@ -242,7 +258,7 @@ def pack_bytes_huffman_chunks(
     csize, n = data.shape
     assert n % tile == 0 and tile % LANES == 0
     rows = tile // LANES
-    wt = tile // 2 + 2 * LANES  # max 16 bits per byte
+    wt = _wt_for(tile, 16)
     cap = n // 2 + wt + LANES
     data_i = data.astype(jnp.int32).reshape(csize, n // LANES, LANES)
     code = sym_code.astype(jnp.uint32)
@@ -496,7 +512,7 @@ def rle_pack_chunks(
     csize, n = data.shape
     assert n % tile == 0 and tile % LANES == 0
     rows = tile // LANES
-    wt = tile + 2 * LANES  # tokens <= 32 bits
+    wt = _wt_for(tile, 32)
     cap = n + wt + 2 * LANES
     cap += (-cap) % LANES
     # one extra tile step (shifted emission window) + padding data tile
