@@ -26,17 +26,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-from tudocomp_tpu.ops.huffman_jax import huffman_pack_device
-from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_encode_device
-from tudocomp_tpu.ops.huffman_jax import masked_histogram
+from tudocomp_tpu.ops.rle_jax import bytes_from_words
 
 
 def _rle_local(blocks, lengths, offset: int, cap: int):
-    def one(block, length):
-        words, n_bytes = rle_encode_device(block, length, offset)
-        return bytes_from_words(words, cap), n_bytes
+    """Per-shard fused RLE (same Pallas kernel as the single-device
+    pipeline, so sharded containers match byte-for-byte)."""
+    from tudocomp_tpu.models.blockcodec import PACK_TILE
+    from tudocomp_tpu.ops.bitpack_pallas import rle_pack_chunks
 
-    return jax.vmap(one)(blocks, lengths)
+    words, rle_lens = rle_pack_chunks(
+        blocks, lengths, tile=PACK_TILE(), offset=offset
+    )
+    rle_bytes = jax.vmap(lambda w: bytes_from_words(w, cap))(words)
+    return rle_bytes, rle_lens
 
 
 def sharded_histogram(mesh: Mesh, blocks, lengths, *, offset: int, cap: int):
@@ -104,13 +107,25 @@ def sharded_encode_step(
             rle_bytes.reshape(b, sub_chunks, cs), first, local_s, axis=1
         )
         starts = (first + jnp.arange(local_s, dtype=jnp.int32)) * cs
-        chunk_lens = jnp.clip(rle_lens[:, None] - starts[None, :], 0, cs)
+        chunk_lens = jnp.clip(
+            rle_lens[:, None] - starts[None, :], 0, cs
+        ).reshape(-1)
+        from tudocomp_tpu.models.blockcodec import PACK_TILE, _pad_bytes
+        from tudocomp_tpu.ops.bitpack_pallas import (
+            pack_bytes_huffman_chunks,
+        )
 
-        def one(chunk, clen):
-            return huffman_pack_device(chunk, clen, sym_code, sym_len)
-
-        words, bits = jax.vmap(jax.vmap(one))(chunks, chunk_lens)
-        return words, bits, rle_lens, hist
+        tile = PACK_TILE()
+        flat = _pad_bytes(chunks.reshape(b * local_s, cs), tile)
+        words, bits = pack_bytes_huffman_chunks(
+            flat, chunk_lens, sym_code, sym_len, tile=tile
+        )
+        wc = words.shape[-1]
+        return (
+            words.reshape(b, local_s, wc),
+            bits.reshape(b, local_s),
+            rle_lens, hist,
+        )
 
     fn = jax.jit(encode_fn)
     return fn(blocks, lengths, sym_code, sym_len)
