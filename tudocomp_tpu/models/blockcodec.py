@@ -49,7 +49,7 @@ from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
 def PACK_TILE() -> int:
     """Token tile for the Pallas pack: large on TPU for MXU efficiency,
     small under CPU interpret mode (tests) to avoid padding waste."""
-    return 2048 if jax.default_backend() == "tpu" else 256
+    return 4096 if jax.default_backend() == "tpu" else 256
 
 
 def _pad_tokens(values, lens, tile):
