@@ -67,7 +67,7 @@ def main() -> None:
     small = BlockCodec(block_size=1 << 16, sub_chunks=8)
     assert small.decompress(small.compress(sample)) == sample
 
-    n_mb = int(os.environ.get("TDC_BENCH_MB", "64"))
+    n_mb = int(os.environ.get("TDC_BENCH_MB", "32"))
     data = make_corpus(n_mb << 20)
     n_batches = max(1, n_mb // BATCH)
     batches = [
