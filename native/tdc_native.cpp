@@ -359,4 +359,29 @@ int64_t tdc_lzw_expand(const uint32_t* codes, int64_t ncodes,
     return o;
 }
 
+// ---- SLP derivation ---------------------------------------------------
+// Expands a binary SLP (terminals < 256; rule i: pairs[2i], pairs[2i+1])
+// from `root` iteratively. Returns output length or -1 on overflow.
+
+int64_t tdc_slp_derive(const int64_t* pairs, int64_t nrules,
+                       int64_t root, uint8_t* out, int64_t out_cap) {
+    std::vector<int64_t> stack;
+    stack.push_back(root);
+    int64_t o = 0;
+    while (!stack.empty()) {
+        int64_t x = stack.back();
+        stack.pop_back();
+        if (x < 256) {
+            if (o >= out_cap) return -1;
+            out[o++] = uint8_t(x);
+        } else {
+            int64_t r = x - 256;
+            if (r >= nrules) return -2;
+            stack.push_back(pairs[2 * r + 1]);
+            stack.push_back(pairs[2 * r]);
+        }
+    }
+    return o;
+}
+
 }  // extern "C"

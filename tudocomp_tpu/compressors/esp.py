@@ -241,6 +241,11 @@ def esp_rounds(data: bytes):
 def derive_text(rules: np.ndarray, root: int, empty: bool) -> bytes:
     if empty:
         return b""
+    from tudocomp_tpu import native
+
+    got = native.slp_derive(np.asarray(rules, np.int64), int(root))
+    if got is not None:
+        return got
     out = bytearray()
     stack = [root]
     while stack:
@@ -280,15 +285,9 @@ class PlainSLPCoder(Algorithm):
         if width == 0:
             return np.zeros((0, 2), np.int64), 0, True
         root = inp.read_int(width)
-        pairs = []
-        while not inp.eof():
-            a = inp.read_int(width)
-            if inp.eof():
-                break
-            b = inp.read_int(width)
-            pairs.append((a, b))
-        rules = np.asarray(pairs, np.int64).reshape(-1, 2)
-        return rules, root, False
+        count = (inp.total - inp.pos) // (2 * width)
+        flat = inp.read_int_array(width, 2 * count).astype(np.int64)
+        return flat.reshape(-1, 2), root, False
 
 
 class DPlain(Algorithm):

@@ -70,10 +70,13 @@ class ESAStrategy(Algorithm):
         if lcp.size == 0:
             return dictionary, occurrences
         order = np.argsort(-lcp, kind="stable")
+        seen_intervals = set()
         for i in order.tolist():
             length = int(lcp[i])
             if length < min_lrf:
                 break
+            if dead[sa[i]]:  # this occurrence is already replaced
+                continue
             # maximal SA interval [lo, hi] with lcp >= length around i
             lo = i
             while lo > 0 and lcp[lo] >= length:
@@ -81,6 +84,9 @@ class ESAStrategy(Algorithm):
             hi = i
             while hi + 1 < n and lcp[hi + 1] >= length:
                 hi += 1
+            if (lo, length) in seen_intervals:
+                continue  # every member enumerates the same interval
+            seen_intervals.add((lo, length))
             positions = sa[lo : hi + 1]
             selected = _select_nonoverlapping(
                 positions.tolist(), length, dead

@@ -87,6 +87,10 @@ def _load():
             u32p, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
         lib.tdc_lzw_expand.restype = ctypes.c_int64
+        lib.tdc_slp_derive.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_slp_derive.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -221,6 +225,21 @@ def lzw_expand(codes: np.ndarray):
         cap *= 4
 
 
+def slp_derive(pairs: np.ndarray, root: int):
+    """Expand a binary SLP to text; None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    pairs = np.ascontiguousarray(pairs, np.int64).reshape(-1)
+    cap = 1 << 16
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_slp_derive(pairs, pairs.size // 2, root, out, cap)
+        if got == -2:
+            raise ValueError("invalid SLP rule reference")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
                    lut_len: np.ndarray, k: int):
     """Returns decoded symbols or None if native is unavailable."""
