@@ -13,6 +13,7 @@
 #include <climits>
 #include <cstring>
 #include <vector>
+#include <algorithm>
 
 extern "C" {
 
@@ -382,6 +383,102 @@ int64_t tdc_slp_derive(const int64_t* pairs, int64_t nrules,
         }
     }
     return o;
+}
+
+// ---- lcpcomp "arrays" factorization ----------------------------------
+// Bucket array per LCP value with lazy decrease-key (reference
+// lcpcomp/compress/ArraysComp.hpp; mirrors the Python spec in
+// compressors/lcpcomp.py exactly). Returns factor count or -1.
+
+int64_t tdc_lcpcomp_arrays(const int64_t* sa, const int64_t* isa,
+                           int64_t* lcp, int64_t n, int64_t threshold,
+                           int64_t* out_pos, int64_t* out_src,
+                           int64_t* out_len, int64_t cap) {
+    int64_t maxlcp = 0;
+    for (int64_t i = 0; i < n; i++) maxlcp = std::max(maxlcp, lcp[i]);
+    if (maxlcp < threshold) return 0;
+    std::vector<std::vector<int64_t>> cand(size_t(maxlcp + 1 - threshold));
+    for (int64_t i = 0; i < n; i++) {
+        if (lcp[i] >= threshold) cand[size_t(lcp[i] - threshold)].push_back(i);
+    }
+    int64_t count = 0;
+    for (int64_t cur = maxlcp; cur >= threshold; cur--) {
+        auto& col = cand[size_t(cur - threshold)];
+        for (size_t ci = 0; ci < col.size(); ci++) {
+            int64_t index = col[ci];
+            int64_t lv = lcp[index];
+            if (lv < cur) {
+                if (lv >= threshold) cand[size_t(lv - threshold)].push_back(index);
+                continue;
+            }
+            int64_t pos = sa[index];
+            int64_t src = sa[index - 1];
+            int64_t len = lv;
+            if (count >= cap) return -1;
+            out_pos[count] = pos; out_src[count] = src; out_len[count] = len;
+            count++;
+            for (int64_t k = 0; k < len; k++) lcp[isa[pos + k]] = 0;
+            int64_t max_affect = std::min(len, pos);
+            for (int64_t k = 1; k <= max_affect; k++) {
+                int64_t ind = isa[pos - k];
+                if (k < lcp[ind]) lcp[ind] = k;
+            }
+        }
+        col.clear();
+        col.shrink_to_fit();
+    }
+    return count;
+}
+
+// ---- PLCP (Karkkainen phi-algorithm) ---------------------------------
+
+void tdc_plcp(const uint8_t* text, const int64_t* phi, int64_t n,
+              int64_t* plcp) {
+    int64_t l = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t j = phi[i];
+        while (i + l < n && j + l < n && text[i + l] == text[j + l]) l++;
+        plcp[i] = l;
+        if (l) l--;
+    }
+}
+
+// ---- suffix array (prefix doubling + radix sort) ---------------------
+// O(n log n) counting-sort doubling; same output as any correct SA.
+
+void tdc_suffix_array(const uint8_t* text, int64_t n, int64_t* sa) {
+    if (n == 0) return;
+    std::vector<int64_t> rank(n), tmp(n), cnt(std::max<int64_t>(256, n) + 1, 0), sa2(n);
+    for (int64_t i = 0; i < n; i++) rank[i] = text[i];
+    // initial counting sort by first byte
+    for (int64_t i = 0; i < n; i++) cnt[rank[i] + 1]++;
+    for (size_t i = 1; i < cnt.size(); i++) cnt[i] += cnt[i - 1];
+    for (int64_t i = 0; i < n; i++) sa[cnt[rank[i]]++] = i;
+    for (int64_t k = 1;; k <<= 1) {
+        // sort by second key (rank[i+k], -1 past end): positions i >= n-k first
+        int64_t p = 0;
+        for (int64_t i = n - k; i < n; i++) sa2[p++] = i;
+        for (int64_t i = 0; i < n; i++)
+            if (sa[i] >= k) sa2[p++] = sa[i] - k;
+        // stable counting sort by first key rank[]
+        std::fill(cnt.begin(), cnt.end(), 0);
+        for (int64_t i = 0; i < n; i++) cnt[rank[i] + 1]++;
+        for (size_t i = 1; i < cnt.size(); i++) cnt[i] += cnt[i - 1];
+        for (int64_t i = 0; i < n; i++) sa[cnt[rank[sa2[i]]]++] = sa2[i];
+        // re-rank
+        tmp[sa[0]] = 0;
+        int64_t r = 0;
+        for (int64_t i = 1; i < n; i++) {
+            int64_t a = sa[i - 1], b = sa[i];
+            int64_t a2 = (a + k < n) ? rank[a + k] : -1;
+            int64_t b2 = (b + k < n) ? rank[b + k] : -1;
+            if (rank[a] != rank[b] || a2 != b2) r++;
+            tmp[b] = r;
+        }
+        rank.swap(tmp);
+        if (r == n - 1) break;
+        if (k >= n) break;
+    }
 }
 
 }  // extern "C"

@@ -32,14 +32,23 @@ class BWTCompressor(Compressor):
         m.needs_sentinel_terminator()
         return m
 
-    #: inputs at least this long use the device SA/BWT path on TPU
+    #: inputs at least this long may use the device SA/BWT path on TPU.
+    #: Opt-in via TDC_DEVICE_BWT=1: each input size compiles its own
+    #: device program, so the device path only pays off for repeated
+    #: same-shape workloads (and a direct-attached chip; over the axon
+    #: tunnel the d2h transfer dominates).
     DEVICE_MIN = 1 << 15
 
     def compress(self, data: bytes) -> bytes:
+        import os
+
         if not data.endswith(b"\x00"):
             raise ValueError("bwt requires a sentineled input")
         t = np.frombuffer(data, np.uint8)
-        if len(data) >= self.DEVICE_MIN and _on_tpu():
+        if (
+            os.environ.get("TDC_DEVICE_BWT") == "1"
+            and len(data) >= self.DEVICE_MIN and _on_tpu()
+        ):
             import jax.numpy as jnp
 
             from tudocomp_tpu.ops.suffix_jax import (

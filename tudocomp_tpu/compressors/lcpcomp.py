@@ -86,6 +86,15 @@ class ArraysComp(Algorithm):
                   factors: FactorBuffer) -> None:
         sa = text.require_sa()
         isa = text.require_isa()
+        from tudocomp_tpu import native
+
+        got = native.lcpcomp_arrays_factorize(
+            sa, isa, text.require_lcp(), threshold
+        )
+        if got is not None:
+            for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
+                factors.append(p, s, ln)
+            return
         lcp = text.require_lcp().copy()
         if lcp.size == 0:
             return

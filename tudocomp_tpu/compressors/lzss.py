@@ -101,6 +101,81 @@ def uncovered_literals(text: np.ndarray, factors: FactorBuffer) -> Literals:
     return Literals(text[keep], np.flatnonzero(keep))
 
 
+def _literal_tokens(coder, byts: np.ndarray):
+    """(values u64, lens i64) for a literal byte array under ``coder``
+    (bit coder / degenerate huffman: plain 8-bit; huffman: table)."""
+    from tudocomp_tpu.coders.huffman import HuffmanCoder
+
+    if isinstance(coder, HuffmanCoder.Encoder) and coder.table is not None:
+        return (
+            coder.table.sym_code[byts].astype(np.uint64),
+            coder.table.sym_len[byts].astype(np.int64),
+        )
+    return byts.astype(np.uint64), np.full(byts.size, 8, np.int64)
+
+
+def _encode_factors_bulk(coder, text, factors, text_r, flen_r, fdist_r):
+    """Vectorized factor-stream body: one write_tokens call for the whole
+    interleaved (flag, [gap, literals...], src, len) sequence. Bit-exact
+    with the scalar loop (pinned by tests/test_golden.py); applies for
+    bit/huffman coders, whose field widths are fixed per stream."""
+    pos = np.array([f.pos for f in factors.factors], np.int64)
+    src = np.array([f.src for f in factors.factors], np.int64)
+    lng = np.array([f.len for f in factors.factors], np.int64)
+    n = text.size
+    prev_end = np.concatenate([[0], (pos + lng)[:-1]])
+    gaps = pos - prev_end
+    tail = n - int((pos + lng)[-1]) if pos.size else n
+
+    w_src, w_len, w_dist = text_r.bits, flen_r.bits, fdist_r.bits
+    has_gap = gaps > 0
+    slots = 1 + np.where(has_gap, 1 + gaps, 0) + 2
+    offs = np.concatenate([[0], np.cumsum(slots)[:-1]])
+    total = int(slots.sum()) + (2 + tail if tail else 0)
+    values = np.zeros(total, np.uint64)
+    lens = np.zeros(total, np.int64)
+    # flags
+    values[offs] = has_gap
+    lens[offs] = 1
+    # gap distances
+    g_off = offs[has_gap] + 1
+    values[g_off] = gaps[has_gap].astype(np.uint64)
+    lens[g_off] = w_dist
+    # gap literals (concatenated per-factor text slices)
+    if has_gap.any():
+        gsz = gaps[has_gap]
+        lit_slots = np.repeat(g_off + 1, gsz) + (
+            np.arange(int(gsz.sum())) - np.repeat(
+                np.cumsum(gsz) - gsz, gsz
+            )
+        )
+        lit_text = np.repeat(prev_end[has_gap], gsz) + (
+            np.arange(int(gsz.sum())) - np.repeat(
+                np.cumsum(gsz) - gsz, gsz
+            )
+        )
+        lv, ll = _literal_tokens(coder, text[lit_text])
+        values[lit_slots] = lv
+        lens[lit_slots] = ll
+    # src / len
+    s_off = offs + 1 + np.where(has_gap, 1 + gaps, 0)
+    values[s_off] = src.astype(np.uint64)
+    lens[s_off] = w_src
+    values[s_off + 1] = (lng - flen_r.min).astype(np.uint64)
+    lens[s_off + 1] = w_len
+    # trailing literal run
+    if tail:
+        base = int(slots.sum())
+        values[base] = 1
+        lens[base] = 1
+        values[base + 1] = tail
+        lens[base + 1] = w_dist
+        lv, ll = _literal_tokens(coder, text[n - tail :])
+        values[base + 2 :] = lv
+        lens[base + 2 :] = ll
+    coder.out.write_tokens(values, lens)
+
+
 def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
     """Shared factor-stream encoder (``lzss/LZSSCoding.hpp:19-92``)."""
     n = int(text.size)
@@ -121,6 +196,16 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
     coder.encode(flen_min, text_r)
     coder.encode(flen_max, text_r)
     coder.encode(fdist_max, text_r)
+
+    from tudocomp_tpu.coders.huffman import HuffmanCoder
+    from tudocomp_tpu.coders.simple import BitCoder
+
+    if len(factors) and isinstance(
+        coder, (BitCoder.Encoder, HuffmanCoder.Encoder)
+    ):
+        _encode_factors_bulk(coder, text, factors, text_r, flen_r, fdist_r)
+        coder.finish()
+        return
 
     p = 0
     for f in factors:

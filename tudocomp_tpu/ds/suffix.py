@@ -17,13 +17,19 @@ import numpy as np
 
 
 def suffix_array(text) -> np.ndarray:
-    """Suffix array by prefix doubling (Manber-Myers, lexsort-based)."""
+    """Suffix array by prefix doubling (native radix doubling when
+    available, numpy lexsort otherwise — identical output)."""
     t = np.frombuffer(bytes(text), np.uint8) if isinstance(
         text, (bytes, bytearray)
     ) else np.asarray(text, dtype=np.uint8)
     n = t.size
     if n == 0:
         return np.zeros(0, np.int64)
+    from tudocomp_tpu import native
+
+    got = native.suffix_array(t)
+    if got is not None:
+        return got
     rank = t.astype(np.int64)
     idx = np.arange(n)
     k = 1
@@ -74,6 +80,11 @@ def plcp_array(text, phi: np.ndarray) -> np.ndarray:
         text, (bytes, bytearray)
     ) else np.asarray(text, dtype=np.uint8)
     n = t.size
+    from tudocomp_tpu import native
+
+    got = native.plcp(t, phi)
+    if got is not None:
+        return got
     plcp = np.zeros(n, np.int64)
     tl = t.tolist()
     ph = phi.tolist()

@@ -91,6 +91,13 @@ def _load():
             i64p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64,
         ]
         lib.tdc_slp_derive.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_arrays.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_lcpcomp_arrays.restype = ctypes.c_int64
+        lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
+        lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
         _lib = lib
         return _lib
 
@@ -240,6 +247,44 @@ def slp_derive(pairs: np.ndarray, root: int):
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+def lcpcomp_arrays_factorize(sa, isa, lcp, threshold: int):
+    """lcpcomp 'arrays' factorization. Returns (pos, src, len) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    isa = np.ascontiguousarray(isa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64).copy()
+    n = sa.size
+    cap = max(16, n)
+    pos = np.empty(cap, np.int64)
+    src = np.empty(cap, np.int64)
+    length = np.empty(cap, np.int64)
+    got = lib.tdc_lcpcomp_arrays(
+        sa, isa, lcp, n, threshold, pos, src, length, cap
+    )
+    if got < 0:
+        raise RuntimeError("factor buffer overflow")
+    return pos[:got], src[:got], length[:got]
+def plcp(text: np.ndarray, phi: np.ndarray):
+    """Karkkainen PLCP; None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text, np.uint8)
+    ph = np.ascontiguousarray(phi, np.int64)
+    out = np.empty(t.size, np.int64)
+    lib.tdc_plcp(t, ph, t.size, out)
+    return out
+def suffix_array(text: np.ndarray):
+    """Prefix-doubling radix SA; None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text, np.uint8)
+    out = np.empty(t.size, np.int64)
+    lib.tdc_suffix_array(t, t.size, out)
+    return out
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
                    lut_len: np.ndarray, k: int):
     """Returns decoded symbols or None if native is unavailable."""
