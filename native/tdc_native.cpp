@@ -481,4 +481,92 @@ void tdc_suffix_array(const uint8_t* text, int64_t n, int64_t* sa) {
     }
 }
 
+// ---- lzss factor-stream decode ---------------------------------------
+// Decodes the shared factor stream (lzss/LZSSCoding.hpp format) given
+// the bit offset after the 4 header fields. Literals decode with the
+// canonical-huffman LUT when k > 0, plain 8-bit otherwise.
+// mode 0: back-reference text reconstruction into out (returns length).
+// mode 1: collect factors/literals only (for forward-capable lcpcomp):
+//   out receives the literal bytes; fpos/fsrc/flen receive factors;
+//   *nfac_out gets the count; returns literal count. Returns -1 on
+//   overflow, -2 on malformed stream.
+
+struct BitRd {
+    const uint8_t* p;
+    int64_t nbits;
+    int64_t pos;
+    inline int64_t read(int w) {
+        if (w == 0) return 0;
+        int64_t v = 0;
+        for (int i = 0; i < w; i++) {
+            int64_t b = (pos < nbits)
+                ? ((p[pos >> 3] >> (7 - (pos & 7))) & 1) : 0;
+            v = (v << 1) | b;
+            pos++;
+        }
+        return v;
+    }
+};
+
+int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
+                        int64_t start_bit, int64_t n, int64_t flen_min,
+                        int w_src, int w_len, int w_dist,
+                        const uint8_t* lut_sym, const uint8_t* lut_len,
+                        int k, int mode,
+                        uint8_t* out, int64_t out_cap,
+                        int64_t* fpos, int64_t* fsrc, int64_t* flen,
+                        int64_t fcap, int64_t* nfac_out) {
+    BitRd rd{payload, nbits, start_bit};
+    int64_t cursor = 0;   // text position
+    int64_t lits = 0;     // literal count (mode 1)
+    int64_t nfac = 0;
+    auto read_literal = [&]() -> int {
+        if (k > 0) {
+            // peek k bits (zero padded), LUT walk
+            int64_t save = rd.pos;
+            int64_t w = rd.read(k);
+            int len = lut_len[w];
+            if (len == 0) return -1;
+            rd.pos = save + len;
+            return lut_sym[w];
+        }
+        return int(rd.read(8));
+    };
+    while (rd.pos < nbits) {
+        int64_t flag = rd.read(1);
+        if (flag) {
+            if (rd.pos >= nbits) break;
+            int64_t num = rd.read(w_dist);
+            for (int64_t i = 0; i < num; i++) {
+                int c = read_literal();
+                if (c < 0) return -2;
+                if (mode == 0) {
+                    if (cursor >= out_cap) return -1;
+                    out[cursor++] = uint8_t(c);
+                } else {
+                    if (lits >= out_cap) return -1;
+                    out[lits++] = uint8_t(c);
+                    cursor++;
+                }
+            }
+        }
+        if (rd.pos >= nbits) break;
+        int64_t src = rd.read(w_src);
+        int64_t len = rd.read(w_len) + flen_min;
+        if (mode == 0) {
+            if (cursor + len > out_cap || src + len > out_cap) return -1;
+            for (int64_t i = 0; i < len; i++)
+                out[cursor + i] = out[src + i];  // overlap-safe fwd copy
+            cursor += len;
+        } else {
+            if (nfac >= fcap) return -1;
+            fpos[nfac] = cursor; fsrc[nfac] = src; flen[nfac] = len;
+            nfac++;
+            cursor += len;
+        }
+    }
+    if (nfac_out) *nfac_out = nfac;
+    return (mode == 0) ? cursor : lits;
+}
+
 }  // extern "C"

@@ -226,6 +226,47 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
     coder.finish()
 
 
+def _native_decode_args(decoder, flen_r, text_r, fdist_r):
+    """(payload, nbits, start, widths, lut) when the native stream
+    decoder applies (bit / huffman coders), else None."""
+    from tudocomp_tpu.coders.huffman import HuffmanCoder
+    from tudocomp_tpu.coders.simple import BitCoder
+
+    from tudocomp_tpu import native
+
+    if not native.available():
+        return None
+    if isinstance(decoder, HuffmanCoder.Decoder):
+        if decoder.table is not None:
+            lut_sym, lut_len = decoder.table.build_lut()
+            lut = (lut_sym, lut_len, decoder.table.longest)
+        else:
+            lut = None
+    elif isinstance(decoder, BitCoder.Decoder):
+        lut = None
+    else:
+        return None
+    reader = decoder.inp
+    payload = np.packbits(reader._bits)
+    return (
+        payload, reader.total, reader.pos,
+        text_r.bits, flen_r.bits, fdist_r.bits, lut,
+    )
+
+
+def _decode_factors_native(decoder, n, flen_r, text_r, fdist_r):
+    args = _native_decode_args(decoder, flen_r, text_r, fdist_r)
+    if args is None:
+        return None
+    from tudocomp_tpu import native
+
+    payload, nbits, start, w_src, w_len, w_dist, lut = args
+    return native.lzss_decode_stream(
+        payload, nbits, start, n, flen_r.min,
+        w_src, w_len, w_dist, lut, mode=0,
+    )
+
+
 def decode_factor_text(decoder) -> bytes:
     """Shared factor-stream decoder with a back-reference buffer
     (``lzss/LZSSCoding.hpp:95-140`` + ``LZSSDecodeBackBuffer.hpp``)."""
@@ -236,6 +277,10 @@ def decode_factor_text(decoder) -> bytes:
     flen_r = MinDistributedRange(flen_min, flen_max)
     fdist_max = decoder.decode(text_r)
     fdist_r = Range(fdist_max)
+
+    fast = _decode_factors_native(decoder, n, flen_r, text_r, fdist_r)
+    if fast is not None:
+        return fast
 
     buf = np.zeros(n, np.uint8)
     cursor = 0

@@ -98,6 +98,14 @@ def _load():
         lib.tdc_lcpcomp_arrays.restype = ctypes.c_int64
         lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.tdc_lzss_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_lzss_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -285,6 +293,47 @@ def suffix_array(text: np.ndarray):
     out = np.empty(t.size, np.int64)
     lib.tdc_suffix_array(t, t.size, out)
     return out
+_EMPTY_LUT = np.zeros(1, np.uint8)
+
+
+def lzss_decode_stream(payload, nbits, start_bit, n, flen_min,
+                       w_src, w_len, w_dist, lut=None, mode=0):
+    """Native factor-stream decode. mode 0 -> text bytes; mode 1 ->
+    (literals, pos, src, len) for forward-capable resolution. None if
+    native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lut is None:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    else:
+        lut_sym, lut_len, k = lut
+        lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+        lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    out_cap = max(64, n + 64)
+    out = np.empty(out_cap, np.uint8)
+    fcap = max(16, n + 1)
+    fpos = np.empty(fcap, np.int64)
+    fsrc = np.empty(fcap, np.int64)
+    flen = np.empty(fcap, np.int64)
+    nfac = ctypes.c_int64(0)
+    got = lib.tdc_lzss_decode(
+        payload, nbits, start_bit, n, flen_min,
+        w_src, w_len, w_dist, lut_sym, lut_len, k, mode,
+        out, out_cap, fpos, fsrc, flen, fcap, ctypes.byref(nfac),
+    )
+    if got == -2:
+        raise ValueError("malformed factor stream")
+    if got < 0:
+        raise RuntimeError("factor decode overflow")
+    if mode == 0:
+        return out[:got].tobytes()
+    m = nfac.value
+    return out[:got], fpos[:m], fsrc[:m], flen[:m]
+
+
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
                    lut_len: np.ndarray, k: int):
     """Returns decoded symbols or None if native is unavailable."""
