@@ -13,6 +13,7 @@
 #include <climits>
 #include <cstring>
 #include <vector>
+#include <queue>
 #include <algorithm>
 
 extern "C" {
@@ -126,6 +127,27 @@ int64_t tdc_huffman_decode(const uint8_t* payload, int64_t payload_len,
         bits_used += len;
     }
     return bits_used;
+}
+
+// Count symbols decodable from the payload until bits are exhausted.
+int64_t tdc_huffman_count(const uint8_t* payload, int64_t nbits,
+                          const uint8_t* lut_len, int k) {
+    int64_t pos = 0;
+    int64_t count = 0;
+    while (pos < nbits) {
+        int64_t w = 0;
+        for (int i = 0; i < k; i++) {
+            int64_t b = (pos + i < nbits)
+                ? ((payload[(pos + i) >> 3] >> (7 - ((pos + i) & 7))) & 1)
+                : 0;
+            w = (w << 1) | b;
+        }
+        uint8_t len = lut_len[w];
+        if (len == 0) return -1;
+        pos += len;
+        count++;
+    }
+    return count;
 }
 
 // ---- LZ78/LZW hash-trie parse ----------------------------------------
@@ -567,6 +589,80 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
     }
     if (nfac_out) *nfac_out = nfac;
     return (mode == 0) ? cursor : lits;
+}
+
+// ---- lcpcomp "heap" factorization ------------------------------------
+// Max-heap with lazy invalidation (mirrors compressors/lcpcomp.py
+// MaxHeapStrategy exactly, including heapq tie order: ties on LCP pop
+// the smaller SA index first).
+
+int64_t tdc_lcpcomp_heap(const int64_t* sa, const int64_t* isa,
+                         int64_t* lcp, int64_t n, int64_t threshold,
+                         int64_t* out_pos, int64_t* out_src,
+                         int64_t* out_len, int64_t cap) {
+    typedef std::pair<int64_t, int64_t> entry;  // (-lcp, index)
+    std::priority_queue<entry, std::vector<entry>, std::greater<entry>> heap;
+    for (int64_t i = 0; i < n; i++)
+        if (lcp[i] >= threshold) heap.push({-lcp[i], i});
+    int64_t count = 0;
+    while (!heap.empty()) {
+        auto [neg, index] = heap.top();
+        heap.pop();
+        int64_t lv = lcp[index];
+        if (lv != -neg) {
+            if (lv >= threshold) heap.push({-lv, index});
+            continue;
+        }
+        int64_t pos = sa[index], src = sa[index - 1], len = lv;
+        if (count >= cap) return -1;
+        out_pos[count] = pos; out_src[count] = src; out_len[count] = len;
+        count++;
+        for (int64_t k = 0; k < len; k++) lcp[isa[pos + k]] = 0;
+        int64_t max_affect = std::min(len, pos);
+        for (int64_t k = 1; k <= max_affect; k++) {
+            int64_t ind = isa[pos - k];
+            if (k < lcp[ind]) lcp[ind] = k;
+        }
+    }
+    return count;
+}
+
+// ---- SLE literal-stream decode ---------------------------------------
+// Decodes the SLE literal stream until bits are exhausted (flag 1:
+// gamma k-mer rank; flag 0 + 1: gamma literal rank; else raw byte).
+// Returns output length, -1 on overflow, -2 on malformed input.
+
+int64_t tdc_sle_decode(const uint8_t* payload, int64_t nbits,
+                       int64_t start_bit, const uint8_t* kmers,
+                       int64_t n_kmers, int kk, const uint8_t* lits,
+                       int64_t n_lits, uint8_t* out, int64_t out_cap) {
+    BitRd rd{payload, nbits, start_bit};
+    int64_t o = 0;
+    auto read_gamma = [&]() -> int64_t {
+        int zeros = 0;
+        while (rd.pos < rd.nbits && rd.read(1) == 0) zeros++;
+        return rd.read(zeros);
+    };
+    while (rd.pos < nbits) {
+        if (rd.read(1)) {
+            int64_t r = read_gamma();
+            if (r >= n_kmers) return -2;
+            if (o + kk > out_cap) return -1;
+            memcpy(out + o, kmers + r * kk, size_t(kk));
+            o += kk;
+        } else if (rd.pos >= nbits) {
+            break;
+        } else if (rd.read(1)) {
+            int64_t r = read_gamma();
+            if (r >= n_lits) return -2;
+            if (o >= out_cap) return -1;
+            out[o++] = lits[r];
+        } else {
+            if (o >= out_cap) return -1;
+            out[o++] = uint8_t(rd.read(8));
+        }
+    }
+    return o;
 }
 
 }  // extern "C"

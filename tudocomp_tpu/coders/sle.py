@@ -30,6 +30,16 @@ import numpy as np
 from tudocomp_tpu.coders import base
 from tudocomp_tpu.meta import Algorithm, Meta
 from tudocomp_tpu.ranges import LiteralRange, Range
+from tudocomp_tpu.utils.bits import bits_for_arr
+
+
+def _gamma_tokens(v: np.ndarray):
+    """Elias-gamma of each value as ONE token: b = bits_for(v) leading
+    zeros + 1 + the b value bits => value (1<<b)|v, length 2b+1."""
+    v = np.asarray(v, np.uint64)
+    b = bits_for_arr(v).astype(np.uint64)
+    return (np.uint64(1) << b) | v, (2 * b + 1).astype(np.int64)
+
 
 K = 3
 MAX_KMERS = 255
@@ -37,25 +47,24 @@ MAX_LITS = 255
 
 
 def _rank_tables(chars: np.ndarray):
-    """Top k-mer and literal ranking from the literal pre-pass."""
+    """Top k-mer and literal ranking from the literal pre-pass
+    (vectorized; ordering matches the Counter-based spec: descending
+    count, ties by value)."""
     kmers: list[bytes] = []
     if chars.size >= K:
-        windows = np.lib.stride_tricks.sliding_window_view(chars, K)
-        cnt = Counter(map(bytes, windows))
+        win = np.lib.stride_tricks.sliding_window_view(chars, K)
+        keys = win.astype(np.int64) @ (256 ** np.arange(K - 1, -1, -1))
+        uniq, counts = np.unique(keys, return_counts=True)
+        order = np.lexsort((uniq, -counts))[:MAX_KMERS]
         kmers = [
-            km
-            for km, c in sorted(
-                cnt.items(), key=lambda kv: (-kv[1], kv[0])
-            )[:MAX_KMERS]
-            if c > 1
+            int(uniq[i]).to_bytes(K, "big")
+            for i in order
+            if counts[i] > 1
         ]
-    lit_cnt = Counter(chars.tolist())
-    lits = [
-        l
-        for l, _ in sorted(lit_cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
-            :MAX_LITS
-        ]
-    ]
+    lit_counts = np.bincount(chars, minlength=256)
+    present = np.flatnonzero(lit_counts)
+    order = np.lexsort((present, -lit_counts[present]))[:MAX_LITS]
+    lits = [int(present[i]) for i in order]
     return kmers, lits
 
 
@@ -75,6 +84,9 @@ class SLECoder(Algorithm):
             self.kmers, self.lits = _rank_tables(literals.chars)
             self.kmer_rank = {km: i for i, km in enumerate(self.kmers)}
             self.lit_rank = {l: i for i, l in enumerate(self.lits)}
+            self._lit_rank_arr = np.full(256, -1, np.int64)
+            for l, i in self.lit_rank.items():
+                self._lit_rank_arr[l] = i
             out.write_compressed_int(len(self.kmers))
             for km in self.kmers:
                 for b in km:
@@ -87,9 +99,14 @@ class SLECoder(Algorithm):
 
         def _flush_pending(self, final: bool) -> None:
             buf = self._pending
-            i = 0
-            # keep a K-1 tail unless final, so k-mers can span future calls
             limit = len(buf) if final else len(buf) - (K - 1)
+            if limit <= 0:
+                return
+            if limit > 64:
+                i = self._flush_bulk(limit)
+                del buf[:i]
+                return
+            i = 0
             while i < limit:
                 km = bytes(buf[i : i + K])
                 rank = self.kmer_rank.get(km) if len(km) == K else None
@@ -108,6 +125,88 @@ class SLECoder(Algorithm):
                         self.out.write_int(buf[i], 8)
                     i += 1
             del buf[:i]
+
+        def _flush_bulk(self, limit: int) -> int:
+            """Vectorized greedy matcher: jump-table pointer doubling over
+            ``jump[i] = i+K if kmer at i else i+1``, then bulk token
+            emission. Bit-identical to the scalar loop."""
+            buf = np.asarray(self._pending, np.uint8)
+            n = buf.size
+            # K-gram integer keys
+            if n >= K:
+                win = np.lib.stride_tricks.sliding_window_view(buf, K)
+                keys = win.astype(np.int64) @ (
+                    256 ** np.arange(K - 1, -1, -1)
+                )
+            else:
+                keys = np.zeros(0, np.int64)
+            kmer_keys = np.array(
+                [
+                    int.from_bytes(km, "big")
+                    for km in self.kmers
+                ],
+                np.int64,
+            )
+            order = np.argsort(kmer_keys, kind="stable")
+            sorted_keys = kmer_keys[order]
+            pos_in_sorted = np.searchsorted(sorted_keys, keys)
+            pos_in_sorted = np.minimum(
+                pos_in_sorted, max(0, sorted_keys.size - 1)
+            )
+            is_kmer = np.zeros(n, bool)
+            ranks = np.zeros(n, np.int64)
+            if sorted_keys.size and keys.size:
+                hit = sorted_keys[pos_in_sorted] == keys
+                is_kmer[: keys.size] = hit
+                ranks[: keys.size] = np.where(
+                    hit, order[pos_in_sorted], 0
+                )
+            # a k-mer match must fit entirely below `limit`+tail rules:
+            # the scalar loop matches when i < limit and i+K <= len(buf)
+            can_kmer = is_kmer & (np.arange(n) + K <= n)
+            jump = np.where(can_kmer, np.arange(n) + K, np.arange(n) + 1)
+            jump = np.minimum(jump, n)
+            jump = np.concatenate([jump, [n]])
+            # positions after 0..upper steps via in-place jump composition
+            # (positions are monotone, so the emission count is a
+            # searchsorted over them — no table pyramid needed)
+            upper = limit + 1
+            pos = np.zeros(upper + 1, np.int64)
+            idx = np.arange(upper + 1, dtype=np.int64)
+            t = jump
+            b = 0
+            while (1 << b) <= upper:
+                mask = (idx >> b) & 1 == 1
+                pos[mask] = t[pos[mask]]
+                t = t[t]
+                b += 1
+            count = int(np.searchsorted(pos, limit))
+            i_end = int(pos[count]) if count <= upper else limit
+            pos = pos[:count]
+            kk = can_kmer[pos]
+            # tokens: 3 slots per emission
+            g_val, g_len = _gamma_tokens(ranks[pos])
+            lit = buf[pos]
+            lit_rank = self._lit_rank_arr[lit]
+            has_lr = lit_rank >= 0
+            lg_val, lg_len = _gamma_tokens(np.maximum(lit_rank, 0))
+            values = np.zeros(3 * count, np.uint64)
+            lens = np.zeros(3 * count, np.int64)
+            # slot 0: flag (1 for kmer, 0 otherwise)
+            values[0::3] = kk
+            lens[0::3] = 1
+            # slot 1: kmer -> gamma(rank); else second flag
+            values[1::3] = np.where(kk, g_val, has_lr)
+            lens[1::3] = np.where(kk, g_len, 1)
+            # slot 2: ranked literal gamma / raw byte
+            values[2::3] = np.where(
+                kk, 0, np.where(has_lr, lg_val, lit)
+            )
+            lens[2::3] = np.where(
+                kk, 0, np.where(has_lr, lg_len, 8)
+            )
+            self.out.write_tokens(values, lens)
+            return i_end
 
         def encode(self, v, r: Range) -> None:
             if isinstance(r, LiteralRange):
@@ -167,3 +266,25 @@ class SLECoder(Algorithm):
             return np.array(
                 [self.decode(r) for _ in range(count)], np.uint64
             )
+
+        def decode_remaining_literals(self) -> bytes:
+            """Whole-stream literal decode via the native runtime (the
+            per-bit speculative numpy variant loses to the C walk)."""
+            from tudocomp_tpu import native
+
+            rd = self.inp
+            if self.buffer or not native.available():
+                out = bytearray()
+                from tudocomp_tpu.ranges import literal_r
+
+                while not self.eof():
+                    out.append(self.decode(literal_r))
+                return bytes(out)
+            payload = np.packbits(rd._bits)
+            got = native.sle_decode(
+                payload, rd.total, rd.pos,
+                b"".join(self.kmers), len(self.kmers), K,
+                bytes(self.lits),
+            )
+            rd.pos = rd.total
+            return got

@@ -126,6 +126,15 @@ class MaxHeapStrategy(Algorithm):
     def factorize(self, text, threshold, factors):
         sa = text.require_sa()
         isa = text.require_isa()
+        from tudocomp_tpu import native
+
+        got = native.lcpcomp_factorize(
+            sa, isa, text.require_lcp(), threshold, "heap"
+        )
+        if got is not None:
+            for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
+                factors.append(p, s, ln)
+            return
         lcp = text.require_lcp().copy()
         heap = [
             (-int(lcp[i]), int(i))

@@ -38,7 +38,33 @@ class LiteralEncoder(Compressor):
     def decompress(self, data: bytes) -> bytes:
         inp = BitReader(data)
         coder = self.coder_decoder(inp)
+        if hasattr(coder, "decode_remaining_literals"):
+            return coder.decode_remaining_literals()
+        if hasattr(coder, "table") and coder.table is not None:
+            # huffman: whole-tail bulk decode via the native LUT walk
+            payload = np.packbits(inp._bits[inp.pos :])
+            remaining_bits = inp.total - inp.pos
+            count = self._count_huffman_symbols(coder, payload,
+                                                remaining_bits)
+            if count is not None:
+                return coder.table.fast_decode(payload, count).tobytes()
         chunks = []
         while not coder.eof():
             chunks.append(coder.decode(literal_r))
         return bytes(chunks)
+
+    @staticmethod
+    def _count_huffman_symbols(coder, payload, remaining_bits):
+        """Symbol count via the native LUT walk (the bulk decoder needs
+        the count up front)."""
+        from tudocomp_tpu import native
+
+        try:
+            _, lut_len = coder.table.build_lut()
+        except ValueError:
+            return None
+        if not native.available():
+            return None
+        return native.huffman_count(
+            payload, remaining_bits, lut_len, coder.table.longest
+        )

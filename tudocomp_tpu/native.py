@@ -68,6 +68,15 @@ def _load():
             ctypes.c_int, u8p,
         ]
         lib.tdc_huffman_decode.restype = ctypes.c_int64
+        lib.tdc_huffman_count.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int,
+        ]
+        lib.tdc_huffman_count.restype = ctypes.c_int64
+        lib.tdc_sle_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, ctypes.c_int64,
+            ctypes.c_int, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_sle_decode.restype = ctypes.c_int64
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.tdc_lzss_lcp_factorize.argtypes = [
             i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
@@ -96,6 +105,8 @@ def _load():
             i64p, i64p, i64p, ctypes.c_int64,
         ]
         lib.tdc_lcpcomp_arrays.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_heap.argtypes = lib.tdc_lcpcomp_arrays.argtypes
+        lib.tdc_lcpcomp_heap.restype = ctypes.c_int64
         lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.tdc_lzss_decode.argtypes = [
@@ -255,11 +266,15 @@ def slp_derive(pairs: np.ndarray, root: int):
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
-def lcpcomp_arrays_factorize(sa, isa, lcp, threshold: int):
-    """lcpcomp 'arrays' factorization. Returns (pos, src, len) or None."""
+def lcpcomp_factorize(sa, isa, lcp, threshold: int, strategy="arrays"):
+    """lcpcomp arrays/heap factorization. Returns (pos, src, len) or None."""
     lib = _load()
     if lib is None:
         return None
+    fn = (
+        lib.tdc_lcpcomp_heap if strategy == "heap"
+        else lib.tdc_lcpcomp_arrays
+    )
     sa = np.ascontiguousarray(sa, np.int64)
     isa = np.ascontiguousarray(isa, np.int64)
     lcp = np.ascontiguousarray(lcp, np.int64).copy()
@@ -268,12 +283,14 @@ def lcpcomp_arrays_factorize(sa, isa, lcp, threshold: int):
     pos = np.empty(cap, np.int64)
     src = np.empty(cap, np.int64)
     length = np.empty(cap, np.int64)
-    got = lib.tdc_lcpcomp_arrays(
-        sa, isa, lcp, n, threshold, pos, src, length, cap
-    )
+    got = fn(sa, isa, lcp, n, threshold, pos, src, length, cap)
     if got < 0:
         raise RuntimeError("factor buffer overflow")
     return pos[:got], src[:got], length[:got]
+
+
+def lcpcomp_arrays_factorize(sa, isa, lcp, threshold: int):
+    return lcpcomp_factorize(sa, isa, lcp, threshold, "arrays")
 def plcp(text: np.ndarray, phi: np.ndarray):
     """Karkkainen PLCP; None if native unavailable."""
     lib = _load()
@@ -332,6 +349,42 @@ def lzss_decode_stream(payload, nbits, start_bit, n, flen_min,
         return out[:got].tobytes()
     m = nfac.value
     return out[:got], fpos[:m], fsrc[:m], flen[:m]
+
+
+def sle_decode(payload, nbits, start_bit, kmers: bytes, n_kmers, k,
+               lits: bytes):
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    km = np.frombuffer(kmers, np.uint8) if kmers else np.zeros(1, np.uint8)
+    lt = np.frombuffer(lits, np.uint8) if lits else np.zeros(1, np.uint8)
+    cap = max(64, nbits)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_sle_decode(
+            payload, nbits, start_bit, km, n_kmers, k, lt, lt.size,
+            out, cap,
+        )
+        if got == -2:
+            raise ValueError("malformed sle stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def huffman_count(payload: np.ndarray, nbits: int, lut_len: np.ndarray,
+                  k: int):
+    lib = _load()
+    if lib is None:
+        return None
+    got = lib.tdc_huffman_count(
+        np.ascontiguousarray(payload, np.uint8), nbits,
+        np.ascontiguousarray(lut_len, np.uint8), k,
+    )
+    if got < 0:
+        raise ValueError("malformed huffman stream")
+    return got
 
 
 def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
