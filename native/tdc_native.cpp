@@ -665,4 +665,51 @@ int64_t tdc_sle_decode(const uint8_t* payload, int64_t nbits,
     return o;
 }
 
+// ---- suffix tree from SA+LCP (lcp-interval stack) --------------------
+// Mirrors ds/suffix_tree.py exactly. Output arrays sized >= 2n+2.
+// Returns the node count.
+
+int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
+                        int64_t* parent, int64_t* sdepth,
+                        uint8_t* is_leaf, int64_t* suffix,
+                        int64_t* leaf_of_rank) {
+    int64_t m = 0;  // node count
+    parent[0] = -1; sdepth[0] = 0; is_leaf[0] = 0; suffix[0] = -1; m = 1;
+    std::vector<int64_t> stack;
+    stack.push_back(0);
+    auto add = [&](int64_t d, bool leaf, int64_t suf) -> int64_t {
+        parent[m] = -1; sdepth[m] = d;
+        is_leaf[m] = leaf ? 1 : 0; suffix[m] = suf;
+        return m++;
+    };
+    for (int64_t i = 0; i < n; i++) {
+        int64_t l = i ? lcp[i] : 0;
+        int64_t last = -1;
+        while (sdepth[stack.back()] > l) {
+            int64_t v = stack.back(); stack.pop_back();
+            if (last != -1) parent[last] = v;
+            last = v;
+        }
+        if (last != -1) {
+            if (sdepth[stack.back()] == l) {
+                parent[last] = stack.back();
+            } else {
+                int64_t u = add(l, false, -1);
+                parent[last] = u;
+                stack.push_back(u);
+            }
+        }
+        int64_t leaf = add(n - sa[i], true, sa[i]);
+        leaf_of_rank[i] = leaf;
+        stack.push_back(leaf);
+    }
+    int64_t last = -1;
+    while (!stack.empty()) {
+        int64_t v = stack.back(); stack.pop_back();
+        if (last != -1) parent[last] = v;
+        last = v;
+    }
+    return m;
+}
+
 }  // extern "C"

@@ -26,6 +26,16 @@ class SuffixTree:
         lcp = ds.require_lcp()
         n = sa.size
         self.n = n
+        from tudocomp_tpu import native
+
+        got = native.suffix_tree(sa, lcp)
+        if got is not None:
+            (self.parent, self.sdepth, self.is_leaf, self.suffix,
+             self.leaf_of_rank, _m) = got
+            self.isa = ds.require_isa()
+            self.root = 0
+            self.internal_nodes = int((~self.is_leaf).sum())
+            return
         parent = [-1]
         sdepth = [0]
         is_leaf = [False]

@@ -109,6 +109,10 @@ def _load():
         lib.tdc_lcpcomp_heap.restype = ctypes.c_int64
         lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.tdc_suffix_tree.argtypes = [
+            i64p, i64p, ctypes.c_int64, i64p, i64p, u8p, i64p, i64p,
+        ]
+        lib.tdc_suffix_tree.restype = ctypes.c_int64
         lib.tdc_lzss_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -349,6 +353,30 @@ def lzss_decode_stream(payload, nbits, start_bit, n, flen_min,
         return out[:got].tobytes()
     m = nfac.value
     return out[:got], fpos[:m], fsrc[:m], flen[:m]
+
+
+def suffix_tree(sa: np.ndarray, lcp: np.ndarray):
+    """Build the lcp-interval suffix tree. Returns (parent, sdepth,
+    is_leaf, suffix, leaf_of_rank, node_count) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64)
+    n = sa.size
+    cap = 2 * n + 2
+    parent = np.empty(cap, np.int64)
+    sdepth = np.empty(cap, np.int64)
+    is_leaf = np.empty(cap, np.uint8)
+    suffix = np.empty(cap, np.int64)
+    leaf_of_rank = np.empty(max(1, n), np.int64)
+    m = lib.tdc_suffix_tree(
+        sa, lcp, n, parent, sdepth, is_leaf, suffix, leaf_of_rank
+    )
+    return (
+        parent[:m], sdepth[:m], is_leaf[:m].astype(bool), suffix[:m],
+        leaf_of_rank[:n], m,
+    )
 
 
 def sle_decode(payload, nbits, start_bit, kmers: bytes, n_kmers, k,
