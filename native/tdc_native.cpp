@@ -82,15 +82,18 @@ int64_t tdc_rle_decode(const uint8_t* in, int64_t n, uint8_t* out,
             int shift = 0;
             while (i < n) {
                 uint8_t b = in[i++];
+                if (shift > 63) return -2;  // malformed: vbyte continuation overflow
+                if (shift == 63 && (b & 0x7F) > 1) return -2;
                 run |= uint64_t(b & 0x7F) << shift;
                 shift += 7;
                 if (!(b & 0x80)) break;
             }
+            if (offset < 0 || run < uint64_t(offset)) return -2;  // malformed stream
             run -= uint64_t(offset);
-            if (o + int64_t(run) > out_cap) return -1;
+            if (run > uint64_t(out_cap) || o + int64_t(run) > out_cap) return -1;
             memset(out + o, c, size_t(run));
             o += int64_t(run);
-            prev = -1;
+            prev = int(c);  // reference keeps prev armed after a run
         } else {
             prev = int(c);
         }
@@ -310,6 +313,7 @@ int64_t tdc_lz78_expand(const uint32_t* refs, const uint8_t* chars,
     for (int64_t f = 0; f < nfac; f++) {
         uint32_t r = refs[f];
         int64_t phrase_len = 1;
+        if (r > uint64_t(f)) return -2;  // ref must point to an emitted factor
         if (r != 0) {
             int64_t prev_start = (r >= 2) ? ends[r - 2] : 0;
             int64_t prev_len = ends[r - 1] - prev_start;
@@ -577,6 +581,7 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
         int64_t len = rd.read(w_len) + flen_min;
         if (mode == 0) {
             if (cursor + len > out_cap || src + len > out_cap) return -1;
+            if (src < 0 || src >= cursor) return -2;  // back-references only
             for (int64_t i = 0; i < len; i++)
                 out[cursor + i] = out[src + i];  // overlap-safe fwd copy
             cursor += len;

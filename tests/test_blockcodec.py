@@ -102,3 +102,45 @@ def test_blockcodec_compresses():
     comp = codec.compress(data)
     assert len(comp) < len(data) // 2
     assert codec.decompress(comp) == data
+
+
+def test_device_rle_long_run_continuation_pieces():
+    # runs > RUN_CAP=8192 use single-char continuation pieces; host,
+    # device, and the (reference-semantics) decoder must all agree
+    cap = 1 << 15
+
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def dev(padded, length, offset):
+        words, n_bytes = rle_encode_device(padded, length, offset)
+        return bytes_from_words(words, cap + cap // 2 + 8), n_bytes
+
+    for offset in (0, 3):
+        for data in [
+            b"a" * 8193,
+            b"a" * 20000 + b"b" + b"a" * 9000,
+            b"q" * 8192 + b"q",  # continuation piece of length 1
+            b"r" * 16384,
+        ]:
+            padded = np.zeros(cap, np.uint8)
+            padded[: len(data)] = np.frombuffer(data, np.uint8)
+            out, n_bytes = dev(jnp.asarray(padded), len(data), offset)
+            got = np.asarray(out)[: int(n_bytes)]
+            host = rle_encode(np.frombuffer(data, np.uint8), offset)
+            assert got.tobytes() == host.tobytes(), (offset, len(data))
+            assert rle_decode(host, offset) == data
+
+
+def test_native_rle_decode_rejects_malformed():
+    # regression for ADVICE r1: run < offset must not underflow
+    from tudocomp_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    # vbyte(1) with offset 5 -> run would be negative
+    bad = np.frombuffer(b"aa\x01", np.uint8)
+    with pytest.raises(ValueError):
+        native.rle_decode(bad, 5)
+    # overlong vbyte continuation chain must be rejected, not shift UB
+    bad2 = np.frombuffer(b"aa" + b"\xff" * 12 + b"\x01", np.uint8)
+    with pytest.raises(ValueError):
+        native.rle_decode(bad2, 0)

@@ -5,8 +5,12 @@ of ``n >= 2`` equal bytes is stored as the byte twice followed by
 ``vbyte(n - 2 + offset)``; single bytes are stored verbatim. One
 TPU-native amendment (see ``ops/rle_jax.py``): runs are split into pieces
 of at most ``RUN_CAP = 8192`` bytes, so every piece's wire contribution
-fits one 32-bit packer token. Any conforming decoder — including the
-reference's — decodes split pieces identically; the size cost is 3 bytes
+fits one 32-bit packer token. The reference decoder keeps ``prev = c``
+armed after a run (``RunLengthEncoder.hpp`` rle_decode), so a
+continuation piece of length ``L`` is encoded as the *single* byte
+followed by ``vbyte(L - 1 + offset)`` — one char, not two — which the
+reference decoder expands as ``run + 1`` copies. Split output is
+therefore decodable by the reference tool bit-for-bit; cost is 3 bytes
 per 8 KiB of run.
 """
 
@@ -30,34 +34,42 @@ def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
     run_starts = np.flatnonzero(boundary)
     run_lens = np.diff(np.append(run_starts, arr.size))
     run_chars = arr[run_starts]
-    # split runs into <= RUN_CAP pieces
+    # split runs into <= RUN_CAP pieces; the first piece of a run uses the
+    # doubled-char form, continuation pieces the single-char form (the
+    # reference decoder's prev stays armed after a run)
     n_pieces = -(-run_lens // RUN_CAP)
     chars = np.repeat(run_chars, n_pieces)
     lens = np.full(chars.size, RUN_CAP, np.int64)
-    last_piece = np.cumsum(n_pieces) - 1
-    lens[last_piece] = run_lens - (n_pieces - 1) * RUN_CAP
-    is_run = lens >= 2
-    v = (lens[is_run] - 2 + offset).astype(np.uint64)
+    ends_cum = np.cumsum(n_pieces)
+    lens[ends_cum - 1] = run_lens - (n_pieces - 1) * RUN_CAP
+    is_first = np.zeros(chars.size, bool)
+    is_first[ends_cum - n_pieces] = True
+    has_vb = ~is_first | (lens >= 2)
+    v = (np.where(is_first, lens - 2, lens - 1)[has_vb] + offset).astype(
+        np.uint64
+    )
     run_payload = encode_vbyte_array(v)
     vlens = np.zeros(chars.size, np.int64)
-    if is_run.any():
+    if has_vb.any():
         nb = np.ones(v.shape, np.int64)
         vv = v.copy()
         for _ in range(9):
             vv >>= np.uint64(7)
             nb += (vv > 0).astype(np.int64)
-        vlens[is_run] = nb
-    out_lens = np.where(is_run, 2 + vlens, 1)
+        vlens[has_vb] = nb
+    nchars = np.where(has_vb & is_first, 2, 1)
+    out_lens = nchars + vlens
     out_ends = np.cumsum(out_lens)
     total = int(out_ends[-1])
     out = np.empty(total, np.uint8)
     out_starts = out_ends - out_lens
     out[out_starts] = chars
-    out[out_starts[is_run] + 1] = chars[is_run]
-    # scatter vbyte payloads after the doubled chars
-    if is_run.any():
-        v_starts = out_starts[is_run] + 2
-        v_ends = v_starts + vlens[is_run]
+    doubled = has_vb & is_first
+    out[out_starts[doubled] + 1] = chars[doubled]
+    # scatter vbyte payloads after the char(s)
+    if has_vb.any():
+        v_starts = (out_starts + nchars)[has_vb]
+        v_ends = v_starts + vlens[has_vb]
         idx = np.concatenate(
             [np.arange(s, e) for s, e in zip(v_starts, v_ends)]
         )
@@ -88,7 +100,7 @@ def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
                     break
             run -= offset
             out.extend([c] * run)
-            prev = -1  # reference resets pairing after a run
+            prev = c  # reference keeps prev armed after a run
         else:
             prev = c
     return bytes(out)

@@ -9,6 +9,7 @@ pure-Python/numpy fallback, so the framework works without a compiler;
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,18 +20,31 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_ROOT, "native", "tdc_native.cpp")
 _BUILD_DIR = os.path.join(_ROOT, "native", "build")
 _SO = os.path.join(_BUILD_DIR, "tdc_native.so")
+_STAMP = _SO + ".srchash"
 
 _lock = threading.Lock()
 _lib = None
 _tried = False
 
 
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
+
+
 def _build() -> bool:
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    if os.path.exists(_SO) and (
-        os.path.getmtime(_SO) >= os.path.getmtime(_SRC)
-    ):
-        return True
+    # Rebuild whenever the source hash recorded next to the artifact does
+    # not match — a stale or foreign .so (wrong -march, unreviewed binary)
+    # is never loaded.
+    want = _src_hash()
+    if os.path.exists(_SO) and os.path.exists(_STAMP):
+        try:
+            with open(_STAMP) as f:
+                if f.read().strip() == want:
+                    return True
+        except OSError:
+            pass
     try:
         subprocess.run(
             [
@@ -39,6 +53,8 @@ def _build() -> bool:
             ],
             check=True, capture_output=True, timeout=120,
         )
+        with open(_STAMP, "w") as f:
+            f.write(want)
         return True
     except Exception:
         return False
@@ -181,6 +197,8 @@ def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
     while True:
         out = np.empty(cap, np.uint8)
         got = lib.tdc_rle_decode(inp, inp.size, out, cap, offset)
+        if got == -2:
+            raise ValueError("malformed RLE stream")
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
@@ -235,6 +253,8 @@ def lz78_expand(refs: np.ndarray, chars: np.ndarray):
     while True:
         out = np.empty(cap, np.uint8)
         got = lib.tdc_lz78_expand(refs, chars, refs.size, out, cap)
+        if got == -2:
+            raise ValueError("malformed LZ78 stream: forward factor ref")
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4

@@ -452,19 +452,24 @@ def _rle_pack_kernel(
     since = e - sor_e_prev
     piece_len = (since % RUN_CAP) + 1
     is_end = (boundary | (piece_len == RUN_CAP)) & (e >= 0) & (e < length)
-    is_run = piece_len >= 2
+    is_cont = since >= RUN_CAP  # continuation piece: single char + vbyte
+    is_run = is_cont | (piece_len >= 2)
 
-    # vbyte(piece_len - 2 + offset) as one <= 16-bit token
-    v = jnp.maximum(piece_len - 2 + offset, 0)
+    # vbyte(piece_len - 2 + offset), or - 1 for continuation pieces,
+    # as one <= 16-bit token (ops/rle_jax.py spec)
+    v = jnp.maximum(
+        jnp.where(is_cont, piece_len - 1, piece_len - 2) + offset, 0
+    )
     two = v >= 128
     b0 = (v & 0x7F) | jnp.where(two, _I32(0x80), _I32(0))
     b1 = _srl(v, 7) & 0x7F
     vb_val = jnp.where(two, (b0 << 8) | b1, b0)
     vb_bits = jnp.where(two, 16, 8)
-    cc = (c_e << 8) | c_e
+    cc = jnp.where(is_cont, c_e, (c_e << 8) | c_e)
+    head_bits = jnp.where(is_cont, 8, 16)
     run_val = (cc << vb_bits) | vb_val
     values = jnp.where(is_run, run_val, c_e)
-    lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
+    lens = jnp.where(is_end, jnp.where(is_run, head_bits + vb_bits, 8), 0)
 
     tile_bits = _pack_tile(
         values, lens, words_ref, acc_ref, out_words_ref,

@@ -3,12 +3,15 @@
 Format: the reference scheme (``compressors/RunLengthEncoder.hpp``: run of
 n >= 2 equal bytes -> byte, byte, vbyte(n - 2 + offset); single byte
 verbatim) with one TPU-native amendment — **runs are split into pieces of
-at most RUN_CAP = 8192 bytes**. The reference decoder (and ours,
-``compressors/rle.py:rle_decode``) decodes split pieces identically (it
-re-arms after every run), the size cost is 3 bytes per 8 KiB of run, and
-the gain is that every piece emits ONE <= 32-bit token (char or
-char,char,vbyte<=2B merged), so the stream is exactly one token slot per
-input byte:
+at most RUN_CAP = 8192 bytes**. The first piece of a run uses the doubled
+char; continuation pieces of length L emit the char ONCE followed by
+vbyte(L - 1 + offset), because the reference decoder keeps ``prev``
+armed after a run, so a single repeat char triggers the vbyte read and
+expands to ``run + 1`` copies. Split output is therefore decodable by
+the reference tool; the size cost is 3 bytes per 8 KiB of run, and the
+gain is that every piece emits ONE <= 32-bit token (char or
+char[,char],vbyte<=2B merged), so the stream is exactly one token slot
+per input byte:
 
 1. run boundaries   = elementwise neq with left neighbor
 2. start-of-run     = forward cummax of boundary indices — the ONLY scan
@@ -70,13 +73,17 @@ def rle_tokens(block: jnp.ndarray, length, offset: int = 0):
     since = idx - sor
     piece_len = (since % RUN_CAP) + 1
     is_end = (next_boundary | (piece_len == RUN_CAP)) & (idx < length)
-    is_run = piece_len >= 2
+    is_cont = since >= RUN_CAP  # continuation piece (not first of run)
+    is_run = is_cont | (piece_len >= 2)
     vb_val, vb_bits = vbyte2_token(
-        jnp.maximum(piece_len - 2 + offset, 0).astype(_U32)
+        jnp.maximum(
+            jnp.where(is_cont, piece_len - 1, piece_len - 2) + offset, 0
+        ).astype(_U32)
     )
-    cc = (a << _U32(8)) | a
+    cc = jnp.where(is_cont, a, (a << _U32(8)) | a)
+    head_bits = jnp.where(is_cont, 8, 16)
     run_val = (cc << vb_bits.astype(_U32)) | vb_val
-    run_bits = 16 + vb_bits
+    run_bits = head_bits + vb_bits
     values = jnp.where(is_run, run_val, a)
     lens = jnp.where(is_end, jnp.where(is_run, run_bits, 8), 0)
     return values, lens.astype(_U32)
