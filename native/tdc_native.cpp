@@ -717,4 +717,153 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
     return m;
 }
 
+// ---- monotone subsequence decomposition (ESP "succinct" coding) -------
+// Re-derivation of esp/MonotoneSubsequences.hpp create_dpi_and_b_...:
+// repeatedly extract the longest monotone (increasing vs decreasing,
+// tie -> increasing) subsequence of the remaining sorted-index sequence
+// via patience piles with parent links. Dpi[rank] = subsequence id;
+// b[id] = 0 increasing / 1 decreasing. Returns subsequence count.
+
+static int64_t patience_lis(const int64_t* vals, int64_t m, int sign,
+                            std::vector<int64_t>& tails,
+                            std::vector<int64_t>& tails_idx,
+                            std::vector<int64_t>& parent,
+                            std::vector<int64_t>& out_idx) {
+    tails.clear(); tails_idx.clear();
+    parent.assign(size_t(m), -1);
+    for (int64_t k = 0; k < m; k++) {
+        int64_t v = sign * vals[k];
+        // first pile with tail >= v (strictly increasing subsequence)
+        size_t lo = 0, hi = tails.size();
+        while (lo < hi) {
+            size_t mid = (lo + hi) / 2;
+            if (tails[mid] >= v) hi = mid; else lo = mid + 1;
+        }
+        if (lo > 0) parent[size_t(k)] = tails_idx[lo - 1];
+        if (lo == tails.size()) {
+            tails.push_back(v); tails_idx.push_back(k);
+        } else {
+            tails[lo] = v; tails_idx[lo] = k;
+        }
+    }
+    out_idx.clear();
+    int64_t cur = tails_idx.empty() ? -1 : tails_idx.back();
+    while (cur != -1) { out_idx.push_back(cur); cur = parent[size_t(cur)]; }
+    std::reverse(out_idx.begin(), out_idx.end());
+    return int64_t(tails.size());
+}
+
+int64_t tdc_monotone_decompose(const int64_t* sis, int64_t n,
+                               int64_t* Dpi, uint8_t* b, int64_t b_cap) {
+    std::vector<int64_t> active((size_t)n);
+    std::vector<int64_t> vals((size_t)n);
+    for (int64_t i = 0; i < n; i++) active[size_t(i)] = i;
+    std::vector<int64_t> tails, tails_idx, parent, inc, dec;
+    int64_t rounds = 0;
+    int64_t m = n;
+    while (m > 0) {
+        for (int64_t k = 0; k < m; k++)
+            vals[size_t(k)] = sis[active[size_t(k)]];
+        int64_t li = patience_lis(vals.data(), m, +1, tails, tails_idx,
+                                  parent, inc);
+        int64_t ld = patience_lis(vals.data(), m, -1, tails, tails_idx,
+                                  parent, dec);
+        const std::vector<int64_t>& take = (li >= ld) ? inc : dec;
+        if (rounds >= b_cap) return -1;
+        b[rounds] = (li >= ld) ? 0 : 1;
+        // mark and compact
+        int64_t t = 0;
+        int64_t w = 0;
+        for (int64_t k = 0; k < m; k++) {
+            if (t < int64_t(take.size()) && take[size_t(t)] == k) {
+                Dpi[active[size_t(k)]] = rounds;
+                t++;
+            } else {
+                active[size_t(w++)] = active[size_t(k)];
+            }
+        }
+        m = w;
+        rounds++;
+    }
+    return rounds;
+}
+
+// ---- TBC2 container (models/blockcodec.py) ---------------------------
+// Per-segment framing: vbyte(count<<2 | rle_raw<<1 | huff_raw),
+// vbyte(payload_bytes), payload. Parse fills per-segment arrays; decode
+// runs canonical-Huffman LUT walk + RLE expansion per segment (reference
+// semantics: coders/HuffmanCoder.hpp:377-397, RunLengthEncoder.hpp).
+
+static inline int64_t tbc2_read_vbyte(const uint8_t* d, int64_t n,
+                                      int64_t* pos, uint64_t* out) {
+    uint64_t v = 0;
+    int shift = 0;
+    while (*pos < n) {
+        uint8_t b = d[(*pos)++];
+        if (shift > 63) return -2;
+        v |= uint64_t(b & 0x7F) << shift;
+        shift += 7;
+        if (!(b & 0x80)) { *out = v; return 0; }
+    }
+    return -2;
+}
+
+int64_t tdc_tbc2_parse(const uint8_t* data, int64_t n, int64_t pos,
+                       int64_t nseg, uint32_t* counts, uint8_t* flags,
+                       int64_t* poff, int64_t* pbytes) {
+    for (int64_t i = 0; i < nseg; i++) {
+        uint64_t m1, m2;
+        if (tbc2_read_vbyte(data, n, &pos, &m1) < 0) return -2;
+        if (tbc2_read_vbyte(data, n, &pos, &m2) < 0) return -2;
+        counts[i] = uint32_t(m1 >> 2);
+        flags[i] = uint8_t(m1 & 3);
+        poff[i] = pos;
+        pbytes[i] = int64_t(m2);
+        pos += int64_t(m2);
+        if (pos > n) return -2;
+    }
+    return pos;
+}
+
+// Decode segments [lo, hi). out must hold orig_len bytes; segment i
+// writes out[i*seg .. i*seg + min(seg, orig_len - i*seg)). Returns 0,
+// or -2 on malformed input. GIL-free; callers shard [lo,hi) per thread.
+int64_t tdc_tbc2_decode(const uint8_t* data, const uint32_t* counts,
+                        const uint8_t* flags, const int64_t* poff,
+                        const int64_t* pbytes, int64_t lo, int64_t hi,
+                        const uint8_t* lut_sym, const uint8_t* lut_len,
+                        int k, int64_t seg, int64_t orig_len,
+                        int64_t offset, uint8_t* out) {
+    std::vector<uint8_t> syms(size_t(2 * seg));
+    for (int64_t i = lo; i < hi; i++) {
+        int64_t n_out = orig_len - i * seg;
+        if (n_out > seg) n_out = seg;
+        if (n_out <= 0) break;
+        int64_t cnt = int64_t(counts[i]);
+        if (cnt > 2 * seg) return -2;
+        const uint8_t* payload = data + poff[i];
+        int64_t pb = pbytes[i];
+        const uint8_t* sp;
+        if (flags[i] & 1) {  // huff_raw: verbatim symbol bytes
+            if (cnt > pb) return -2;
+            sp = payload;
+        } else {
+            if (k <= 0) return -2;
+            if (tdc_huffman_decode(payload, pb, cnt, lut_sym, lut_len,
+                                   k, syms.data()) < 0)
+                return -2;
+            sp = syms.data();
+        }
+        uint8_t* dst = out + i * seg;
+        if (flags[i] & 2) {  // rle_raw: symbols are output bytes
+            if (cnt < n_out) return -2;
+            memcpy(dst, sp, size_t(n_out));
+        } else {
+            int64_t got = tdc_rle_decode(sp, cnt, dst, n_out, offset);
+            if (got != n_out) return -2;
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -22,3 +22,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the TBC2 decode scan is a large program
+# whose CPU compile takes ~1 min per shape bucket; cache it across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp-cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+# Run the whole suite with the debug/paranoid invariant layer armed
+# (reference IF_DEBUG/IF_PARANOID, def.hpp:27-60) so kernel changes are
+# exercised against Kraft/permutation/LF checks.
+os.environ.setdefault("TDC_PARANOID", "1")

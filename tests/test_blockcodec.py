@@ -82,22 +82,45 @@ def test_huffman_fast_decode_roundtrip():
     np.testing.assert_array_equal(got, data)
 
 
-@pytest.mark.parametrize("block_size,sub_chunks", [(256, 4), (1 << 12, 8)])
-def test_blockcodec_roundtrip(block_size, sub_chunks):
-    codec = BlockCodec(block_size=block_size, sub_chunks=sub_chunks)
+def test_blockcodec_roundtrip():
+    codec = BlockCodec()
     rng = np.random.default_rng(1)
     cases = [c for c in CORPUS] + [
-        rng.integers(0, 4, 5 * block_size + 17, dtype=np.uint8).tobytes(),
-        b"\x00" * (2 * block_size),
-        bytes(rng.integers(0, 256, block_size, dtype=np.uint8)),
+        rng.integers(0, 4, 5 * 2048 + 17, dtype=np.uint8).tobytes(),
+        b"\x00" * (2 * 4096),
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        b"ab" * 3000,  # run-of-2-heavy: rle_raw escape path
     ]
     for data in cases:
         comp = codec.compress(data)
         assert codec.decompress(comp) == data, data[:40]
 
 
+def test_blockcodec_device_decode_matches_host():
+    """The TPU lockstep decoder (pure XLA; runs on any backend) must be
+    bit-identical to the host/native specification decoder."""
+    codec = BlockCodec()
+    rng = np.random.default_rng(5)
+    cases = [c for c in CORPUS if c] + [
+        b"a" * 5000,
+        bytes(rng.integers(0, 4, 50000, dtype=np.uint8)),
+        bytes(
+            rng.choice(
+                np.frombuffer(b"abc \n", np.uint8), 30000,
+                p=[0.4, 0.3, 0.1, 0.15, 0.05],
+            )
+        ),
+        b"\x00" * 10000 + b"ab" * 3000,
+        bytes(rng.integers(0, 256, 10000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        comp = codec.compress(data)
+        assert codec.decompress(comp) == data, ("host", data[:40])
+        assert codec.decompress_device(comp) == data, ("dev", data[:40])
+
+
 def test_blockcodec_compresses():
-    codec = BlockCodec(block_size=1 << 12, sub_chunks=8)
+    codec = BlockCodec()
     data = (b"the quick brown fox " * 400)[: 1 << 13]
     comp = codec.compress(data)
     assert len(comp) < len(data) // 2

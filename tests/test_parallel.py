@@ -34,5 +34,5 @@ def test_graft_entry():
     import jax
 
     out = jax.jit(fn)(*args)
-    assert len(out) == 4
+    assert len(out) == 3
     ge.dryrun_multichip(8)

@@ -78,3 +78,12 @@ def test_random_uniform_deterministic():
     b = random_uniform(100, seed=5)
     assert a == b
     assert all(ord("0") <= c <= ord("9") for c in a)
+
+
+def test_native_runtime_builds():
+    """The C runtime must compile on this machine — fallbacks exist for
+    portability, but a silent build failure would mask a 100x slowdown
+    (and did, round 2: a -Wvexing-parse error)."""
+    from tudocomp_tpu import native
+
+    assert native.available(), "native/tdc_native.cpp failed to build"

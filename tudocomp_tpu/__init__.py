@@ -8,6 +8,33 @@ string such as ``lzss_lcp(coder=huff, threshold=5)``.
 
 __version__ = "0.1.0"
 
+
+def _default_compile_cache() -> None:
+    """Compiles over the tunneled TPU take minutes; make the persistent
+    XLA compile cache the default for every entry point (CLI, library,
+    bench). An explicit jax.config / env setting wins; opt out with
+    TDC_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("TDC_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/jaxcomp"),
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
+    except Exception:
+        pass
+
+
+_default_compile_cache()
+
 from tudocomp_tpu.ranges import (  # noqa: F401
     Range,
     BitRange,

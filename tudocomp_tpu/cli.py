@@ -126,7 +126,11 @@ def main(argv=None) -> int:
     else:
         p.error("no input (file, --usestdin, or -g)")
 
-    root = StatPhase(args.stats or "root")
+    # --stats enables memory tracking like the reference's malloc
+    # override (tracemalloc costs ~2x time, so it's opt-in via the flag)
+    root = StatPhase(
+        args.stats or "root", track_memory=args.stats is not None
+    )
     with root:
         if args.decompress:
             out = decompress(

@@ -48,11 +48,26 @@ def gen_codelengths_limited(counts: np.ndarray, max_len: int = 31):
     only adversarial Fibonacci-like count vectors are touched at all.
     """
     c = np.asarray(counts, np.int64)
+    if c.size > (1 << max_len):
+        raise ValueError(
+            f"{c.size} symbols cannot fit codes of <= {max_len} bits"
+        )
     while True:
         lengths = gen_codelengths(c)
         if lengths.max() <= max_len:
             return lengths
-        c = (c + 1) // 2
+        new_c = (c + 1) // 2
+        if (new_c == c).all():
+            # counts saturated at 1 but the alphabet fits max_len: use
+            # the near-balanced full-Kraft code (2^d - n symbols of
+            # d-1 bits, the rest d bits; shorter codes to higher counts)
+            d = int(np.ceil(np.log2(c.size)))
+            lengths = np.full(c.size, d, np.uint8)
+            n_short = (1 << d) - c.size
+            by_count = np.argsort(-c, kind="stable")
+            lengths[by_count[:n_short]] = d - 1
+            return lengths
+        c = new_c
 
 
 def gen_codelengths(counts: np.ndarray) -> np.ndarray:
@@ -98,20 +113,34 @@ class HuffmanTable:
         self.sym_len[self.symbols] = self.lengths
 
     def _gen_firstcodes(self) -> np.ndarray:
+        # Ceiling division (the reference floors, HuffmanCoder.hpp:195):
+        # identical for full-Kraft tables (fc[i]+numl[i] is even at every
+        # level), but sound also for Kraft-deficient tables (min-length
+        # clamping), where flooring lets the first-hit decode rule stop
+        # at an empty shorter length.
         fc = np.zeros(self.longest, np.int64)
         for i in range(self.longest - 1, 0, -1):
-            fc[i - 1] = (fc[i] + self.numl[i]) // 2
+            fc[i - 1] = (fc[i] + self.numl[i] + 1) // 2
         return fc
 
     @classmethod
     def from_counts(
-        cls, counts256: np.ndarray, max_len: int | None = None
+        cls, counts256: np.ndarray, max_len: int | None = None,
+        min_len: int | None = None,
     ) -> "HuffmanTable":
         eff = np.flatnonzero(counts256)
         if max_len is None:
             lengths = gen_codelengths(counts256[eff])
         else:
             lengths = gen_codelengths_limited(counts256[eff], max_len)
+        if min_len is not None and lengths.size > 1:
+            # lengthening codes keeps the Kraft sum <= 1, so a canonical
+            # code with the clamped lengths always exists. The TPU
+            # decoder's drain invariant needs min length >= 2.
+            lengths = np.maximum(lengths, min_len).astype(lengths.dtype)
+        from tudocomp_tpu.debug import check_kraft
+
+        check_kraft(lengths, full=min_len is None)
         order = np.argsort(lengths, kind="stable")
         return cls(eff[order].astype(np.uint8), lengths[order])
 

@@ -16,9 +16,10 @@ compressors built on it:
    (``LZSSLCPCompressor.hpp:42-124``), encoded with the shared format and
    decoded through a back-reference buffer.
 
-Factorization is re-derived for the device path in ``ops/lzss_jax.py``
-(match-length scans + pointer-doubling greedy parse); this module is the
-host specification.
+Factorization runs on the host (vectorized numpy + the native C
+factorizer/decoder in ``native/tdc_native.cpp``); there is no device
+factorization kernel yet — the TPU path for LZ-class output is the
+flagship segment codec (``models/blockcodec.py``).
 """
 
 from __future__ import annotations

@@ -35,6 +35,9 @@ def bwt_decode(bwt_bytes: bytes) -> bytes:
     if n <= 1:
         return b""
     lf = compute_lf(bwt)
+    from tudocomp_tpu.debug import check_lf
+
+    check_lf(lf, bwt)  # paranoid (ds/bwt.hpp:55-65)
     out = np.empty(n - 1, np.uint8)
     lf_list = lf.tolist()
     bw = bwt.tolist()

@@ -26,9 +26,11 @@ def suffix_array(text) -> np.ndarray:
     if n == 0:
         return np.zeros(0, np.int64)
     from tudocomp_tpu import native
+    from tudocomp_tpu.debug import assert_permutation
 
     got = native.suffix_array(t)
     if got is not None:
+        assert_permutation(got, n)  # paranoid (util.hpp:449-473)
         return got
     rank = t.astype(np.int64)
     idx = np.arange(n)

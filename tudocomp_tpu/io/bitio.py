@@ -198,8 +198,17 @@ class BitWriter:
                 np.ones(values.shape, np.uint64), (values + 1)
             )
             return
-        for v in values.tolist():  # rare wide path
-            self.write_unary(v)
+        # wide path, still vectorized: emit ceil(v/31) tokens per value —
+        # (v % 31) zeros + the terminating one, then 31-zero filler
+        # tokens scattered before their value's terminator
+        n_fill = values // 31
+        total = int(n_fill.sum()) + values.size
+        tv = np.zeros(total, np.uint64)
+        tl = np.full(total, 31, np.int64)
+        ends = np.cumsum(n_fill + 1) - 1
+        tv[ends] = 1
+        tl[ends] = values % 31 + 1
+        self.write_tokens(tv, tl)
 
     def write_gamma_array(self, values) -> None:
         values = np.asarray(values, dtype=np.uint64)
@@ -388,5 +397,29 @@ class BitReader:
         out = (chunk.astype(np.uint64) * weights).sum(
             axis=1, dtype=np.uint64
         )
+        self.pos = end
+        return out
+
+    def read_unary_array(self, count: int) -> np.ndarray:
+        """Read ``count`` consecutive unary values (vectorized via the
+        precomputed one-bit index)."""
+        if count == 0:
+            return np.zeros(0, np.int64)
+        i = np.searchsorted(self._ones, self.pos)
+        if i + count > self._ones.size:
+            raise EOFError("unary bulk read past end of stream")
+        ones = self._ones[i : i + count].astype(np.int64)
+        out = np.empty(count, np.int64)
+        out[0] = ones[0] - self.pos
+        out[1:] = np.diff(ones) - 1
+        self.pos = int(ones[-1]) + 1
+        return out
+
+    def read_bit_array(self, count: int) -> np.ndarray:
+        """Read ``count`` consecutive bits as a u8 array."""
+        end = self.pos + count
+        if end > self.total:
+            raise EOFError("bit bulk read past end of stream")
+        out = self._bits[self.pos : end].copy()
         self.pos = end
         return out

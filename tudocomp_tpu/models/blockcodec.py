@@ -1,29 +1,36 @@
-"""Flagship device pipeline: block-parallel RLE + shared canonical Huffman.
+"""Flagship device pipeline: segment-parallel RLE + shared canonical Huffman.
 
 This is BASELINE.json config 1/2 re-designed TPU-first (reference
 counterparts: ``compressors/RunLengthEncoder.hpp`` + ``coders/
 HuffmanCoder.hpp``, composed like ``rle:encode(huff)``):
 
-- the input splits into fixed-size **blocks** (the data-parallel unit over
-  chips, see ``parallel/pipeline.py``);
-- each block RLEs on device (token emission + bitpack — no sequential
-  loop);
-- ONE canonical Huffman table is built (host, ~256-element problem) from
-  the device-computed *global* histogram of RLE bytes — across chips the
-  histogram merges with psum and the table broadcasts (SURVEY.md §2.7);
-- each block's RLE bytes split into ``sub_chunks`` fixed slices that
-  Huffman-pack **independently** (gather + bitpack). Sub-chunk framing is
-  the TPU-native wire-format decision: it costs a few bytes per chunk and
-  buys (a) sequence-parallel encode across chips within a block and
-  (b) embarrassingly parallel decode.
+- the input splits into fixed **segments** of ``SEG = 2048`` output
+  bytes — the lockstep SIMD unit for both encode and decode, and the
+  data-parallel unit across chips (``parallel/pipeline.py``);
+- each segment RLEs independently on device (the Pallas fused kernel's
+  per-chunk state reset makes segments self-contained runs);
+- ONE canonical Huffman table (min code length 2, max 16) is built on
+  the host from the device-computed histogram of RLE bytes — across
+  chips the histogram merges with psum and the table broadcasts;
+- each segment's RLE bytes Huffman-pack independently (fused Pallas
+  lookup+pack kernel), with two per-segment worst-case escapes:
+  ``rle_raw`` (RLE would expand: symbols are the verbatim input bytes)
+  and ``huff_raw`` (coding would expand: payload is the verbatim
+  symbol bytes). The escapes bound every segment to <= SEG symbols and
+  <= 8*count payload bits — the static guarantees the TPU decoder's
+  lockstep schedule is built on (``ops/hufdec_jax.py``).
 
-Container layout (integers are byte-aligned vbyte):
+Container layout (TBC2; integers are byte-aligned vbyte):
 
-    magic "TBC1" | vbyte(header_len) |
-    header (finished bit stream): block_size, sub_chunks, offset, orig_len,
+    magic "TBC2" | vbyte(header_len) |
+    header (finished bit stream): seg_size, offset, orig_len,
         table flag + huffman table (as coders/huffman.py) |
-    per block: vbyte(rle_len), sub_chunks x vbyte(chunk_bits),
-        payload bytes per chunk (byte-aligned)
+    per segment: vbyte(count << 2 | rle_raw << 1 | huff_raw),
+        vbyte(payload_bytes), payload (byte-aligned)
+
+Per-segment framing costs ~4 bytes per 2 KiB (~0.2%) and buys fully
+parallel decode on both TPU (lockstep scan) and host (native batch
+kernel, all cores).
 """
 
 from __future__ import annotations
@@ -35,204 +42,187 @@ import jax.numpy as jnp
 import numpy as np
 
 from tudocomp_tpu.coders.huffman import HuffmanTable
-from tudocomp_tpu.native import rle_decode
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
 from tudocomp_tpu.ops.bitpack_pallas import (
     pack_bytes_huffman_chunks,
-    pack_tokens_chunks,
     rle_pack_chunks,
 )
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
-from tudocomp_tpu.ops.rle_jax import bytes_from_words, rle_tokens
+from tudocomp_tpu.ops.hufdec_jax import (
+    DEC_STEPS,
+    SEG,
+    SEG_CAP,
+    decode_segments,
+    decoder_tables,
+    expand_records,
+)
+from tudocomp_tpu.ops.rle_jax import bytes_from_words
 from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
 
-def PACK_TILE() -> int:
-    """Token tile for the Pallas pack: large on TPU for MXU efficiency,
-    small under CPU interpret mode (tests) to avoid padding waste."""
-    return 4096 if jax.default_backend() == "tpu" else 256
+MAGIC = b"TBC2"
+
+#: payload words kept per segment: bits <= 8 * count <= 16384 -> 512
+#: words (+2 slack)
+PAYLOAD_WORDS = 520
+
+#: segments per device batch (16 MiB of output per batch)
+BATCH_LANES = 8192
 
 
-def _pad_tokens(values, lens, tile):
-    """Pad token arrays to a tile multiple with zero-length tokens."""
-    n = values.shape[-1]
-    pad = (-n) % tile
-    if pad:
-        values = jnp.pad(values, ((0, 0), (0, pad)))
-        lens = jnp.pad(lens, ((0, 0), (0, pad)))
-    return values, lens
+def _bucket(n: int, full: int = BATCH_LANES) -> int:
+    """Batch-shape bucket. On TPU every batch pads to the one full
+    shape — lanes are parallel so small inputs cost latency, not time,
+    and tunnel compiles cost minutes per new shape. On CPU (tests,
+    interpret-mode Pallas) small power-of-two buckets keep the
+    interpreter cheap."""
+    import jax
+
+    if jax.default_backend() == "tpu":
+        return full
+    return 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
 
 
-def _pad_bytes(data, tile):
-    n = data.shape[-1]
-    pad = (-n) % tile
-    if pad:
-        data = jnp.pad(data, ((0, 0), (0, pad)))
-    return data
+@functools.partial(jax.jit, static_argnames=("offset", "sample"))
+def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
+    """Stage 1: per-segment device RLE + escape + table histogram.
 
-MAGIC = b"TBC1"
-
-
-def rle_capacity(block_size: int, sub_chunks: int) -> int:
-    """Worst-case RLE output bytes (1.5x: length-2 runs), aligned so every
-    sub-chunk is a multiple of 4 bytes."""
-    cap = block_size + block_size // 2 + 8
-    align = 4 * sub_chunks
-    return cap + (-cap) % align
-
-
-#: blocks with RLE capacity below this use the full histogram — for
-#: small blocks the fixed table overhead dominates, not the hist pass
-TABLE_SAMPLE_MIN_CAP = 1 << 18
-
-
-def table_histogram(rle_bytes, rle_lens, cap: int, tile: int):
-    """Histogram for table construction, sampled 1/8 for large blocks
-    (the one-hot hist kernel is VMEM-bandwidth bound)."""
-    if cap >= TABLE_SAMPLE_MIN_CAP:
-        sample_cap = max(tile, (cap >> 3) // tile * tile)
-        return histogram_chunks(
-            _pad_bytes(rle_bytes[:, :sample_cap], tile),
-            jnp.minimum(rle_lens, sample_cap),
-            tile=tile,
-        )
-    return histogram_chunks(_pad_bytes(rle_bytes, tile), rle_lens, tile=tile)
-
-
-@functools.partial(jax.jit, static_argnames=("offset", "cap"))
-def rle_histogram_step(blocks, lengths, *, offset: int, cap: int):
-    """Stage 1 (per batch of blocks): device RLE + table histogram.
-
-    Token emission is elementwise XLA; the variable-length pack and the
-    histogram run in the Pallas kernels (ops/bitpack_pallas.py,
-    ops/hist_pallas.py). For large blocks the table histogram samples the
-    first 1/8 of each block's RLE bytes (the zstd approach; the +1 in
-    ``_table_from_hist`` keeps every byte value encodable).
-
-    Returns ``(rle_bytes: u8[B,cap], rle_lens: i32[B], hist: u32[256])``.
+    seg_rows: u8[NC, SEG], seg_lens: i32[NC]. Returns
+    ``(rows u8[NC, SEG_CAP], counts i32[NC], rle_raw bool[NC],
+    hist u32[256])``. ``rows`` are zero-masked past ``counts`` so the
+    container bytes are deterministic.
     """
-    tile = PACK_TILE()
     words, rle_lens = rle_pack_chunks(
-        blocks, lengths, tile=tile, offset=offset
+        seg_rows, seg_lens, tile=SEG, offset=offset
     )
-    rle_bytes = jax.vmap(lambda w: bytes_from_words(w, cap))(words)
-    hist = table_histogram(rle_bytes, rle_lens, cap, tile)
-    return rle_bytes, rle_lens, hist
+    rle_rows = jax.vmap(lambda w: bytes_from_words(w, SEG_CAP))(words)
+    rle_raw = rle_lens > seg_lens  # RLE would expand: keep input bytes
+    padded_in = jnp.pad(seg_rows, ((0, 0), (0, SEG_CAP - SEG)))
+    rows = jnp.where(rle_raw[:, None], padded_in, rle_rows)
+    counts = jnp.where(rle_raw, seg_lens, rle_lens).astype(jnp.int32)
+    pos = jnp.arange(SEG_CAP, dtype=jnp.int32)[None, :]
+    rows = jnp.where(pos < counts[:, None], rows, 0)
+    if sample:  # 1-in-8 segments feed the table histogram (zstd-style)
+        hist = histogram_chunks(rows[::8], counts[::8], tile=SEG_CAP)
+    else:
+        hist = histogram_chunks(rows, counts, tile=SEG_CAP)
+    return rows, counts, rle_raw, hist
 
 
-@functools.partial(jax.jit, static_argnames=("sub_chunks",))
-def pack_step(rle_bytes, rle_lens, sym_code, sym_len, *, sub_chunks: int):
-    """Stage 2: fused per-sub-chunk Huffman lookup + Pallas pack — the
-    (code, len) table rides the MXU inside the pack kernel, so no token
-    arrays round-trip through HBM.
+@jax.jit
+def huff_stage(rows, counts, sym_code, sym_len):
+    """Stage 2: fused per-segment Huffman lookup + Pallas pack, with the
+    ``huff_raw`` escape resolved on device (payload = verbatim bytes
+    whenever coding would not strictly shrink the segment).
 
-    Returns ``(words: u32[B,S,Wc], bits: i32[B,S])``.
+    Returns ``(words u32[NC, PAYLOAD_WORDS], bits i32[NC],
+    huff_raw bool[NC])``.
     """
-    b, cap = rle_bytes.shape
-    cs = cap // sub_chunks
-    chunks = rle_bytes.reshape(b * sub_chunks, cs)
-    starts = jnp.arange(sub_chunks, dtype=jnp.int32) * cs
-    chunk_lens = jnp.clip(
-        rle_lens[:, None] - starts[None, :], 0, cs
-    ).reshape(-1)
-    tile = PACK_TILE()
-    chunks = _pad_bytes(chunks, tile)
     words, bits = pack_bytes_huffman_chunks(
-        chunks, chunk_lens, sym_code, sym_len, tile=tile
+        rows, counts, sym_code, sym_len, tile=SEG_CAP
     )
-    wc = words.shape[-1]
-    return (
-        words.reshape(b, sub_chunks, wc),
-        bits.reshape(b, sub_chunks),
+    huff_raw = bits >= counts * 8
+    r = rows.astype(jnp.uint32)
+    raw_words = (
+        (r[:, 0::4] << 24) | (r[:, 1::4] << 16)
+        | (r[:, 2::4] << 8) | r[:, 3::4]
+    )  # [NC, SEG_CAP//4] big-endian
+    out = jnp.where(
+        huff_raw[:, None],
+        raw_words[:, :PAYLOAD_WORDS],
+        words[:, :PAYLOAD_WORDS].astype(jnp.uint32),
     )
-
-
-@functools.partial(
-    jax.jit, static_argnames=("offset", "cap", "sub_chunks")
-)
-def flagship_step(
-    blocks, lengths, sym_code, sym_len, *, offset: int, cap: int,
-    sub_chunks: int,
-):
-    """The full fused encode step (histogram emitted for the next batch's
-    table — the two-pass pipeline software-pipelines over batches)."""
-    rle_bytes, rle_lens, hist = rle_histogram_step(
-        blocks, lengths, offset=offset, cap=cap
-    )
-    words, bits = pack_step(
-        rle_bytes, rle_lens, sym_code, sym_len, sub_chunks=sub_chunks
-    )
-    return words, bits, rle_lens, hist
+    bits = jnp.where(huff_raw, counts * 8, bits)
+    return out, bits, huff_raw
 
 
 class BlockCodec:
-    """Host orchestration: split -> device encode -> container assembly."""
+    """Host orchestration: split -> device encode -> container assembly.
 
-    def __init__(
-        self, block_size: int = 1 << 20, sub_chunks: int = 8,
-        offset: int = 0,
-    ):
-        self.block_size = block_size
-        self.sub_chunks = sub_chunks
+    ``batch_lanes`` segments are processed per device dispatch (padded
+    to power-of-two buckets so compilations are reused).
+    """
+
+    def __init__(self, offset: int = 0, batch_lanes: int = BATCH_LANES,
+                 **_compat):
+        # _compat swallows the retired TBC1 knobs (block_size,
+        # sub_chunks) so older call sites keep working.
         self.offset = offset
-        self.cap = rle_capacity(block_size, sub_chunks)
+        self.batch_lanes = batch_lanes
 
     # -- encode --------------------------------------------------------------
 
-    def split_blocks(self, data: bytes):
+    def split_segments(self, data: bytes):
         n = len(data)
-        bs = self.block_size
-        n_blocks = max(1, -(-n // bs))
-        arr = np.zeros((n_blocks, bs), np.uint8)
+        nseg = -(-n // SEG)
+        arr = np.zeros((nseg, SEG), np.uint8)
         flat = np.frombuffer(data, np.uint8)
-        for i in range(n_blocks):
-            piece = flat[i * bs : (i + 1) * bs]
-            arr[i, : piece.size] = piece
-        lengths = np.minimum(
-            np.full(n_blocks, bs, np.int32),
-            n - bs * np.arange(n_blocks, dtype=np.int64),
+        arr.reshape(-1)[:n] = flat
+        lens = np.minimum(
+            np.full(nseg, SEG, np.int64),
+            n - SEG * np.arange(nseg, dtype=np.int64),
         ).astype(np.int32)
-        return arr, lengths
+        return arr, lens
 
     def compress(self, data: bytes) -> bytes:
-        blocks, lengths = self.split_blocks(data)
-        n_blocks = blocks.shape[0]
-        # pad the batch to a power of two: one compilation per size bucket
-        b2 = 1 << (n_blocks - 1).bit_length() if n_blocks > 1 else 1
-        if b2 != n_blocks:
-            blocks = np.pad(blocks, ((0, b2 - n_blocks), (0, 0)))
-            lengths = np.pad(lengths, (0, b2 - n_blocks))
-        rle_bytes, rle_lens, hist = rle_histogram_step(
-            jnp.asarray(blocks), jnp.asarray(lengths),
-            offset=self.offset, cap=self.cap,
-        )
-        hist = np.asarray(hist, np.int64)
-        table = self._table_from_hist(hist)
+        n = len(data)
+        if n == 0:
+            return self._assemble_empty()
+        seg_rows, seg_lens = self.split_segments(data)
+        nseg = seg_rows.shape[0]
+        rows_l, counts_l, rleraw_l = [], [], []
+        hist = np.zeros(256, np.int64)
+        sampled = False
+        for lo in range(0, nseg, self.batch_lanes):
+            hi = min(lo + self.batch_lanes, nseg)
+            b = _bucket(hi - lo)
+            br = np.zeros((b, SEG), np.uint8)
+            br[: hi - lo] = seg_rows[lo:hi]
+            bl = np.zeros(b, np.int32)
+            bl[: hi - lo] = seg_lens[lo:hi]
+            sample = b >= 64
+            sampled = sampled or sample
+            rows, counts, rleraw, h = rle_stage(
+                jnp.asarray(br), jnp.asarray(bl),
+                offset=self.offset, sample=sample,
+            )
+            rows_l.append(rows)
+            counts_l.append(counts)
+            rleraw_l.append(rleraw)
+            hist += np.asarray(h, np.int64)
+        table = self._table_from_hist(hist, sampled)
         sym_code, sym_len = self._device_table(table)
-        words, bits = pack_step(
-            rle_bytes, rle_lens, sym_code, sym_len,
-            sub_chunks=self.sub_chunks,
-        )
+        words_l, bits_l, hraw_l = [], [], []
+        for rows, counts in zip(rows_l, counts_l):
+            w, b, hr = huff_stage(rows, counts, sym_code, sym_len)
+            words_l.append(np.asarray(w))
+            bits_l.append(np.asarray(b))
+            hraw_l.append(np.asarray(hr))
+        counts_np = np.concatenate(
+            [np.asarray(c) for c in counts_l]
+        )[:nseg]
+        rleraw_np = np.concatenate(
+            [np.asarray(r) for r in rleraw_l]
+        )[:nseg]
+        words_np = np.concatenate(words_l)[:nseg]
+        bits_np = np.concatenate(bits_l)[:nseg]
+        hraw_np = np.concatenate(hraw_l)[:nseg]
         return self._assemble(
-            data, np.asarray(rle_lens)[:n_blocks],
-            np.asarray(words)[:n_blocks], np.asarray(bits)[:n_blocks],
-            table,
+            n, table, counts_np, rleraw_np, hraw_np, words_np, bits_np
         )
 
-    def _table_from_hist(self, hist: np.ndarray):
+    def _table_from_hist(self, hist, sampled: bool):
         hist = np.asarray(hist, np.int64)
-        if self.cap >= TABLE_SAMPLE_MIN_CAP:
-            # the histogram was sampled: +1 keeps every byte value
-            # encodable at sub-0.1% ratio cost
-            hist = hist + 1
+        if sampled:
+            hist = hist + 1  # sampled histogram: keep all bytes encodable
         if (hist > 0).sum() <= 1:
             return None
-        # 16-bit cap keeps codes pair-mergeable for the packer
-        return HuffmanTable.from_counts(hist, max_len=16)
+        # 16-bit cap: packer tokens; min 2: TPU decoder drain invariant
+        return HuffmanTable.from_counts(hist, max_len=16, min_len=2)
 
     @staticmethod
     def _device_table(table):
         if table is None:
-            # identity 8-bit "code" so the device path is still exercised
+            # identity: bits == 8*count everywhere -> all huff_raw
             return (
                 jnp.arange(256, dtype=jnp.uint32),
                 jnp.full(256, 8, jnp.uint32),
@@ -242,89 +232,206 @@ class BlockCodec:
             jnp.asarray(table.sym_len.astype(np.uint32)),
         )
 
-    def _assemble(self, data, rle_lens, words, bits, table) -> bytes:
-        out = bytearray(MAGIC)
+    def _header(self, orig_len: int, table) -> bytes:
         head = BitWriter()
-        head.write_compressed_int(self.block_size)
-        head.write_compressed_int(self.sub_chunks)
+        head.write_compressed_int(SEG)
         head.write_compressed_int(self.offset)
-        head.write_compressed_int(len(data))
+        head.write_compressed_int(orig_len)
         if table is None:
             head.write_bit(0)
         else:
             head.write_bit(1)
             table.write(head)
-        header = head.getvalue()
+        return head.getvalue()
+
+    def _assemble_empty(self) -> bytes:
+        out = bytearray(MAGIC)
+        header = self._header(0, None)
         write_vbyte(out, len(header))
         out += header
-        n_blocks = words.shape[0]
-        be_words = words.astype(">u4")
-        for bi in range(n_blocks):
-            write_vbyte(out, int(rle_lens[bi]))
-            for s in range(self.sub_chunks):
-                write_vbyte(out, int(bits[bi, s]))
-            for s in range(self.sub_chunks):
-                nbytes = (int(bits[bi, s]) + 7) // 8
-                out += be_words[bi, s].view(np.uint8)[:nbytes].tobytes()
         return bytes(out)
 
-    # -- decode (host specification; device decode: ops/hufdec_jax.py) ------
+    def _assemble(self, orig_len, table, counts, rleraw, hraw, words,
+                  bits) -> bytes:
+        """Vectorized container assembly (no per-segment Python loop)."""
+        from tudocomp_tpu.utils.vbyte import encode_vbyte_array
 
-    def decompress(self, data: bytes) -> bytes:
+        out = bytearray(MAGIC)
+        header = self._header(orig_len, table)
+        write_vbyte(out, len(header))
+        out += header
+
+        nseg = counts.shape[0]
+        meta1 = (
+            (counts.astype(np.uint64) << np.uint64(2))
+            | (rleraw.astype(np.uint64) << np.uint64(1))
+            | hraw.astype(np.uint64)
+        )
+        pbytes = ((bits.astype(np.int64) + 7) // 8)
+        meta2 = pbytes.astype(np.uint64)
+
+        def vb_lens(v):
+            nb = np.ones(v.shape, np.int64)
+            vv = v.copy()
+            for _ in range(9):
+                vv >>= np.uint64(7)
+                nb += (vv > 0).astype(np.int64)
+            return nb
+
+        m1_payload = encode_vbyte_array(meta1)
+        m2_payload = encode_vbyte_array(meta2)
+        l1 = vb_lens(meta1)
+        l2 = vb_lens(meta2)
+        seg_sizes = l1 + l2 + pbytes
+        seg_starts = np.concatenate([[0], np.cumsum(seg_sizes)[:-1]])
+        total = int(seg_sizes.sum())
+        buf = np.zeros(total, np.uint8)
+
+        def ragged_place(dst_starts, lens, src, src_starts):
+            """buf[dst_starts[i] + j] = src[src_starts[i] + j]."""
+            tot = int(lens.sum())
+            if tot == 0:
+                return
+            piece = np.repeat(np.arange(lens.size), lens)
+            within = np.arange(tot) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            buf[dst_starts[piece] + within] = src[src_starts[piece] + within]
+
+        l1_starts = np.cumsum(l1) - l1
+        l2_starts = np.cumsum(l2) - l2
+        ragged_place(seg_starts, l1, m1_payload, l1_starts)
+        ragged_place(seg_starts + l1, l2, m2_payload, l2_starts)
+        payload_bytes = np.ascontiguousarray(
+            words, dtype=">u4"
+        ).view(np.uint8).reshape(nseg, -1)
+        ragged_place(
+            seg_starts + l1 + l2, pbytes,
+            payload_bytes.reshape(-1),
+            np.arange(nseg, dtype=np.int64) * payload_bytes.shape[1],
+        )
+        out += buf.tobytes()
+        return bytes(out)
+
+    # -- container parse (shared by host + device decode) --------------------
+
+    def _parse(self, data: bytes):
         if data[:4] != MAGIC:
             raise ValueError("bad magic")
         header_len, pos = read_vbyte(data, 4)
         head = BitReader(data[pos : pos + header_len])
         pos += header_len
-        block_size = head.read_compressed_int()
-        sub_chunks = head.read_compressed_int()
+        seg_size = head.read_compressed_int()
+        if seg_size != SEG:
+            raise ValueError("unsupported segment size")
         offset = head.read_compressed_int()
         orig_len = head.read_compressed_int()
         table = HuffmanTable.read(head) if head.read_bit() else None
-        cap = rle_capacity(block_size, sub_chunks)
-        cs = cap // sub_chunks
-        if table is not None:
-            table.build_lut()  # build once before the worker pool
+        nseg = -(-orig_len // SEG)
+        from tudocomp_tpu import native
 
-        # pass 1: scan block frames (cheap); pass 2: decode blocks in a
-        # thread pool — the native kernels release the GIL, so sub-chunk
-        # Huffman walks and RLE expansion run on all host cores
-        frames = []  # (rle_len, [(payload_off, nbytes, clen)])
-        done = 0
-        while done < orig_len:
-            rle_len, pos = read_vbyte(data, pos)
-            chunks = []
-            chunk_bits = []
-            for _ in range(sub_chunks):
-                cb, pos = read_vbyte(data, pos)
-                chunk_bits.append(cb)
-            for s in range(sub_chunks):
-                nbytes = (chunk_bits[s] + 7) // 8
-                clen = min(max(rle_len - s * cs, 0), cs)
-                chunks.append((pos, nbytes, clen))
-                pos += nbytes
-            frames.append((rle_len, chunks))
-            done += min(block_size, orig_len - done)
-
-        def decode_block(frame):
-            rle_len, chunks = frame
-            rle = np.zeros(rle_len, np.uint8)
-            for s, (off, nbytes, clen) in enumerate(chunks):
-                if clen == 0:
-                    continue
-                payload = np.frombuffer(data, np.uint8, nbytes, off)
-                if table is None:
-                    syms = payload[:clen]  # identity 8-bit codes
-                else:
-                    syms = table.fast_decode(payload, clen)
-                rle[s * cs : s * cs + clen] = syms
-            return rle_decode(rle, offset)
-
-        if len(frames) > 1:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor() as ex:
-                parts = list(ex.map(decode_block, frames))
+        parsed = native.tbc2_parse(data, pos, nseg)
+        if parsed is None:
+            counts = np.zeros(nseg, np.int64)
+            flags = np.zeros(nseg, np.uint8)
+            poff = np.zeros(nseg, np.int64)
+            pbytes = np.zeros(nseg, np.int64)
+            for i in range(nseg):
+                m1, pos = read_vbyte(data, pos)
+                m2, pos = read_vbyte(data, pos)
+                counts[i] = m1 >> 2
+                flags[i] = m1 & 3
+                poff[i] = pos
+                pbytes[i] = m2
+                pos += m2
         else:
-            parts = [decode_block(f) for f in frames]
+            counts, flags, poff, pbytes = parsed
+        return table, offset, orig_len, counts, flags, poff, pbytes
+
+    # -- host decode (specification path; native batch kernel) ---------------
+
+    def decompress(self, data: bytes) -> bytes:
+        (table, offset, orig_len, counts, flags, poff,
+         pbytes) = self._parse(data)
+        if orig_len == 0:
+            return b""
+        nseg = counts.shape[0]
+        if table is not None:
+            table.build_lut()
+        from tudocomp_tpu import native
+
+        out = native.tbc2_decode(
+            data, counts, flags, poff, pbytes, orig_len, SEG,
+            table, offset,
+        )
+        if out is not None:
+            return out
+        # pure-Python fallback (no native runtime)
+        res = bytearray()
+        for i in range(nseg):
+            n_out = min(SEG, orig_len - i * SEG)
+            payload = np.frombuffer(
+                data, np.uint8, int(pbytes[i]), int(poff[i])
+            )
+            cnt = int(counts[i])
+            if flags[i] & 1:  # huff_raw
+                syms = payload[:cnt]
+            else:
+                syms = table.fast_decode(payload, cnt)
+            if flags[i] & 2:  # rle_raw
+                res += syms[:n_out].tobytes()
+            else:
+                from tudocomp_tpu.compressors.rle import rle_decode
+
+                res += rle_decode(syms, offset)[:n_out]
+        return bytes(res)
+
+    # -- device decode (TPU lockstep scan; ops/hufdec_jax.py) ----------------
+
+    def decompress_device(self, data: bytes) -> bytes:
+        (table, offset, orig_len, counts, flags, poff,
+         pbytes) = self._parse(data)
+        if orig_len == 0:
+            return b""
+        if table is not None:
+            t = decoder_tables(table)
+        else:
+            t = {
+                "thresh": np.zeros(16, np.int32),
+                "offs": np.zeros(16, np.int32),
+                "masks": np.zeros((8, 8), np.int32),
+            }
+        thresh = jnp.asarray(t["thresh"])
+        offs = jnp.asarray(t["offs"])
+        masks = jnp.asarray(t["masks"])
+        nseg = counts.shape[0]
+        flat = np.frombuffer(data, np.uint8)
+        parts = []
+        for lo in range(0, nseg, self.batch_lanes):
+            hi = min(lo + self.batch_lanes, nseg)
+            b = _bucket(hi - lo)
+            feed8 = np.zeros((b, DEC_STEPS * 4), np.uint8)
+            lens = np.minimum(pbytes[lo:hi], DEC_STEPS * 4)
+            piece = np.repeat(np.arange(hi - lo), lens)
+            tot = int(lens.sum())
+            within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
+            feed8[piece, within] = flat[poff[lo:hi][piece] + within]
+            feed = feed8.view(">u4").astype(np.uint32)
+            bc = np.zeros(b, np.int32)
+            bc[: hi - lo] = counts[lo:hi]
+            hrw = np.zeros(b, bool)
+            hrw[: hi - lo] = (flags[lo:hi] & 1).astype(bool)
+            rrw = np.zeros(b, bool)
+            rrw[: hi - lo] = (flags[lo:hi] & 2).astype(bool)
+            keys = decode_segments(
+                jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
+                jnp.asarray(rrw), thresh, offs, masks, offset=offset,
+            )
+            out_lens = np.minimum(
+                np.full(b, SEG, np.int64),
+                np.maximum(
+                    orig_len - SEG * (lo + np.arange(b, dtype=np.int64)), 0
+                ),
+            )
+            parts.append(expand_records(np.asarray(keys), out_lens))
         return b"".join(parts)[:orig_len]

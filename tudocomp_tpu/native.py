@@ -137,6 +137,21 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.tdc_lzss_decode.restype = ctypes.c_int64
+        lib.tdc_monotone_decompose.argtypes = [
+            i64p, ctypes.c_int64, i64p, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_monotone_decompose.restype = ctypes.c_int64
+        lib.tdc_tbc2_parse.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, u8p, i64p, i64p,
+        ]
+        lib.tdc_tbc2_parse.restype = ctypes.c_int64
+        lib.tdc_tbc2_decode.argtypes = [
+            u8p, u32p, u8p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            u8p, u8p, ctypes.c_int, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, u8p,
+        ]
+        lib.tdc_tbc2_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -451,3 +466,85 @@ def huffman_decode(payload: np.ndarray, count: int, lut_sym: np.ndarray,
     if got < 0:
         raise ValueError("native huffman decode failed")
     return out
+
+
+def tbc2_parse(data: bytes, pos: int, nseg: int):
+    """Parse TBC2 per-segment frames. Returns (counts u32, flags u8,
+    poff i64, pbytes i64) arrays, or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    counts = np.empty(max(nseg, 1), np.uint32)
+    flags = np.empty(max(nseg, 1), np.uint8)
+    poff = np.empty(max(nseg, 1), np.int64)
+    pbytes = np.empty(max(nseg, 1), np.int64)
+    got = lib.tdc_tbc2_parse(
+        buf, buf.size, pos, nseg, counts, flags, poff, pbytes
+    )
+    if got < 0:
+        raise ValueError("malformed TBC2 container")
+    return counts[:nseg], flags[:nseg], poff[:nseg], pbytes[:nseg]
+
+
+def tbc2_decode(data: bytes, counts, flags, poff, pbytes, orig_len: int,
+                seg: int, table, offset: int):
+    """Decode all TBC2 segments on host cores (GIL-free native kernel,
+    thread pool over segment ranges). Returns bytes or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    counts = np.ascontiguousarray(counts, np.uint32)
+    flags = np.ascontiguousarray(flags, np.uint8)
+    poff = np.ascontiguousarray(poff, np.int64)
+    pbytes = np.ascontiguousarray(pbytes, np.int64)
+    nseg = counts.size
+    if table is not None:
+        lut_sym, lut_len = table.build_lut()
+        k = table.longest
+    else:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    out = np.empty(orig_len, np.uint8)
+
+    def run(lo, hi):
+        return lib.tdc_tbc2_decode(
+            buf, counts, flags, poff, pbytes, lo, hi,
+            lut_sym, lut_len, k, seg, orig_len, offset, out,
+        )
+
+    if nseg >= 64:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        nw = min(os.cpu_count() or 4, 16)
+        step = -(-nseg // nw)
+        with ThreadPoolExecutor(nw) as ex:
+            rets = list(
+                ex.map(
+                    lambda lo: run(lo, min(lo + step, nseg)),
+                    range(0, nseg, step),
+                )
+            )
+    else:
+        rets = [run(0, nseg)]
+    if any(r < 0 for r in rets):
+        raise ValueError("malformed TBC2 payload")
+    return out.tobytes()
+
+
+def monotone_decompose(sis: np.ndarray):
+    """Decompose a permutation into monotone subsequences
+    (ESP succinct coding). Returns (Dpi i64, b u8 bits) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sis = np.ascontiguousarray(sis, np.int64)
+    n = sis.size
+    dpi = np.empty(max(n, 1), np.int64)
+    b = np.empty(max(n, 1), np.uint8)
+    got = lib.tdc_monotone_decompose(sis, n, dpi, b, max(n, 1))
+    if got < 0:
+        raise RuntimeError("decomposition overflow")
+    return dpi[:n], b[:got]

@@ -8,6 +8,7 @@ of per-block compressed frames.
 
 from tudocomp_tpu.parallel.mesh import make_mesh  # noqa: F401
 from tudocomp_tpu.parallel.pipeline import (  # noqa: F401
-    sharded_encode_step,
-    sharded_histogram,
+    compress_sharded,
+    sharded_huff_stage,
+    sharded_rle_stage,
 )
