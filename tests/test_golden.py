@@ -29,7 +29,13 @@ GOLDEN = [
      "62626e010101"),
     ("repair(coder=bit)", b"abab abab",
      "000000023098aa882d"),
+    # default = sorted(d_coding=range_fit) since round 2; the long zero
+    # run is the reference sorted-format's unary lhs deltas (first lhs
+    # ~257 -> 257 zero bits), negligible beyond toy inputs
     ("esp", b"abcabcabc",
+     "2607030000000000000000000000004000000000000000000000000000000000"
+     "000000540131004c60280df000"),
+    ("esp(slp_coder=plain)", b"abcabcabc",
      "26066131400c70180c0a0207"),
     ("lcpcomp(coder=huff)", b"banana banana banana",
      "8180018102b0b13700100000000ab5a81d833ba006"),
