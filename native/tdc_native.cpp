@@ -717,6 +717,59 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
     return m;
 }
 
+// ---- lcpcomp "compact" decompression ----------------------------------
+// Forward-bucket resolution (reference decompress/CompactDec.hpp:18-40):
+// every position copied from source s registers a waiter on s; once a
+// byte becomes known it propagates to its waiters (iterative stack
+// instead of the reference's recursion). O(n + total factor length).
+
+int64_t tdc_lcpcomp_compact(int64_t n, const uint8_t* lit_bytes,
+                            const int64_t* lit_pos, int64_t nlit,
+                            const int64_t* fpos, const int64_t* fsrc,
+                            const int64_t* flen, int64_t nfac,
+                            uint8_t* out) {
+    // counting-sort waiters by source position
+    std::vector<int64_t> cnt((size_t)n + 1, 0);
+    int64_t total_w = 0;
+    for (int64_t f = 0; f < nfac; f++) {
+        if (fpos[f] < 0 || fsrc[f] < 0 || flen[f] < 0) return -2;
+        if (fpos[f] + flen[f] > n || fsrc[f] + flen[f] > n) return -2;
+        for (int64_t k = 0; k < flen[f]; k++) cnt[(size_t)(fsrc[f] + k)]++;
+        total_w += flen[f];
+    }
+    std::vector<int64_t> start((size_t)n + 1, 0);
+    for (int64_t i = 0; i < n; i++) start[(size_t)(i + 1)] = start[(size_t)i] + cnt[(size_t)i];
+    std::vector<int64_t> waiters((size_t)total_w);
+    std::vector<int64_t> fill(start.begin(), start.end() - 1);
+    for (int64_t f = 0; f < nfac; f++)
+        for (int64_t k = 0; k < flen[f]; k++)
+            waiters[(size_t)fill[(size_t)(fsrc[f] + k)]++] = fpos[f] + k;
+    std::vector<uint8_t> known((size_t)n, 0);
+    std::vector<int64_t> stack;
+    stack.reserve(1024);
+    for (int64_t i = 0; i < nlit; i++) {
+        int64_t p = lit_pos[i];
+        if (p < 0 || p >= n) return -2;
+        out[p] = lit_bytes[i];
+        known[(size_t)p] = 1;
+        stack.push_back(p);
+        while (!stack.empty()) {
+            int64_t q = stack.back(); stack.pop_back();
+            for (int64_t w = start[(size_t)q]; w < start[(size_t)q + 1]; w++) {
+                int64_t t = waiters[(size_t)w];
+                if (!known[(size_t)t]) {
+                    out[t] = out[q];
+                    known[(size_t)t] = 1;
+                    stack.push_back(t);
+                }
+            }
+        }
+    }
+    for (int64_t i = 0; i < n; i++)
+        if (!known[(size_t)i]) return -3;  // unresolved (cyclic/missing)
+    return 0;
+}
+
 // ---- monotone subsequence decomposition (ESP "succinct" coding) -------
 // Re-derivation of esp/MonotoneSubsequences.hpp create_dpi_and_b_...:
 // repeatedly extract the longest monotone (increasing vs decreasing,

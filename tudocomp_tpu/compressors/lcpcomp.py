@@ -274,39 +274,110 @@ class BulldozerStrategy(Algorithm):
             x += 1
 
 
+def _factor_mapping(n: int, factors) -> np.ndarray:
+    mapping = np.full(n, -1, np.int64)
+    for pos, src, length in factors:
+        mapping[pos : pos + length] = np.arange(src, src + length)
+    return mapping
+
+
 class ScanDec(Algorithm):
-    """Pointer-doubling chain resolution (parallel ScanDec)."""
+    """Round-limited parallel chain resolution (re-derivation of the
+    reference's multi-round lazy scan, ``decompress/ScanDec.hpp:61-120``:
+    instead of re-scanning the factor list per round, each pointer-
+    doubling round squares the resolved chain length — ``rounds`` bounds
+    the vectorized rounds exactly like the reference's ``scan(N)``
+    bounds lazy scans, and leftover deep chains fall back to the eager
+    sequential chase)."""
 
     @classmethod
     def meta(cls):
         m = Meta("lcpcomp_dec", "scan", "Scan decoding (parallelized)")
-        m.option_dynamic("rounds", 25)  # reference scan(25); advisory
+        m.option_dynamic("rounds", 25)
         return m
+
+    def resolve(self, n, literals, lit_positions, factors) -> bytes:
+        rounds = max(1, self.env.option("rounds").as_int())
+        buf = np.zeros(n, np.uint8)
+        buf[lit_positions] = literals
+        mapping = _factor_mapping(n, factors)
+        root = np.where(mapping >= 0, mapping, np.arange(n))
+        for _ in range(min(rounds, max(1, int(np.ceil(np.log2(n + 1))) + 1))):
+            nxt = root[root]
+            if np.array_equal(nxt, root):
+                break
+            root = nxt
+        unresolved = np.flatnonzero(mapping[root] >= 0)
+        if unresolved.size:  # eager chase for chains deeper than 2^rounds
+            mlist = mapping.tolist()
+            rl = root.tolist()
+            for i in unresolved.tolist():
+                r = rl[i]
+                seen = 0
+                while mlist[r] >= 0:
+                    r = mlist[r]
+                    seen += 1
+                    if seen > n:
+                        raise ValueError("cyclic factor chain")
+                root[i] = r
+        return buf[root].tobytes()
 
 
 class CompactDec(Algorithm):
+    """Forward-bucket eager resolution (reference
+    ``decompress/CompactDec.hpp:18-40``): every copied position waits on
+    its source; known bytes propagate through the waiter buckets (native
+    kernel ``tdc_lcpcomp_compact``)."""
+
     @classmethod
     def meta(cls):
         return Meta("lcpcomp_dec", "compact", "Compact decoding")
 
+    def resolve(self, n, literals, lit_positions, factors) -> bytes:
+        from tudocomp_tpu import native
 
-def resolve_factors(n: int, literals, lit_positions, factors) -> bytes:
-    """Resolve possibly-forward factor references by pointer doubling."""
-    buf = np.zeros(n, np.uint8)
-    buf[lit_positions] = literals
-    mapping = np.full(n, -1, np.int64)
-    for pos, src, length in factors:
-        mapping[pos : pos + length] = np.arange(src, src + length)
-    root = np.where(mapping >= 0, mapping, np.arange(n))
-    # iterate root = root[root]; converges in O(log max-chain) rounds
-    for _ in range(max(1, int(np.ceil(np.log2(n + 1))) + 1)):
-        nxt = root[root]
-        if np.array_equal(nxt, root):
-            break
-        root = nxt
-    if (mapping[root] >= 0).any():
-        raise ValueError("unresolvable factor chain (cyclic reference)")
-    return buf[root].tobytes()
+        fpos = np.asarray([f[0] for f in factors], np.int64)
+        fsrc = np.asarray([f[1] for f in factors], np.int64)
+        flen = np.asarray([f[2] for f in factors], np.int64)
+        got = native.lcpcomp_compact_decode(
+            n, literals, lit_positions, fpos, fsrc, flen
+        )
+        if got is not None:
+            return got
+        # pure-Python fallback: same waiter-propagation algorithm
+        buf = np.zeros(n, np.uint8)
+        waiters: dict[int, list[int]] = {}
+        for pos, src, length in factors:
+            for k in range(length):
+                waiters.setdefault(src + k, []).append(pos + k)
+        known = np.zeros(n, bool)
+        stack = []
+        for p, c in zip(np.asarray(lit_positions).tolist(),
+                        np.asarray(literals).tolist()):
+            buf[p] = c
+            known[p] = True
+            stack.append(p)
+            while stack:
+                q = stack.pop()
+                for t in waiters.pop(q, ()):  # noqa: B020
+                    if not known[t]:
+                        buf[t] = buf[q]
+                        known[t] = True
+                        stack.append(t)
+        if not known.all():
+            raise ValueError("unresolvable factor chain")
+        return buf.tobytes()
+
+
+def resolve_factors(n: int, literals, lit_positions, factors,
+                    strategy=None) -> bytes:
+    """Resolve possibly-forward factor references via the configured
+    decompression strategy (default: pointer-doubling scan)."""
+    if strategy is None:
+        from tudocomp_tpu.registry import create_algo
+
+        strategy = create_algo(ScanDec)
+    return strategy.resolve(n, literals, lit_positions, factors)
 
 
 class LCPCompressor(Compressor):
@@ -376,6 +447,7 @@ class LCPCompressor(Compressor):
             return resolve_factors(
                 total, lit_bytes, positions,
                 list(zip(fpos.tolist(), fsrc.tolist(), flens.tolist())),
+                strategy=self.env.instantiate("dec"),
             )
 
         lits: list[np.ndarray] = []
@@ -401,7 +473,10 @@ class LCPCompressor(Compressor):
         positions = (
             np.concatenate(lit_pos) if lit_pos else np.zeros(0, np.int64)
         )
-        return resolve_factors(cursor, literals, positions, factors)
+        return resolve_factors(
+            cursor, literals, positions, factors,
+            strategy=self.env.instantiate("dec"),
+        )
 
 
 for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, MaxLCPStrategy,

@@ -43,9 +43,9 @@ import numpy as np
 
 from tudocomp_tpu.coders.huffman import HuffmanTable
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
-from tudocomp_tpu.ops.bitpack_pallas import (
-    pack_bytes_huffman_chunks,
-    rle_pack_chunks,
+from tudocomp_tpu.ops.segpack_pallas import (
+    huffman_pack_segments,
+    rle_pack_segments,
 )
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
 from tudocomp_tpu.ops.hufdec_jax import (
@@ -73,13 +73,13 @@ def _bucket(n: int, full: int = BATCH_LANES) -> int:
     """Batch-shape bucket. On TPU every batch pads to the one full
     shape — lanes are parallel so small inputs cost latency, not time,
     and tunnel compiles cost minutes per new shape. On CPU (tests,
-    interpret-mode Pallas) small power-of-two buckets keep the
-    interpreter cheap."""
+    interpret-mode Pallas) small power-of-two buckets (>= the kernel
+    group size of 8) keep the interpreter cheap."""
     import jax
 
     if jax.default_backend() == "tpu":
         return full
-    return 1 << max(0, (n - 1)).bit_length() if n > 1 else 1
+    return max(8, 1 << max(0, (n - 1)).bit_length())
 
 
 @functools.partial(jax.jit, static_argnames=("offset", "sample"))
@@ -91,8 +91,8 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
     hist u32[256])``. ``rows`` are zero-masked past ``counts`` so the
     container bytes are deterministic.
     """
-    words, rle_lens = rle_pack_chunks(
-        seg_rows, seg_lens, tile=SEG, offset=offset
+    words, rle_lens = rle_pack_segments(
+        seg_rows, seg_lens, offset=offset
     )
     rle_rows = jax.vmap(lambda w: bytes_from_words(w, SEG_CAP))(words)
     rle_raw = rle_lens > seg_lens  # RLE would expand: keep input bytes
@@ -117,9 +117,7 @@ def huff_stage(rows, counts, sym_code, sym_len):
     Returns ``(words u32[NC, PAYLOAD_WORDS], bits i32[NC],
     huff_raw bool[NC])``.
     """
-    words, bits = pack_bytes_huffman_chunks(
-        rows, counts, sym_code, sym_len, tile=SEG_CAP
-    )
+    words, bits = huffman_pack_segments(rows, counts, sym_code, sym_len)
     huff_raw = bits >= counts * 8
     r = rows.astype(jnp.uint32)
     raw_words = (

@@ -137,6 +137,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.tdc_lzss_decode.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_compact.argtypes = [
+            ctypes.c_int64, u8p, i64p, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64, u8p,
+        ]
+        lib.tdc_lcpcomp_compact.restype = ctypes.c_int64
         lib.tdc_monotone_decompose.argtypes = [
             i64p, ctypes.c_int64, i64p, u8p, ctypes.c_int64,
         ]
@@ -548,3 +553,25 @@ def monotone_decompose(sis: np.ndarray):
     if got < 0:
         raise RuntimeError("decomposition overflow")
     return dpi[:n], b[:got]
+
+
+def lcpcomp_compact_decode(n, lit_bytes, lit_pos, fpos, fsrc, flen):
+    """CompactDec forward-bucket resolution. Returns bytes or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    lit_bytes = np.ascontiguousarray(lit_bytes, np.uint8)
+    lit_pos = np.ascontiguousarray(lit_pos, np.int64)
+    fpos = np.ascontiguousarray(fpos, np.int64)
+    fsrc = np.ascontiguousarray(fsrc, np.int64)
+    flen = np.ascontiguousarray(flen, np.int64)
+    out = np.empty(n, np.uint8)
+    got = lib.tdc_lcpcomp_compact(
+        n, lit_bytes, lit_pos, lit_pos.size, fpos, fsrc, flen,
+        fpos.size, out,
+    )
+    if got == -2:
+        raise ValueError("malformed lcpcomp factor stream")
+    if got == -3:
+        raise ValueError("unresolvable lcpcomp factor chain")
+    return out.tobytes()

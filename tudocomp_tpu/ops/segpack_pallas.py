@@ -1,0 +1,380 @@
+"""Per-segment Pallas packers: G independent segments per grid step.
+
+The TBC2 pipeline packs each 2 KiB segment into its own bit stream
+(models/blockcodec.py). The general chunked packers in
+``bitpack_pallas.py`` carry bitstream state across grid steps in SMEM,
+which forces chunk = grid-row and made the segment pipeline run one
+~7 us grid step per segment (16K steps per 16 MiB batch). Segments
+need **no carry at all** — every segment's stream starts at bit 0 and
+its worst-case size is statically bounded — so these kernels pack
+``G = 8`` segments per grid step with plain blocked input/output specs:
+no SMEM state, no manual DMA, 16x fewer grid steps.
+
+Shared structure per step (rows = G * rows_per_segment, 128 lanes):
+
+- token emission (fused RLE boundary logic or fused canonical-Huffman
+  one-hot table lookup, same math as bitpack_pallas.py);
+- *segmented* exclusive bit-offset scan: in-row strict-lower-triangular
+  ones matmul (MXU) + down-sublane Hillis-Steele log-shift adds masked
+  at segment-group boundaries (``row % rows_per_seg >= shift``);
+- word placement through per-row 384-word one-hot windows on 4 byte
+  planes into a per-segment f32 accumulator ``acc[G, 8, WT]`` — exact,
+  because all token bit ranges are disjoint and every sum < 256;
+- plane combine + per-segment spill roll (lane roll is row-local, so
+  segment streams never bleed into each other).
+
+Outputs are big-endian u32 word rows per segment plus total bits —
+bit-identical to the chunked kernels and the host spec.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+G = 8  # segments per grid step
+_I32 = jnp.int32
+
+SEG_BYTES = 2048          # input bytes per segment (RLE stage)
+RLE_ROWS = SEG_BYTES // LANES          # 16
+RLE_WT = 1152             # 768 max stream words + 384 window slack
+
+CAP_BYTES = 3072          # RLE bytes per segment (huffman stage input)
+HUF_ROWS = CAP_BYTES // LANES          # 24
+HUF_WT = 1920             # 1536 max stream words + 384 window slack
+
+WINDOW = 3 * LANES
+
+
+def _srl(x, n):
+    return lax.shift_right_logical(
+        x, jnp.broadcast_to(_I32(n), x.shape) if isinstance(n, int) else n
+    )
+
+
+def _byte_planes_bf16(x):
+    return [
+        (_srl(x, 24) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (_srl(x, 16) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (_srl(x, 8) & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+        (x & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+    ]
+
+
+def _seg_excl_offsets(lens, rows_per_seg: int):
+    """Per-position exclusive bit offsets within each segment group.
+
+    lens: (rows, 128) i32. Rows belong to segment ``row // rows_per_seg``.
+    Returns (offs, row_start, seg_bits): exclusive offset per token, each
+    row's starting bit, and each row's segment-total bits (broadcast).
+    """
+    rows = lens.shape[0]
+    lens_bf = lens.astype(jnp.float32).astype(jnp.bfloat16)
+    tri = (
+        lax.broadcasted_iota(_I32, (LANES, LANES), 0)
+        < lax.broadcasted_iota(_I32, (LANES, LANES), 1)
+    ).astype(jnp.bfloat16)
+    excl_in_row = lax.dot_general(
+        lens_bf, tri, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(_I32)
+    ones = jnp.ones((LANES, LANES), jnp.bfloat16)
+    row_sums = lax.dot_general(
+        lens_bf, ones, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(_I32)  # (rows, 128) every lane = row total
+    # segmented inclusive scan down sublanes (Hillis-Steele, masked at
+    # group boundaries). shifts up to rows_per_seg cover any group size
+    # that is a power of two or < 2*max_shift.
+    row_idx = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    in_group = row_idx % rows_per_seg
+    incl = row_sums
+    shift = 1
+    while shift < rows_per_seg:
+        shifted = jnp.concatenate(
+            [jnp.zeros((shift, LANES), _I32), incl[:-shift]], axis=0
+        )
+        incl = incl + jnp.where(in_group >= shift, shifted, 0)
+        shift *= 2
+    row_base = incl - row_sums
+    offs = row_base + excl_in_row
+    # segment total: inclusive value at the group's last row
+    return offs, row_base
+
+
+def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
+                       bits_ref, *, rows_per_seg: int, wt: int):
+    """Place tokens into per-segment accumulators and write word rows."""
+    rows = values.shape[0]
+    mask = jnp.where(lens >= 32, _I32(-1), (_I32(1) << lens) - 1)
+    v = values & mask
+    bitpos = offs & 31
+    sh = 32 - bitpos - lens
+    lsh = jnp.clip(sh, 0, 31)
+    rsh = jnp.clip(-sh, 0, 31)
+    part1 = jnp.where(sh >= 0, v << lsh, _srl(v, rsh))
+    spill = jnp.where(
+        sh < 0,
+        (v & ((_I32(1) << rsh) - 1)) << ((32 - rsh) & 31),
+        _I32(0),
+    )
+    w0 = _srl(offs, 5)
+
+    acc_ref[:, :] = jnp.zeros((G * 8, wt), jnp.float32)
+    p1_planes = _byte_planes_bf16(part1)
+    sp_planes = _byte_planes_bf16(spill)
+    win_iota = lax.broadcasted_iota(_I32, (WINDOW, LANES), 0)
+    for r in range(rows):
+        g = r // rows_per_seg
+        aligned = (jnp.max(row_base[r : r + 1, :]) >> 12) * 128
+        w0_local = w0[r][None, :] - aligned
+        oh = (win_iota == w0_local).astype(jnp.bfloat16)
+        planes = jnp.stack(
+            [p[r] for p in p1_planes] + [p[r] for p in sp_planes], axis=0
+        )  # (8, 128)
+        acc_ref[
+            g * 8 : (g + 1) * 8,
+            pl.ds(pl.multiple_of(aligned, LANES), WINDOW),
+        ] += lax.dot_general(
+            planes, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = acc_ref[:, :].astype(_I32).reshape(G, 8, wt)
+    words_p1 = (
+        (acc[:, 0, :] << 24) | (acc[:, 1, :] << 16)
+        | (acc[:, 2, :] << 8) | acc[:, 3, :]
+    )
+    words_sp = (
+        (acc[:, 4, :] << 24) | (acc[:, 5, :] << 16)
+        | (acc[:, 6, :] << 8) | acc[:, 7, :]
+    )
+    lane_iota = lax.broadcasted_iota(_I32, (G, wt), 1)
+    words_sp = jnp.where(
+        lane_iota == 0, _I32(0), pltpu.roll(words_sp, 1, 1)
+    )
+    out_ref[:, :] = words_p1 | words_sp
+    # total bits per segment = row base + row total at each group's end
+    lens_sum_rows = jnp.sum(lens, axis=1, keepdims=True)  # (rows, 1)
+    totals = []
+    for g in range(G):
+        base = row_base[(g + 1) * rows_per_seg - 1, :1]
+        last = lens_sum_rows[(g + 1) * rows_per_seg - 1, :1]
+        totals.append((base + last)[None, :])
+    bits = jnp.concatenate(totals, axis=0)  # (G, 1)
+    bits_ref[:, :] = jnp.broadcast_to(bits, (G, LANES))
+
+
+def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
+                    acc_ref, *, wt: int):
+    c = pl.program_id(0)
+    data = data_ref[...]  # (G*HUF_ROWS, 128) i32 bytes
+    table = table_ref[:, :]  # (8, 256) bf16
+    rows = G * HUF_ROWS
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    pos_in_seg = (row % HUF_ROWS) * LANES + lane
+    seg_idx = row // HUF_ROWS
+
+    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
+    his, los, lns = [], [], []
+    for r in range(rows):
+        oh = (bins == data[r][None, :]).astype(jnp.bfloat16)
+        got = lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        his.append(got[0:1, :])
+        los.append(got[1:2, :])
+        lns.append(got[2:3, :])
+    hi = jnp.concatenate(his, axis=0).astype(_I32)
+    lo = jnp.concatenate(los, axis=0).astype(_I32)
+    lens = jnp.concatenate(lns, axis=0).astype(_I32)
+    values = (hi << 8) | lo
+    # mask past each segment's count (SMEM scalar reads)
+    cnt = jnp.zeros((rows, LANES), _I32)
+    for g in range(G):
+        cnt = jnp.where(seg_idx == g, lengths_ref[c * G + g], cnt)
+    lens = jnp.where(pos_in_seg < cnt, lens, 0)
+    offs, row_base = _seg_excl_offsets(lens, HUF_ROWS)
+    _place_and_combine(
+        values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
+        rows_per_seg=HUF_ROWS, wt=wt,
+    )
+
+
+def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
+                *, offset: int, wt: int):
+    c = pl.program_id(0)
+    data = data_ref[...]  # (G*RLE_ROWS, 128) i32 bytes
+    rows = G * RLE_ROWS
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    pos = (row % RLE_ROWS) * LANES + lane  # position within segment
+    seg_idx = row // RLE_ROWS
+
+    length = jnp.zeros((rows, LANES), _I32)
+    for g in range(G):
+        length = jnp.where(seg_idx == g, lengths_ref[c * G + g], length)
+
+    # prev byte within segment (row-local roll + segmented row carry)
+    rolled = pltpu.roll(data, 1, 1)
+    row_last = jnp.max(
+        jnp.where(lane == LANES - 1, data, _I32(-1)), axis=1, keepdims=True
+    )
+    prev_rows = jnp.concatenate(
+        [jnp.full((1, 1), _I32(-1)), row_last[:-1]], axis=0
+    )
+    prev = jnp.where(lane == 0, prev_rows, rolled)
+    prev = jnp.where(pos == 0, _I32(-1), prev)  # segment start
+
+    boundary = (data != prev) | (pos == 0) | (pos >= length)
+
+    # start-of-run = segmented cummax of boundary positions
+    b_idx = jnp.where(boundary, pos, _I32(-1))
+    m = b_idx
+    shift = 1
+    while shift < LANES:
+        sh = pltpu.roll(m, shift, 1)
+        m = jnp.maximum(m, jnp.where(lane >= shift, sh, _I32(-1)))
+        shift *= 2
+    in_group = row % RLE_ROWS
+    rm = jnp.max(m, axis=1, keepdims=True)
+    shift = 1
+    while shift < RLE_ROWS:
+        shifted = jnp.concatenate(
+            [jnp.full((shift, 1), _I32(-1)), rm[:-shift]], axis=0
+        )
+        rm = jnp.maximum(
+            rm, jnp.where(in_group[:, :1] >= shift, shifted, _I32(-1))
+        )
+        shift *= 2
+    prev_row_max = jnp.concatenate(
+        [jnp.full((1, 1), _I32(-1)), rm[:-1]], axis=0
+    )
+    prev_row_max = jnp.where(in_group[:, :1] == 0, _I32(-1), prev_row_max)
+    sor = jnp.maximum(m, prev_row_max)
+
+    # piece ends: next byte differs / end of segment data
+    nxt = pltpu.roll(data, LANES - 1, 1)  # roll by -1
+    row_first = jnp.min(
+        jnp.where(lane == 0, data, _I32(1 << 30)), axis=1, keepdims=True
+    )
+    next_rows = jnp.concatenate(
+        [row_first[1:], jnp.full((1, 1), _I32(-1))], axis=0
+    )
+    nxt = jnp.where(lane == LANES - 1, next_rows, nxt)
+    next_boundary = (nxt != data) | (
+        ((pos + 1) % SEG_BYTES) == 0
+    ) | (pos + 1 >= length)
+    piece_len = pos - sor + 1
+    is_end = next_boundary & (pos < length)
+    is_run = piece_len >= 2
+
+    v = jnp.maximum(piece_len - 2 + offset, 0)
+    two = v >= 128
+    b0 = (v & 0x7F) | jnp.where(two, _I32(0x80), _I32(0))
+    b1 = _srl(v, 7) & 0x7F
+    vb_val = jnp.where(two, (b0 << 8) | b1, b0)
+    vb_bits = jnp.where(two, 16, 8)
+    cc = (data << 8) | data
+    run_val = (cc << vb_bits) | vb_val
+    values = jnp.where(is_run, run_val, data)
+    lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
+
+    offs, row_base = _seg_excl_offsets(lens, RLE_ROWS)
+    _place_and_combine(
+        values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
+        rows_per_seg=RLE_ROWS, wt=wt,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("offset", "interpret"))
+def rle_pack_segments(data, lengths, *, offset: int = 0,
+                      interpret: bool | None = None):
+    """Fused per-segment RLE: ``data u8[NC, 2048]`` (NC % 8 == 0) ->
+    ``(words u32[NC, RLE_WT], rle_bytes i32[NC])``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc, n = data.shape
+    assert n == SEG_BYTES and nc % G == 0
+    data_i = data.astype(_I32).reshape(nc * RLE_ROWS, LANES)
+    kernel = functools.partial(_rle_kernel, offset=offset, wt=RLE_WT)
+    words, bits = pl.pallas_call(
+        kernel,
+        grid=(nc // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (G * RLE_ROWS, LANES), lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, RLE_WT), lambda c: (c, 0)),
+            pl.BlockSpec((G, LANES), lambda c: (c, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, RLE_WT), jnp.int32),
+            jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G * 8, RLE_WT), jnp.float32)],
+        interpret=interpret,
+    )(lengths.astype(_I32), data_i)
+    return (
+        lax.bitcast_convert_type(words, jnp.uint32),
+        _srl(bits[:, 0], 3),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def huffman_pack_segments(data, counts, sym_code, sym_len, *,
+                          interpret: bool | None = None):
+    """Fused per-segment Huffman lookup + pack: ``data u8[NC, 3072]``
+    (NC % 8 == 0), codes <= 16 bits ->
+    ``(words u32[NC, HUF_WT], bits i32[NC])``."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc, n = data.shape
+    assert n == CAP_BYTES and nc % G == 0
+    data_i = data.astype(_I32).reshape(nc * HUF_ROWS, LANES)
+    code = sym_code.astype(jnp.uint32)
+    table = jnp.stack(
+        [
+            ((code >> 8) & 0xFF).astype(jnp.float32),
+            (code & 0xFF).astype(jnp.float32),
+            sym_len.astype(jnp.float32),
+        ]
+        + [jnp.zeros(256, jnp.float32)] * 5,
+        axis=0,
+    ).astype(jnp.bfloat16)
+    kernel = functools.partial(_huffman_kernel, wt=HUF_WT)
+    words, bits = pl.pallas_call(
+        kernel,
+        grid=(nc // G,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (G * HUF_ROWS, LANES), lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((G, HUF_WT), lambda c: (c, 0)),
+            pl.BlockSpec((G, LANES), lambda c: (c, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, HUF_WT), jnp.int32),
+            jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((G * 8, HUF_WT), jnp.float32)],
+        interpret=interpret,
+    )(counts.astype(_I32), data_i, table)
+    return lax.bitcast_convert_type(words, jnp.uint32), bits[:, 0]

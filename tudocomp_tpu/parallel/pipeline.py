@@ -95,7 +95,10 @@ def compress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
         return codec._assemble_empty()
     seg_rows, seg_lens = codec.split_segments(data)
     nseg = seg_rows.shape[0]
-    n_dev = mesh.size
+    # each shard's batch must be a multiple of the pack kernels' group
+    from tudocomp_tpu.ops.segpack_pallas import G
+
+    n_dev = mesh.size * G
     pad_to = -(-nseg // n_dev) * n_dev
     if pad_to != nseg:
         seg_rows = np.pad(seg_rows, ((0, pad_to - nseg), (0, 0)))
