@@ -717,6 +717,104 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
     return m;
 }
 
+// ---- LFS2 two-layer longest-first substitution -------------------------
+// Re-derivation of lfs/LFS2Compressor.hpp:36-330: enumerate lcp-interval
+// tree nodes (stack algorithm over SA+LCP instead of sdsl cst_sct3),
+// process them by string depth descending; per node, greedily pick
+// non-overlapping occurrences that are either first-layer viable (both
+// endpoints unsubstituted) or second-layer viable (inside an earlier
+// NT's definition window); substitute when >=1 first-layer and >=2
+// total. Outputs the reference's four position maps + the NT list.
+
+struct Lfs2Node { int64_t depth, lb, rb; };
+
+int64_t tdc_lfs2_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
+                       int64_t n, int64_t min_lrf,
+                       uint32_t* fl_nts, uint32_t* fl_off,
+                       uint32_t* sl_nts, uint8_t* sl_dead,
+                       int64_t* nts_start, int64_t* nts_len,
+                       int64_t nts_cap) {
+    // lcp-interval nodes via the classic stack sweep (m = SA entries
+    // incl. sentinel suffix, n = text length without sentinel)
+    std::vector<Lfs2Node> nodes;
+    {
+        std::vector<Lfs2Node> stack;
+        stack.push_back({0, 0, -1});
+        for (int64_t i = 1; i <= m; i++) {
+            int64_t l = (i < m) ? lcp[i] : 0;
+            int64_t lb = i - 1;
+            while (!stack.empty() && l < stack.back().depth) {
+                Lfs2Node top = stack.back(); stack.pop_back();
+                top.rb = i - 1;
+                lb = top.lb;
+                if (top.depth >= min_lrf && top.rb > top.lb)
+                    nodes.push_back(top);
+                if (!stack.empty() && l <= stack.back().depth) continue;
+            }
+            if (stack.empty() || l > stack.back().depth)
+                stack.push_back({l, lb, -1});
+        }
+    }
+    // depth-descending stable order
+    std::stable_sort(nodes.begin(), nodes.end(),
+                     [](const Lfs2Node& a, const Lfs2Node& b) {
+                         return a.depth > b.depth;
+                     });
+    memset(fl_nts, 0, sizeof(uint32_t) * size_t(n));
+    memset(fl_off, 0, sizeof(uint32_t) * size_t(n));
+    memset(sl_nts, 0, sizeof(uint32_t) * size_t(n));
+    memset(sl_dead, 0, size_t(n));
+    int64_t count = 0;
+    std::vector<int64_t> occs, fl_viable, sl_viable;
+    for (const Lfs2Node& node : nodes) {
+        int64_t i = node.depth;
+        occs.assign(sa + node.lb, sa + node.rb + 1);
+        std::sort(occs.begin(), occs.end());
+        if (occs.back() - occs.front() < i) continue;  // all overlap
+        fl_viable.clear();
+        sl_viable.clear();
+        int64_t last = -i;
+        for (int64_t occ : occs) {
+            if (last + i > occ) continue;
+            if (occ >= n || occ + i > n) continue;
+            if (fl_off[occ] == 0) {
+                if (fl_off[occ + i - 1] == 0) {
+                    fl_viable.push_back(occ);
+                    last = occ;
+                }
+            } else {
+                uint32_t parent = fl_nts[occ - (fl_off[occ] - 1)];
+                if (parent && nts_len[parent - 1] >= int64_t(fl_off[occ]) - 1 + i)
+                    sl_viable.push_back(occ);
+            }
+        }
+        if (fl_viable.size() >= 1 &&
+            fl_viable.size() + sl_viable.size() >= 2) {
+            if (count >= nts_cap) return -1;
+            nts_start[count] = fl_viable.front();
+            nts_len[count] = i;
+            uint32_t id = uint32_t(++count);
+            for (int64_t occ : fl_viable) {
+                fl_nts[occ] = id;
+                for (int64_t k = 0; k < i; k++)
+                    fl_off[occ + k] = uint32_t(k + 1);
+            }
+            for (int64_t occ : sl_viable) {
+                uint32_t parent = fl_nts[occ - (fl_off[occ] - 1)];
+                int64_t pstart = nts_start[parent - 1];
+                int64_t sl_start = pstart + fl_off[occ] - 1;
+                int64_t sl_end = sl_start + i - 1;
+                if (!sl_dead[sl_start] && !sl_dead[sl_end]) {
+                    sl_nts[sl_start] = id;
+                    for (int64_t d = sl_start; d <= sl_end; d++)
+                        sl_dead[d] = 1;
+                }
+            }
+        }
+    }
+    return count;
+}
+
 // ---- lcpcomp "compact" decompression ----------------------------------
 // Forward-bucket resolution (reference decompress/CompactDec.hpp:18-40):
 // every position copied from source s registers a waiter on s; once a

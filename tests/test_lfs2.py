@@ -1,0 +1,46 @@
+"""LFS2 two-layer substitution (reference lfs/LFS2Compressor.hpp)."""
+
+import numpy as np
+import pytest
+
+from tudocomp_tpu import cli
+from tests.helpers import roundtrip_corpus
+
+
+@pytest.mark.parametrize("algo", ["lfs2", "lfs2bst",
+                                  "lfs2(min_lrf=10)",
+                                  "lfs2(lfs2_lit_coder=bit)"])
+def test_lfs2_roundtrip_corpus(algo):
+    for data in roundtrip_corpus():
+        blob = cli.compress(algo, data, raw=True)
+        assert cli.decompress(blob, algo) == data, data[:40]
+
+
+def test_lfs2_differs_from_lfs_and_nests():
+    """The two-layer algorithm must produce genuinely different (and on
+    nested repeats, smaller) output than single-layer lfs_comp(st)."""
+    data = (b"abcdefgh" * 6 + b"XY") * 8 + b"abcdefgh" * 6
+    b2 = cli.compress("lfs2", data, raw=True)
+    b1 = cli.compress("lfs_comp(computing_strat=st)", data, raw=True)
+    assert b2 != b1
+    assert len(b2) < len(b1)
+    assert cli.decompress(b2, "lfs2") == data
+
+
+def test_lfs2_python_fallback_matches_native():
+    from tudocomp_tpu import native
+    from tudocomp_tpu.compressors.lfs import _lfs2_parse_py
+    from tudocomp_tpu.ds.suffix import TextDS
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(2)
+    for data in [b"mississippi" * 8 + b"\x00",
+                 bytes(rng.integers(0, 4, 3000, dtype=np.uint8)) + b"\x00"]:
+        ds = TextDS(data)
+        sa, lcp = ds.require_sa(), ds.require_lcp()
+        n = len(data) - 1
+        got_n = native.lfs2_parse(sa, lcp, n, 5)
+        got_p = _lfs2_parse_py(sa, lcp, n, 5)
+        for a, b in zip(got_n, got_p):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -293,29 +293,240 @@ class LFSCompressor(Compressor):
         return coding.decode(data)
 
 
-class LFS2Compressor(LFSCompressor):
-    """Second LFS scheme (reference ``LFS2Compressor.hpp``): suffix-tree
-    LRF selection with its own coder pair; shares the coding strategy."""
+class LFS2Compressor(Compressor):
+    """Two-layer longest-first substitution (reference
+    ``lfs/LFS2Compressor.hpp:36-330``): suffix-tree nodes processed by
+    string depth descending; occurrences substitute either in the text
+    (first layer) or *inside an earlier rule's definition* (second
+    layer), so rules nest. The parse runs in the native kernel
+    ``tdc_lfs2_parse`` over our SA/LCP lcp-interval sweep (the reference
+    uses sdsl's cst; tie order between equal-depth nodes differs, the
+    algorithm is the same). Wire format mirrors the reference: gamma
+    delta-chained rule lengths closed by a zero, rules encoded backward
+    (refs always point to higher ids), then the start symbol — both as
+    (flag bit, ref | literal) token streams under the huffman/gamma
+    coder pair."""
 
     @classmethod
     def meta(cls):
         m = Meta("compressor", "lfs2", "LFS2 compression scheme")
-        m.option_submeta("computing_strat", "lfs_comp", default="st")
         m.option_submeta(
-            "coding_strat", "lfs_comp_enc", default="lfs_encode_strat"
+            "lfs2_lit_coder", "coder", default="huff",
+            accepts=("ascii", "bit", "huff"),
+        )
+        m.option_submeta(
+            "lfs2_len_coder", "coder", default="gamma",
+            accepts=UNIVERSAL_CODER_NAMES,
         )
         m.option_dynamic("min_lrf", 5)
         m.needs_sentinel_terminator()
         return m
 
+    def _parse(self, data: bytes, min_lrf: int):
+        from tudocomp_tpu import native
+        from tudocomp_tpu.ds.suffix import TextDS
 
-class LFS2BSTCompressor(LFSCompressor):
+        n = len(data) - 1  # strip the appended sentinel
+        ds = TextDS(data)
+        sa = ds.require_sa()
+        lcp = ds.require_lcp()
+        got = native.lfs2_parse(sa, lcp, n, min_lrf)
+        if got is not None:
+            return got
+        return _lfs2_parse_py(sa, lcp, n, min_lrf)
+
+    def compress(self, data: bytes) -> bytes:
+        text = np.frombuffer(data, np.uint8)
+        min_lrf = self.env.option("min_lrf").as_int()
+        n = text.size - 1
+        if n >= min_lrf:
+            fl_nts, fl_off, sl_nts, nts_start, nts_len = self._parse(
+                data, min_lrf
+            )
+        else:
+            fl_nts = np.zeros(max(n, 0), np.uint32)
+            fl_off = np.zeros(max(n, 0), np.uint32)
+            sl_nts = np.zeros(max(n, 0), np.uint32)
+            nts_start = np.zeros(0, np.int64)
+            nts_len = np.zeros(0, np.int64)
+        count = nts_start.size
+
+        # literal pre-pass for the huffman table: unsubstituted text
+        # positions (incl. the sentinel, which is always a literal) +
+        # unsubstituted rule-definition positions
+        full_mask = np.ones(text.size, bool)
+        full_mask[:n] = fl_off[:n] == 0
+        lit1 = text[full_mask]
+        dict_lit = []
+        for k in range(count):
+            s, ln = int(nts_start[k]), int(nts_len[k])
+            seg = text[s : s + ln]
+            dict_lit.append(seg[sl_nts[s : s + ln] == 0])
+        literals = np.concatenate([lit1] + dict_lit) if n else lit1
+
+        out = BitWriter()
+        lit_env = self.env.env_for_option("lfs2_lit_coder")
+        lit_coder = lit_env.cls.Encoder(
+            lit_env, out, Literals(literals, np.arange(literals.size))
+        )
+        len_env = self.env.env_for_option("lfs2_len_coder")
+        len_coder = len_env.cls.Encoder(len_env, out, NoLiterals())
+
+        if count:
+            first_len = int(nts_len[0])
+            s_length_r = Range(first_len)
+            len_coder.encode(first_len, UINT32_R)
+            last = first_len
+            for k in range(1, count):
+                len_coder.encode(last - int(nts_len[k]), s_length_r)
+                last = int(nts_len[k])
+            len_coder.encode(last, s_length_r)
+        else:
+            len_coder.encode(0, UINT32_R)
+
+        dict_r = Range(count)
+        sl_list = sl_nts.tolist()
+        fl_list = fl_nts.tolist()
+        # rules, backward (refs point to higher ids)
+        for k in range(count - 1, -1, -1):
+            s, ln = int(nts_start[k]), int(nts_len[k])
+            pos = s
+            while pos < s + ln:
+                ref = sl_list[pos]
+                if ref > 0:
+                    lit_coder.encode(1, bit_r)
+                    lit_coder.encode(ref, dict_r)
+                    pos += int(nts_len[ref - 1])
+                else:
+                    lit_coder.encode(0, bit_r)
+                    lit_coder.encode(int(text[pos]), literal_r)
+                    pos += 1
+        # start symbol (runs to text.size: the sentinel is a literal)
+        pos = 0
+        while pos < text.size:
+            ref = fl_list[pos] if pos < n else 0
+            if ref > 0:
+                lit_coder.encode(1, bit_r)
+                lit_coder.encode(ref, dict_r)
+                pos += int(nts_len[ref - 1])
+            else:
+                lit_coder.encode(0, bit_r)
+                lit_coder.encode(int(text[pos]), literal_r)
+                pos += 1
+        lit_coder.finish()
+        return out.getvalue()
+
+    def decompress(self, data: bytes) -> bytes:
+        inp = BitReader(data)
+        lit_env = self.env.env_for_option("lfs2_lit_coder")
+        lit_dec = lit_env.cls.Decoder(lit_env, inp)
+        len_env = self.env.env_for_option("lfs2_len_coder")
+        len_dec = len_env.cls.Decoder(len_env, inp)
+
+        symbol_length = len_dec.decode(UINT32_R)
+        s_length_r = Range(symbol_length)
+        dict_lengths = [symbol_length]
+        while symbol_length > 0:
+            symbol_length -= len_dec.decode(s_length_r)
+            dict_lengths.append(symbol_length)
+        dict_lengths.pop()
+        count = len(dict_lengths)
+        dict_r = Range(count)
+        rules: list[bytes] = [b""] * count
+        for k in range(count - 1, -1, -1):
+            size_cur = dict_lengths[k]
+            parts = []
+            while size_cur > 0:
+                if lit_dec.decode(bit_r):
+                    ref = lit_dec.decode(dict_r) - 1
+                    parts.append(rules[ref])
+                    size_cur -= dict_lengths[ref]
+                else:
+                    parts.append(bytes([lit_dec.decode(literal_r)]))
+                    size_cur -= 1
+            rules[k] = b"".join(parts)
+        out = bytearray()
+        while not lit_dec.eof():
+            if lit_dec.decode(bit_r):
+                out += rules[lit_dec.decode(dict_r) - 1]
+            else:
+                out.append(lit_dec.decode(literal_r))
+        return bytes(out)
+
+
+def _lfs2_parse_py(sa, lcp, n: int, min_lrf: int):
+    """Pure-Python fallback of ``tdc_lfs2_parse`` (same algorithm)."""
+    m = sa.size
+    nodes = []
+    stack = [(0, 0)]
+    for i in range(1, m + 1):
+        l = int(lcp[i]) if i < m else 0
+        lb = i - 1
+        while stack and l < stack[-1][0]:
+            d, slb = stack.pop()
+            if d >= min_lrf and i - 1 > slb:
+                nodes.append((d, slb, i - 1))
+            lb = slb
+        if not stack or l > stack[-1][0]:
+            stack.append((l, lb))
+    nodes.sort(key=lambda t: -t[0])
+    fl_nts = np.zeros(n, np.uint32)
+    fl_off = np.zeros(n, np.uint32)
+    sl_nts = np.zeros(n, np.uint32)
+    sl_dead = np.zeros(n, np.uint8)
+    nts_start: list[int] = []
+    nts_len: list[int] = []
+    for depth, lb, rb in nodes:
+        occs = np.sort(sa[lb : rb + 1]).tolist()
+        if occs[-1] - occs[0] < depth:
+            continue
+        fl_v, sl_v = [], []
+        last = -depth
+        for occ in occs:
+            if last + depth > occ or occ >= n or occ + depth > n:
+                continue
+            if fl_off[occ] == 0:
+                if fl_off[occ + depth - 1] == 0:
+                    fl_v.append(occ)
+                    last = occ
+            else:
+                parent = fl_nts[occ - (fl_off[occ] - 1)]
+                if parent and nts_len[parent - 1] >= fl_off[occ] - 1 + depth:
+                    sl_v.append(occ)
+        if fl_v and len(fl_v) + len(sl_v) >= 2:
+            nts_start.append(fl_v[0])
+            nts_len.append(depth)
+            nid = len(nts_start)
+            for occ in fl_v:
+                fl_nts[occ] = nid
+                fl_off[occ : occ + depth] = np.arange(1, depth + 1)
+            for occ in sl_v:
+                parent = fl_nts[occ - (fl_off[occ] - 1)]
+                ps = nts_start[parent - 1]
+                ss = ps + int(fl_off[occ]) - 1
+                se = ss + depth - 1
+                if not sl_dead[ss] and not sl_dead[se]:
+                    sl_nts[ss] = nid
+                    sl_dead[ss : se + 1] = 1
+    return (fl_nts, fl_off, sl_nts,
+            np.asarray(nts_start, np.int64), np.asarray(nts_len, np.int64))
+
+
+class LFS2BSTCompressor(LFS2Compressor):
+    """Reference ``lfs/LFS2BSTCompressor.hpp``: the same two-layer
+    algorithm over a binary suffix tree — our lcp-interval sweep serves
+    both, so this registers the name with identical semantics."""
+
     @classmethod
     def meta(cls):
         m = Meta("compressor", "lfs2bst", "LFS2 with binary suffix tree")
-        m.option_submeta("computing_strat", "lfs_comp", default="bst")
         m.option_submeta(
-            "coding_strat", "lfs_comp_enc", default="lfs_encode_strat"
+            "lfs2_lit_coder", "coder", default="huff",
+            accepts=("ascii", "bit", "huff"),
+        )
+        m.option_submeta(
+            "lfs2_len_coder", "coder", default="gamma",
+            accepts=UNIVERSAL_CODER_NAMES,
         )
         m.option_dynamic("min_lrf", 5)
         m.needs_sentinel_terminator()

@@ -137,6 +137,11 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.tdc_lzss_decode.restype = ctypes.c_int64
+        lib.tdc_lfs2_parse.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u32p, u32p, u32p, u8p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_lfs2_parse.restype = ctypes.c_int64
         lib.tdc_lcpcomp_compact.argtypes = [
             ctypes.c_int64, u8p, i64p, ctypes.c_int64,
             i64p, i64p, i64p, ctypes.c_int64, u8p,
@@ -575,3 +580,29 @@ def lcpcomp_compact_decode(n, lit_bytes, lit_pos, fpos, fsrc, flen):
     if got == -3:
         raise ValueError("unresolvable lcpcomp factor chain")
     return out.tobytes()
+
+
+def lfs2_parse(sa, lcp, n_text: int, min_lrf: int):
+    """LFS2 two-layer parse. Returns (fl_nts, fl_off, sl_nts,
+    nts_start, nts_len) arrays or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64)
+    m = sa.size
+    n = n_text
+    fl_nts = np.zeros(max(n, 1), np.uint32)
+    fl_off = np.zeros(max(n, 1), np.uint32)
+    sl_nts = np.zeros(max(n, 1), np.uint32)
+    sl_dead = np.zeros(max(n, 1), np.uint8)
+    cap = max(16, n // 2 + 1)
+    nts_start = np.empty(cap, np.int64)
+    nts_len = np.empty(cap, np.int64)
+    got = lib.tdc_lfs2_parse(
+        sa, lcp, m, n, min_lrf, fl_nts, fl_off, sl_nts, sl_dead,
+        nts_start, nts_len, cap,
+    )
+    if got < 0:
+        raise RuntimeError("lfs2 NT buffer overflow")
+    return fl_nts, fl_off, sl_nts, nts_start[:got], nts_len[:got]
