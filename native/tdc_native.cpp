@@ -728,12 +728,12 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
 
 struct Lfs2Node { int64_t depth, lb, rb; };
 
-int64_t tdc_lfs2_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
-                       int64_t n, int64_t min_lrf,
+static int64_t lfs2_parse_impl(const int64_t* sa, const int64_t* lcp,
+                       int64_t m, int64_t n, int64_t min_lrf,
                        uint32_t* fl_nts, uint32_t* fl_off,
                        uint32_t* sl_nts, uint8_t* sl_dead,
                        int64_t* nts_start, int64_t* nts_len,
-                       int64_t nts_cap) {
+                       int64_t nts_cap, int two_layer) {
     // lcp-interval nodes via the classic stack sweep (m = SA entries
     // incl. sentinel suffix, n = text length without sentinel)
     std::vector<Lfs2Node> nodes;
@@ -782,14 +782,16 @@ int64_t tdc_lfs2_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
                     fl_viable.push_back(occ);
                     last = occ;
                 }
-            } else {
+            } else if (two_layer) {
                 uint32_t parent = fl_nts[occ - (fl_off[occ] - 1)];
                 if (parent && nts_len[parent - 1] >= int64_t(fl_off[occ]) - 1 + i)
                     sl_viable.push_back(occ);
             }
         }
-        if (fl_viable.size() >= 1 &&
-            fl_viable.size() + sl_viable.size() >= 2) {
+        if ((two_layer
+                 ? (fl_viable.size() >= 1 &&
+                    fl_viable.size() + sl_viable.size() >= 2)
+                 : fl_viable.size() >= 2)) {
             if (count >= nts_cap) return -1;
             nts_start[count] = fl_viable.front();
             nts_len[count] = i;
@@ -813,6 +815,30 @@ int64_t tdc_lfs2_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
         }
     }
     return count;
+}
+
+int64_t tdc_lfs2_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
+                       int64_t n, int64_t min_lrf,
+                       uint32_t* fl_nts, uint32_t* fl_off,
+                       uint32_t* sl_nts, uint8_t* sl_dead,
+                       int64_t* nts_start, int64_t* nts_len,
+                       int64_t nts_cap) {
+    return lfs2_parse_impl(sa, lcp, m, n, min_lrf, fl_nts, fl_off,
+                           sl_nts, sl_dead, nts_start, nts_len,
+                           nts_cap, 1);
+}
+
+// Single-layer variant for the LFS st/esa strategies: no second-layer
+// substitution, rules need >= 2 first-layer occurrences.
+int64_t tdc_lfs_parse(const int64_t* sa, const int64_t* lcp, int64_t m,
+                      int64_t n, int64_t min_lrf,
+                      uint32_t* fl_nts, uint32_t* fl_off,
+                      uint32_t* sl_nts, uint8_t* sl_dead,
+                      int64_t* nts_start, int64_t* nts_len,
+                      int64_t nts_cap) {
+    return lfs2_parse_impl(sa, lcp, m, n, min_lrf, fl_nts, fl_off,
+                           sl_nts, sl_dead, nts_start, nts_len,
+                           nts_cap, 0);
 }
 
 // ---- lcpcomp "compact" decompression ----------------------------------

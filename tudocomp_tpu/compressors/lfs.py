@@ -34,6 +34,38 @@ from tudocomp_tpu.registry import REGISTRY
 UINT32_R = Range(0xFFFFFFFF)
 
 
+def _native_rules(text: bytes, min_lrf: int):
+    """Fast path for both LRF strategies: the native single-layer
+    longest-first parse (``tdc_lfs_parse``, an lcp-interval sweep over
+    SA/LCP — the ESA formulation of the suffix-tree walk; reference
+    ``lfs/ESAStrategy.hpp`` / ``lfs/STStrategy.hpp`` compute the same
+    longest-first rule set from the same node set).  Returns
+    (dictionary, occurrences) or None when native is unavailable."""
+    from tudocomp_tpu import native
+
+    n = len(text) - 1  # strip the appended sentinel
+    if n < min_lrf:
+        return [], []
+    ds = TextDS(text)
+    got = native.lfs_parse(
+        ds.require_sa(), ds.require_lcp(), n, min_lrf
+    )
+    if got is None:
+        return None
+    fl_nts, fl_off, nts_start, nts_len = got
+    dictionary = [
+        (int(s), int(ln))
+        for s, ln in zip(nts_start.tolist(), nts_len.tolist())
+    ]
+    occurrences = []
+    lens = nts_len.tolist()
+    for p in np.flatnonzero(fl_nts).tolist():
+        rid = int(fl_nts[p]) - 1
+        occurrences.append((p, rid, lens[rid]))
+    occurrences.sort()
+    return dictionary, occurrences
+
+
 def _select_nonoverlapping(positions, length, dead):
     """Greedy leftmost selection of pairwise non-overlapping, fully-live
     occurrences."""
@@ -60,6 +92,9 @@ class ESAStrategy(Algorithm):
 
     def compute_rules(self, text: bytes):
         min_lrf = self.env.option("min_lrf").as_int()
+        rules = _native_rules(text, min_lrf)
+        if rules is not None:
+            return rules
         ds = TextDS(text)
         sa = ds.require_sa()
         lcp = ds.require_lcp()
@@ -114,6 +149,9 @@ class STStrategy(Algorithm):
 
     def compute_rules(self, text: bytes):
         min_lrf = self.env.option("min_lrf").as_int()
+        rules = _native_rules(text, min_lrf)
+        if rules is not None:
+            return rules
         st = SuffixTree(text)
         n = st.n
         dead = np.zeros(n, bool)

@@ -142,6 +142,8 @@ def _load():
             u32p, u32p, u32p, u8p, i64p, i64p, ctypes.c_int64,
         ]
         lib.tdc_lfs2_parse.restype = ctypes.c_int64
+        lib.tdc_lfs_parse.argtypes = lib.tdc_lfs2_parse.argtypes
+        lib.tdc_lfs_parse.restype = ctypes.c_int64
         lib.tdc_lcpcomp_compact.argtypes = [
             ctypes.c_int64, u8p, i64p, ctypes.c_int64,
             i64p, i64p, i64p, ctypes.c_int64, u8p,
@@ -606,3 +608,30 @@ def lfs2_parse(sa, lcp, n_text: int, min_lrf: int):
     if got < 0:
         raise RuntimeError("lfs2 NT buffer overflow")
     return fl_nts, fl_off, sl_nts, nts_start[:got], nts_len[:got]
+
+
+def lfs_parse(sa, lcp, n_text: int, min_lrf: int):
+    """Single-layer longest-first parse (the LFS st/esa strategies:
+    rules need >= 2 first-layer occurrences, no in-rule substitution).
+    Returns (fl_nts, fl_off, nts_start, nts_len) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64)
+    m = sa.size
+    n = n_text
+    fl_nts = np.zeros(max(n, 1), np.uint32)
+    fl_off = np.zeros(max(n, 1), np.uint32)
+    sl_nts = np.zeros(max(n, 1), np.uint32)
+    sl_dead = np.zeros(max(n, 1), np.uint8)
+    cap = max(16, n // 2 + 1)
+    nts_start = np.empty(cap, np.int64)
+    nts_len = np.empty(cap, np.int64)
+    got = lib.tdc_lfs_parse(
+        sa, lcp, m, n, min_lrf, fl_nts, fl_off, sl_nts, sl_dead,
+        nts_start, nts_len, cap,
+    )
+    if got < 0:
+        raise RuntimeError("lfs NT buffer overflow")
+    return fl_nts, fl_off, nts_start[:got], nts_len[:got]
