@@ -1044,3 +1044,157 @@ int64_t tdc_tbc2_decode(const uint8_t* data, const uint32_t* counts,
 }
 
 }  // extern "C"
+
+// ---- Re-Pair grammar construction -------------------------------------
+// Larsson/Moffat-style near-linear Re-Pair (reference
+// RePairCompressor.hpp:96-340 does O(n) rescan rounds; this replaces
+// the rescans with neighbor links + per-digram occurrence lists + a
+// lazy max-heap, so total work is O(n log n)).
+//
+// Structures over the symbol array:
+//   sym[i]   current symbol at slot i (-1 = removed)
+//   nxt/prv  doubly-linked active-slot list
+//   od_nxt/od_prv  occurrence list links: slots holding the same digram
+//   hash map digram(left<<32|right) -> {count, head, tail}
+//   heap     lazy max-heap of (count, entry); stale tops are skipped
+// Replacing digram D at slot i (right partner j=nxt[i]): the left
+// neighbor digram at prv[i] and right digram at j are unlinked and
+// decremented, slot j is removed, and the two digrams created around
+// the fresh non-terminal are inserted. Occurrences are processed in
+// slot order, each re-validated (overlaps like "aaa" self-destruct).
+
+namespace repair_detail {
+
+struct DigramEntry {
+    uint64_t key;
+    int64_t count;
+    int32_t head, tail;
+};
+
+struct DigramMap {
+    std::vector<DigramEntry> entries;
+    std::vector<int32_t> table;  // open addressing -> entry idx, -1 empty
+    uint64_t mask;
+
+    explicit DigramMap(int64_t n) {
+        uint64_t cap = 64;
+        while (cap < uint64_t(2 * n)) cap <<= 1;
+        table.assign(cap, -1);
+        mask = cap - 1;
+        entries.reserve(size_t(n / 2 + 16));
+    }
+    int32_t find_or_add(uint64_t key) {
+        uint64_t h = key * 0x9E3779B97F4A7C15ull;
+        uint64_t s = (h >> 32) & mask;
+        while (true) {
+            int32_t e = table[s];
+            if (e < 0) {
+                table[s] = int32_t(entries.size());
+                entries.push_back({key, 0, -1, -1});
+                return table[s];
+            }
+            if (entries[size_t(e)].key == key) return e;
+            s = (s + 1) & mask;
+        }
+    }
+};
+
+}  // namespace repair_detail
+
+extern "C" {
+
+// Returns num_rules (>= 0), or -1 if rules_cap was exceeded.
+// rules_out holds pairs (left, right); symbols >= 256 are rule ids + 256.
+// start_out receives the compacted start sequence, *start_len_out its
+// length.
+int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
+                   int32_t* rules_out, int64_t rules_cap,
+                   int32_t* start_out, int64_t* start_len_out) {
+    using repair_detail::DigramMap;
+    if (n <= 0) { *start_len_out = 0; return 0; }
+    size_t un = size_t(n);
+    std::vector<int32_t> sym(un), nxt(un), prv(un);
+    std::vector<int32_t> od_nxt(size_t(n), -1), od_prv(size_t(n), -1);
+    for (int64_t i = 0; i < n; i++) {
+        sym[size_t(i)] = text[i];
+        nxt[size_t(i)] = (i + 1 < n) ? int32_t(i + 1) : -1;
+        prv[size_t(i)] = int32_t(i - 1);
+    }
+    DigramMap map(n);
+    std::priority_queue<uint64_t> heap;  // count<<32 | entry idx
+
+    auto key_at = [&](int64_t i) -> uint64_t {
+        return (uint64_t(uint32_t(sym[size_t(i)])) << 32) |
+               uint32_t(sym[size_t(nxt[size_t(i)])]);
+    };
+    auto occ_append = [&](int64_t i) {
+        int32_t e = map.find_or_add(key_at(i));
+        auto& en = map.entries[size_t(e)];
+        od_prv[size_t(i)] = en.tail;
+        od_nxt[size_t(i)] = -1;
+        if (en.tail >= 0) od_nxt[size_t(en.tail)] = int32_t(i);
+        else en.head = int32_t(i);
+        en.tail = int32_t(i);
+        en.count++;
+        heap.push((uint64_t(en.count) << 32) | uint32_t(e));
+    };
+    auto occ_remove = [&](int64_t i) {
+        int32_t e = map.find_or_add(key_at(i));
+        auto& en = map.entries[size_t(e)];
+        int32_t p = od_prv[size_t(i)], q = od_nxt[size_t(i)];
+        if (p >= 0) od_nxt[size_t(p)] = q; else en.head = q;
+        if (q >= 0) od_prv[size_t(q)] = p; else en.tail = p;
+        od_prv[size_t(i)] = od_nxt[size_t(i)] = -1;
+        en.count--;
+    };
+
+    for (int64_t i = 0; i + 1 < n; i++) occ_append(i);
+
+    int64_t num_rules = 0;
+    std::vector<int64_t> occs;
+    while (num_rules < max_rules && !heap.empty()) {
+        uint64_t top = heap.top();
+        heap.pop();
+        int32_t e = int32_t(top & 0xFFFFFFFFu);
+        int64_t cnt = int64_t(top >> 32);
+        auto& en = map.entries[size_t(e)];
+        if (en.count != cnt) continue;  // stale
+        if (cnt < 2) break;             // true maximum below threshold
+        uint64_t key = en.key;
+        int32_t a = int32_t(key >> 32), b = int32_t(key & 0xFFFFFFFFu);
+        if (num_rules >= rules_cap) return -1;
+        int32_t fresh = int32_t(256 + num_rules);
+        rules_out[2 * num_rules] = a;
+        rules_out[2 * num_rules + 1] = b;
+        num_rules++;
+        occs.clear();
+        for (int32_t it = en.head; it >= 0; it = od_nxt[size_t(it)])
+            occs.push_back(it);
+        std::sort(occs.begin(), occs.end());
+        for (int64_t i : occs) {
+            // re-validate: an earlier replacement this round (overlap
+            // like "aaa") may have destroyed this occurrence
+            if (sym[size_t(i)] != a) continue;
+            int32_t j = nxt[size_t(i)];
+            if (j < 0 || sym[size_t(j)] != b) continue;
+            int32_t l = prv[size_t(i)], r = nxt[size_t(j)];
+            if (l >= 0) occ_remove(l);
+            if (r >= 0) occ_remove(j);
+            occ_remove(i);
+            sym[size_t(i)] = fresh;
+            sym[size_t(j)] = -1;
+            nxt[size_t(i)] = r;
+            if (r >= 0) prv[size_t(r)] = int32_t(i);
+            if (l >= 0) occ_append(l);
+            if (r >= 0) occ_append(i);
+        }
+    }
+
+    int64_t m = 0;
+    for (int32_t i = 0; i >= 0; i = nxt[size_t(i)])
+        start_out[m++] = sym[size_t(i)];
+    *start_len_out = m;
+    return num_rules;
+}
+
+}  // extern "C"

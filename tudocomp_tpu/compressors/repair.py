@@ -30,7 +30,19 @@ SIGMA = 256
 
 
 def repair_grammar(text: np.ndarray, max_rules: int):
-    """Returns (start: int64[], rules: list[(left, right)])."""
+    """Returns (start: int64[], rules: list[(left, right)]).
+
+    Fast path: the native near-linear kernel (``tdc_repair``,
+    occurrence lists + lazy max-heap). Fallback: the vectorized
+    round-rescan below. Tie-breaking between equal-count digrams
+    differs (native: insertion order; numpy: smallest digram value) —
+    both are valid greedy Re-Pair grammars, the wire format is
+    self-describing either way."""
+    from tudocomp_tpu import native
+
+    got = native.repair(text, max_rules)
+    if got is not None:
+        return got
     arr = text.astype(np.int64)
     rules: list[tuple[int, int]] = []
     while len(rules) < max_rules and arr.size >= 2:

@@ -71,6 +71,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.tdc_mtf_encode.argtypes = [u8p, u8p, ctypes.c_int64]
         lib.tdc_mtf_decode.argtypes = [u8p, u8p, ctypes.c_int64]
         lib.tdc_bwt_decode.argtypes = [u8p, u8p, ctypes.c_int64]
@@ -144,6 +145,12 @@ def _load():
         lib.tdc_lfs2_parse.restype = ctypes.c_int64
         lib.tdc_lfs_parse.argtypes = lib.tdc_lfs2_parse.argtypes
         lib.tdc_lfs_parse.restype = ctypes.c_int64
+        lib.tdc_repair.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            i32p, ctypes.c_int64, i32p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_repair.restype = ctypes.c_int64
         lib.tdc_lcpcomp_compact.argtypes = [
             ctypes.c_int64, u8p, i64p, ctypes.c_int64,
             i64p, i64p, i64p, ctypes.c_int64, u8p,
@@ -635,3 +642,26 @@ def lfs_parse(sa, lcp, n_text: int, min_lrf: int):
     if got < 0:
         raise RuntimeError("lfs NT buffer overflow")
     return fl_nts, fl_off, nts_start[:got], nts_len[:got]
+
+
+def repair(text: np.ndarray, max_rules: int):
+    """Re-Pair grammar via the near-linear native kernel. Returns
+    (start: int64[], rules: list[(left, right)]) or None."""
+    lib = _load()
+    if lib is None or text.size >= (1 << 31):
+        return None
+    text = np.ascontiguousarray(text, np.uint8)
+    n = text.size
+    rules_cap = max(16, n // 2 + 1)
+    rules_out = np.empty(2 * rules_cap, np.int32)
+    start_out = np.empty(max(n, 1), np.int32)
+    start_len = ctypes.c_int64(0)
+    got = lib.tdc_repair(
+        text, n, min(max_rules, rules_cap), rules_out, rules_cap,
+        start_out, ctypes.byref(start_len),
+    )
+    if got < 0:
+        return None
+    pairs = rules_out[: 2 * got].reshape(-1, 2)
+    rules = [(int(l), int(r)) for l, r in pairs.tolist()]
+    return start_out[: start_len.value].astype(np.int64), rules
