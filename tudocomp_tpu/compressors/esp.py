@@ -177,7 +177,17 @@ def _merge_one_blocks(blocks: list[list[int]]) -> list[int]:
 
 
 def esp_rounds(data: bytes):
-    """Run ESP to completion. Returns (rules: int64[R,2], root, empty)."""
+    """Run ESP to completion. Returns (rules: int64[R,2], root, empty).
+
+    Fast path: ``tdc_esp_rounds`` (native, bit-identical mirror of the
+    loop below — verified by the cross-check fuzz test)."""
+    from tudocomp_tpu import native
+
+    if len(data) > 0:
+        got = native.esp_rounds(data)
+        if got is not None:
+            rules, root = got
+            return rules, root, False
     s = np.frombuffer(data, np.uint8).astype(np.int64)
     rules: dict[tuple[int, int], int] = {}
     rule_list: list[tuple[int, int]] = []
@@ -343,10 +353,15 @@ def slp_dep_sort(rules: np.ndarray, root: int):
     """
     import heapq
 
+    from tudocomp_tpu import native
+
     r = np.asarray(rules, np.int64)
     n = r.shape[0]
     if n == 0:
         return r.copy(), root
+    got = native.slp_dep_sort(r, root)
+    if got is not None:
+        return got
     waiting: dict[int, list[int]] = {}  # old left rule id -> old rule ids
     heap = []
     for old in range(n):
@@ -420,10 +435,7 @@ class SortedSLPCoder(Algorithm):
         count = max_val - 256 + 1
         if root < 256 or count <= 0:
             return np.zeros((0, 2), np.int64), root, False
-        deltas = np.array(
-            [inp.read_unary() for _ in range(count)], np.int64
-        )
-        lhs = np.cumsum(deltas)
+        lhs = np.cumsum(inp.read_unary_array(count))
         d = self.env.instantiate("d_coding")
         rhs = d.decode(inp, width, count)
         return np.stack([lhs, rhs], axis=1), root, False

@@ -358,11 +358,24 @@ class BitReader:
 
     # -- vectorized bulk reads ------------------------------------------------
 
-    def read_var_int_array(self, widths) -> np.ndarray:
-        """Read consecutive integers with per-item bit widths (<= 56).
+    def _packed_words(self) -> np.ndarray:
+        """Big-endian 64-bit words over the bit stream (cached), padded
+        with two zero words so any (word, word+1) window is in range."""
+        w = getattr(self, "_words", None)
+        if w is None:
+            by = np.packbits(self._bits)
+            pad = (-by.size) % 8 + 16
+            by = np.concatenate([by, np.zeros(pad, np.uint8)])
+            w = by.view(">u8").astype(np.uint64)
+            self._words = w
+        return w
 
-        Vectorized: gathers a max-width bit window per item and shifts
-        down to each item's width.
+    def read_var_int_array(self, widths) -> np.ndarray:
+        """Read consecutive integers with per-item bit widths (<= 57).
+
+        Vectorized via packed 64-bit words: each item's value sits in
+        the window ``words[o>>6] << (o&63) | words[o>>6+1] >> (64-o&63)``
+        shifted down to its width — O(count) temporaries.
         """
         widths = np.asarray(widths, np.int64)
         if widths.size == 0:
@@ -373,15 +386,15 @@ class BitReader:
         total = int(widths.sum())
         if self.pos + total > self.total:
             raise EOFError("bulk read past end of stream")
-        mw = int(widths.max())
-        idx = offs[:, None] + np.arange(mw)
-        valid = idx < (self.pos + total)
-        window = np.where(
-            valid, self._bits[np.minimum(idx, self.total - 1)], 0
-        ).astype(np.uint64)
-        weights = _U64_1 << np.arange(mw - 1, -1, -1, dtype=np.uint64)
-        vals = (window * weights).sum(axis=1, dtype=np.uint64)
-        vals >>= (mw - widths).astype(np.uint64)
+        words = self._packed_words()
+        wi = offs >> 6
+        sh = (offs & 63).astype(np.uint64)
+        hi = words[wi] << sh
+        lo_shift = (np.uint64(64) - sh) & np.uint64(63)  # sh=0 -> 0 via mask
+        lo = np.where(sh == 0, np.uint64(0), words[wi + 1] >> lo_shift)
+        window = hi | lo
+        vals = window >> (np.uint64(64) - widths.astype(np.uint64))
+        vals = np.where(widths == 0, np.uint64(0), vals)
         self.pos += total
         return vals
 

@@ -151,6 +151,16 @@ def _load():
             ctypes.POINTER(ctypes.c_int64),
         ]
         lib.tdc_repair.restype = ctypes.c_int64
+        lib.tdc_esp_rounds.argtypes = [
+            u8p, ctypes.c_int64, i32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_esp_rounds.restype = ctypes.c_int64
+        lib.tdc_slp_dep_sort.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64, i64p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_slp_dep_sort.restype = ctypes.c_int64
         lib.tdc_lcpcomp_compact.argtypes = [
             ctypes.c_int64, u8p, i64p, ctypes.c_int64,
             i64p, i64p, i64p, ctypes.c_int64, u8p,
@@ -665,3 +675,42 @@ def repair(text: np.ndarray, max_rules: int):
     pairs = rules_out[: 2 * got].reshape(-1, 2)
     rules = [(int(l), int(r)) for l, r in pairs.tolist()]
     return start_out[: start_len.value].astype(np.int64), rules
+
+
+def esp_rounds(data: bytes):
+    """Full ESP grammar construction (bit-identical to the Python
+    ``esp_rounds``). Returns (rules: int64[R,2], root) or None."""
+    lib = _load()
+    n = len(data)
+    if lib is None or n == 0 or n >= (1 << 31):
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cap = n + 16
+    rules_out = np.empty(2 * cap, np.int32)
+    root = ctypes.c_int64(0)
+    got = lib.tdc_esp_rounds(
+        np.ascontiguousarray(buf), n, rules_out, cap, ctypes.byref(root)
+    )
+    if got < 0:
+        return None
+    rules = rules_out[: 2 * got].astype(np.int64).reshape(-1, 2)
+    return rules, int(root.value)
+
+
+def slp_dep_sort(rules: np.ndarray, root: int):
+    """Dependency sort (identical permutation to the Python
+    ``slp_dep_sort``). Returns (sorted_rules, new_root) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    rules = np.ascontiguousarray(rules, np.int64)
+    n = rules.shape[0]
+    out = np.empty((max(n, 1), 2), np.int64)
+    new_root = ctypes.c_int64(0)
+    got = lib.tdc_slp_dep_sort(
+        rules.reshape(-1), n, root, out.reshape(-1),
+        ctypes.byref(new_root),
+    )
+    if got < 0:
+        raise ValueError("SLP dependency cycle")
+    return out[:n], int(new_root.value)
