@@ -286,6 +286,7 @@ class BitReader:
             0, np.uint8
         )
         self._ones = np.flatnonzero(self._bits)
+        self._wl = None  # packed words as Python ints (lazy, scalar reads)
         self.pos = 0
 
     def eof(self) -> bool:
@@ -299,20 +300,24 @@ class BitReader:
         return b
 
     def read_int(self, amount: int) -> int:
-        v = 0
-        end = min(self.pos + amount, self.total)
-        got = end - self.pos
-        if got > 0:
-            chunk = self._bits[self.pos : end]
-            v = int(
-                chunk @ (1 << np.arange(got - 1, -1, -1, dtype=object))
-            )
-        # bits past EOF read as 0 (reference behavior)
-        v <<= amount - got
-        self.pos += amount  # reference advances logically; clamp at eof checks
-        if self.pos > self.total:
-            self.pos = self.total
-        return v
+        # bits past EOF read as 0 (reference behavior): the packed-word
+        # cache is built from the truncated bit array, so the out-of-
+        # range tail is zero automatically
+        if amount > 57:
+            hi = self.read_int(amount - 32)
+            return (hi << 32) | self.read_int(32)
+        wl = self._wl
+        if wl is None:
+            wl = self._packed_words().tolist()
+            self._wl = wl
+        o = self.pos
+        sh = o & 63
+        w = (wl[o >> 6] << sh) & 0xFFFFFFFFFFFFFFFF
+        if sh:
+            w |= wl[(o >> 6) + 1] >> (64 - sh)
+        o += amount
+        self.pos = o if o < self.total else self.total
+        return w >> (64 - amount) if amount else 0
 
     def read_unary(self) -> int:
         i = np.searchsorted(self._ones, self.pos)

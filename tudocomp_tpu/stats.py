@@ -28,8 +28,18 @@ STATS_ENABLED = True
 
 def _device_mem() -> int:
     try:
-        import jax
+        import sys
 
+        jax = sys.modules.get("jax")
+        if jax is None:
+            return 0
+        # never *initialize* a backend just to read memory stats — on a
+        # tunneled TPU the first device enumeration can take ~10 s and
+        # would land inside whatever phase happened to run first
+        from jax._src import xla_bridge
+
+        if not xla_bridge._backends:
+            return 0
         stats = jax.local_devices()[0].memory_stats()
         if stats:
             return int(stats.get("bytes_in_use", 0))
