@@ -421,7 +421,7 @@ class BlockCodec:
             hrw[: hi - lo] = (flags[lo:hi] & 1).astype(bool)
             rrw = np.zeros(b, bool)
             rrw[: hi - lo] = (flags[lo:hi] & 2).astype(bool)
-            keys = decode_segments(
+            chars, ends = decode_segments(
                 jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
                 jnp.asarray(rrw), thresh, offs, masks, offset=offset,
             )
@@ -431,5 +431,7 @@ class BlockCodec:
                     orig_len - SEG * (lo + np.arange(b, dtype=np.int64)), 0
                 ),
             )
-            parts.append(expand_records(np.asarray(keys), out_lens))
+            parts.append(
+                expand_records(np.asarray(chars), np.asarray(ends), out_lens)
+            )
         return b"".join(parts)[:orig_len]

@@ -28,11 +28,13 @@ Design (one segment = one SIMD lane, thousands of segments in lockstep):
 4. **Fused RLE record parse.** The reference RLE state machine (armed
    previous char, vbyte accumulator) runs inside the same scan on each
    decoded byte, emitting per-slot ``(char, cumulative output end)``.
-5. **Compaction = ONE batched sort.** Record slots pack
-   ``(end-1) << 8 | char`` into one i32 key (non-records key to +inf);
-   a single-operand ``lax.sort`` per lane yields the dense record list.
-   The host finishes with one global ``np.repeat`` (run expansion is
-   memset-class and the bytes must cross to the host anyway).
+5. **No device compaction.** Slots that emit no record repeat the
+   previous cumulative end, so the host finish — one global
+   ``np.repeat`` over diff-of-ends deltas (memset-class; the bytes
+   must cross to the host anyway) — consumes the positional arrays
+   directly. A compaction sort was measured at 84 ms/16 MiB (66% of
+   the kernel) against ~8 ms of extra PCIe-class transfer it saves:
+   strictly worse unless d2h is below ~1.5 GB/s.
 
 Container framing required: per segment ``count <= SEG`` symbols and
 payload <= ``8 * count`` bits (the encoder's raw-escape flags guarantee
@@ -132,11 +134,12 @@ def decode_segments(feed, counts, raw_flags, rle_raw_flags, thresh, offs,
         bytes (RLE layer bypassed — every symbol is a 1-byte record)
     thresh/offs: i32[16] from decoder_tables; masks_arr: i32[8,8]
 
-    Returns ``(keys i32[nseg, SEG])`` where column r holds
-    ``(end_r - 1) << 8 | char_r`` of the r-th RLE record (ends strictly
-    increasing, cumulative output positions), or 0x7FFFFFFF beyond the
-    last record. The caller derives deltas by differencing ends and
-    expands with one np.repeat.
+    Returns ``(chars u8[nseg, S], ends u16[nseg, S])`` with one column
+    per decode slot (S = DEC_STEPS * D): ``ends`` is the cumulative
+    output position after each slot (monotone non-decreasing; a slot
+    that emits no record repeats the previous value, so its delta is
+    zero), ``chars`` the record character. The caller derives run
+    lengths by differencing ends and expands with one np.repeat.
     """
     nseg = feed.shape[0]
     feed_t = lax.bitcast_convert_type(
@@ -241,29 +244,26 @@ def decode_segments(feed, counts, raw_flags, rle_raw_flags, thresh, offs,
     init = (z, z, z, z, jnp.full(nseg, -1, _I32), z, z, z, z)
     _, (ys_char, ys_end) = lax.scan(step, init, feed_t)
     # [steps, D, nseg] -> slot-major per lane [nseg, steps*D]
-    chars = ys_char.transpose(2, 0, 1).reshape(nseg, -1).astype(_I32)
-    ends = ys_end.transpose(2, 0, 1).reshape(nseg, -1).astype(_I32)
-    prev = jnp.concatenate(
-        [jnp.zeros((nseg, 1), _I32), ends[:, :-1]], axis=1
-    )
-    is_rec = ends > prev
-    keys = jnp.where(is_rec, ((ends - 1) << 8) | chars, _BIG)
-    keys = lax.sort(keys, dimension=1)
-    return keys[:, :SEG]
+    chars = ys_char.transpose(2, 0, 1).reshape(nseg, -1)
+    ends = ys_end.transpose(2, 0, 1).reshape(nseg, -1)
+    return chars, ends
 
 
-def expand_records(keys: np.ndarray, out_lens: np.ndarray) -> bytes:
-    """Host finish: one global np.repeat over all lanes' dense records.
+def expand_records(chars: np.ndarray, ends: np.ndarray,
+                   out_lens: np.ndarray) -> bytes:
+    """Host finish: one global np.repeat over all lanes' record slots.
 
-    keys: i32[nseg, SEG] from decode_segments; out_lens: actual output
+    chars u8 / ends u16: [nseg, S] from decode_segments (ends monotone
+    per lane; zero-delta slots carry no record); out_lens: actual output
     bytes per segment (SEG except the final segment).
     """
-    keys = np.asarray(keys, np.int64)
-    ends = (keys >> 8).astype(np.int64)
-    chars = (keys & 0xFF).astype(np.uint8)
-    ends = np.minimum(ends + 1, np.asarray(out_lens, np.int64)[:, None])
+    ends = np.minimum(
+        np.asarray(ends, np.int64),
+        np.asarray(out_lens, np.int64)[:, None],
+    )
+    chars = np.asarray(chars, np.uint8)
     prev = np.concatenate(
-        [np.zeros((keys.shape[0], 1), np.int64), ends[:, :-1]], axis=1
+        [np.zeros((ends.shape[0], 1), np.int64), ends[:, :-1]], axis=1
     )
     deltas = np.maximum(ends - prev, 0)
     return np.repeat(chars.ravel(), deltas.ravel()).tobytes()
