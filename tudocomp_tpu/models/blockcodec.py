@@ -215,7 +215,7 @@ class BlockCodec:
         if (hist > 0).sum() <= 1:
             return None
         # 16-bit cap: packer tokens; min 2: TPU decoder drain invariant
-        return HuffmanTable.from_counts(hist, max_len=16, min_len=2)
+        return HuffmanTable.from_counts(hist, max_len=16, min_len=3)
 
     @staticmethod
     def _device_table(table):

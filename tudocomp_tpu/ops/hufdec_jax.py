@@ -12,10 +12,13 @@ Design (one segment = one SIMD lane, thousands of segments in lockstep):
 1. **Word-fed scan.** xs feeds each lane one big-endian u32 of its
    payload per step (positional feed -> no gather). Each lane carries a
    64-bit left-justified bit buffer (two i32 halves) plus the RLE parser
-   state. Per step it decodes up to ``D = 16`` symbols (unrolled slots).
-   With the table's minimum code length forced >= 2 (and raw segments at
+   state. Per step it decodes up to ``D = 11`` symbols (unrolled slots).
+   With the table's minimum code length forced >= 3 (and raw segments at
    8 bits/symbol), ``D * Lmin >= 32`` bits drain per full step, so the
-   buffer never exceeds 63 bits — the feed schedule is static.
+   buffer never exceeds 63 bits — the feed schedule is static. (Forcing
+   min length 3 instead of 2 costs < 0.2% ratio after the RLE layer has
+   flattened the distribution, and cuts slot count — the decode cost —
+   by 31%.)
 2. **Canonical length detection = 16 threshold compares.** The
    Managing-Gigabytes firstcode recurrence makes the 16-bit-scaled
    thresholds ``fc[l] << (16-l)`` monotone non-increasing in ``l``, so
@@ -53,7 +56,7 @@ from jax import lax
 
 SEG = 2048          # output bytes per segment
 SEG_CAP = 3072      # max RLE bytes per segment (1.5x worst case)
-D = 16              # decode slots per scan step (= 32 bits / min len 2)
+D = 11              # decode slots per scan step (11 * min len 3 >= 32)
 FEED_STEPS = SEG * 8 // 32   # 512: max payload words per segment
 DEC_STEPS = FEED_STEPS + 3   # + drain steps (buffer <= 63 bits)
 
@@ -72,7 +75,7 @@ def decoder_tables(table):
     """
     longest = table.longest
     assert 1 <= longest <= 16
-    assert int(table.lengths.min()) >= 2, "device decode needs min len 2"
+    assert int(table.lengths.min()) >= 3, "device decode needs min len 3"
     fc = table.firstcode  # fc[l-1] = first code of length l
     numl = table.numl
     thresh = np.zeros(16, np.int64)
