@@ -81,3 +81,28 @@ def test_statphase_tree():
     assert j["sub"][1]["stats"] == [{"key": "factors", "value": 42}]
     json.dumps(j)  # serializable
     assert j["timeDelta"] >= 0
+
+
+def test_cli_blocks_streaming(tmp_path):
+    """--blocks streams file->file; decode self-describes; --resume
+    completes a torn output byte-identically."""
+    src = tmp_path / "in.bin"
+    src.write_bytes((b"squeeze me gently " * 600)[:10000])
+    out = tmp_path / "out.tdc"
+    rc = cli.main(
+        [str(src), "-a", "rle:encode(coder=huff)", "--blocks", "2Ki",
+         "-f", "-o", str(out)]
+    )
+    assert rc == 0
+    dec = tmp_path / "out.bin"
+    assert cli.main([str(out), "-d", "-f", "-o", str(dec)]) == 0
+    assert dec.read_bytes() == src.read_bytes()
+
+    full = out.read_bytes()
+    out.write_bytes(full[: len(full) // 2])  # tear mid-frame
+    rc = cli.main(
+        [str(src), "-a", "rle:encode(coder=huff)", "--blocks", "2Ki",
+         "--resume", "-o", str(out)]
+    )
+    assert rc == 0
+    assert out.read_bytes() == full

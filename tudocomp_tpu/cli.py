@@ -35,20 +35,35 @@ from tudocomp_tpu.stats import StatPhase
 MAX_HEADER = 1024  # sanity cap while scanning for '%' (ref :293-307)
 
 
-def _instantiate(algostring: str):
+def _instantiate(algostring: str, blocks: int | None = None):
     """Instantiate, folding ``a:b:c`` chain sugar into nested chain()
-    (reference ``tudocomp_driver_tests.cpp:211-233``)."""
+    (reference ``tudocomp_driver_tests.cpp:211-233``). ``blocks`` wraps
+    the whole chain in the constant-memory block container."""
     from tudocomp_tpu.algostr import Node, parse_chain
 
     nodes = parse_chain(algostring)
     node = nodes[0]
     for nxt in nodes[1:]:
         node = Node("chain", [("first", node), ("second", nxt)])
+    if blocks is not None:
+        node = Node("blocks", [("inner", node), ("b", str(blocks))])
     return REGISTRY.instantiate(node)
 
 
-def compress(algostring: str, data: bytes, raw: bool = False) -> bytes:
-    comp = _instantiate(algostring)
+def parse_size(s: str) -> int:
+    """``16M``/``16Mi``/``1G``/``4096`` -> bytes (K/M/G binary)."""
+    m = {"k": 10, "m": 20, "g": 30}
+    t = s.strip().lower().removesuffix("i")
+    if t and t[-1] in m:
+        return int(float(t[:-1]) * (1 << m[t[-1]]))
+    return int(t)
+
+
+def compress(
+    algostring: str, data: bytes, raw: bool = False,
+    blocks: int | None = None,
+) -> bytes:
+    comp = _instantiate(algostring, blocks)
     restr = REGISTRY.restrictions_of(comp.env)
     prepared = escape(data, restr)
     with StatPhase("compress"):
@@ -77,6 +92,106 @@ def decompress(
     with StatPhase("decompress"):
         out = comp.decompress(bytes(payload))
     return unescape(out, restr)
+
+
+def _stream_main(args, p) -> int | None:
+    """Constant-memory file paths: ``--blocks`` compression and
+    block-container decompression stream one block at a time instead of
+    materializing input + output (peak RSS is O(block size)). Returns
+    an exit code, or None to fall back to the buffered path."""
+    import os
+
+    if args.usestdin or args.generator or not args.input:
+        return None
+
+    def _report(out_path):
+        if args.stats is not None:
+            print(root.to_json_str(), file=sys.stderr)
+        a = os.path.getsize(args.input)
+        b = os.path.getsize(out_path)
+        print(
+            f"{a} -> {b} bytes ({100.0 * b / max(1, a):.2f}%)",
+            file=sys.stderr,
+        )
+
+    root = StatPhase(
+        args.stats or "root", track_memory=args.stats is not None
+    )
+    if args.decompress:
+        if args.blocks:
+            p.error(
+                "--blocks applies to compression "
+                "(block containers self-describe on decode)"
+            )
+        with open(args.input, "rb") as f:
+            head = f.read(MAX_HEADER)
+        if args.raw and args.algorithm:
+            algostring, off = args.algorithm, 0
+        else:
+            sep = head.find(b"%")
+            if sep < 0:
+                return None
+            algostring, off = head[:sep].decode(), sep + 1
+        comp = _instantiate(algostring)
+        if not hasattr(comp, "decompress_stream"):
+            return None  # buffered path handles non-block containers
+        out_path = args.output or (args.input + ".decomp")
+        if (
+            not args.usestdout and os.path.exists(out_path)
+            and not args.force
+        ):
+            print(
+                f"output {out_path} exists (use -f to overwrite)",
+                file=sys.stderr,
+            )
+            return 1
+        with open(args.input, "rb") as fin:
+            fin.seek(off)
+            if args.usestdout:
+                with root:
+                    comp.decompress_stream(fin, sys.stdout.buffer)
+            else:
+                with open(out_path, "wb") as fout, root:
+                    comp.decompress_stream(fin, fout)
+                _report(out_path)
+        return 0
+
+    if not args.blocks:
+        return None
+    if not args.algorithm:
+        p.error("-a ALGORITHM required for compression")
+    comp = _instantiate(args.algorithm, blocks=parse_size(args.blocks))
+    header = b"" if args.raw else comp.env.id_string().encode() + b"%"
+    if args.usestdout:
+        with open(args.input, "rb") as fin, root:
+            sys.stdout.buffer.write(header)
+            comp.compress_stream(fin, sys.stdout.buffer)
+        return 0
+    out_path = args.output or (args.input + ".tdc")
+    exists = os.path.exists(out_path) and os.path.getsize(out_path) > 0
+    if exists and not (args.force or args.resume):
+        print(
+            f"output {out_path} exists (use -f to overwrite)",
+            file=sys.stderr,
+        )
+        return 1
+    resume = args.resume and exists
+    with open(args.input, "rb") as fin, \
+            open(out_path, "r+b" if resume else "wb") as fout, root:
+        if resume:
+            if fout.read(len(header)) != header:
+                print(
+                    "--resume: existing output was written with a "
+                    "different algorithm header",
+                    file=sys.stderr,
+                )
+                return 1
+            comp.compress_stream(fin, fout, resume=True)
+        else:
+            fout.write(header)
+            comp.compress_stream(fin, fout)
+    _report(out_path)
+    return 0
 
 
 def generate(genstring: str) -> bytes:
@@ -108,11 +223,25 @@ def main(argv=None) -> int:
     p.add_argument("--stats", nargs="?", const="STATS", default=None)
     p.add_argument("--usestdin", action="store_true")
     p.add_argument("--usestdout", action="store_true")
+    p.add_argument(
+        "--blocks", metavar="SIZE",
+        help="compress block-wise (constant memory, restartable); "
+        "SIZE like 16M, 64Mi, 1G",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="with --blocks: continue a partial output file after the "
+        "last complete block frame",
+    )
     args = p.parse_args(argv)
 
     if args.list:
         print(REGISTRY.doc_listing())
         return 0
+
+    rc = _stream_main(args, p)
+    if rc is not None:
+        return rc
 
     # -- input ---------------------------------------------------------------
     if args.generator:
@@ -140,7 +269,10 @@ def main(argv=None) -> int:
         else:
             if not args.algorithm:
                 p.error("-a ALGORITHM required for compression")
-            out = compress(args.algorithm, data, raw=args.raw)
+            out = compress(
+                args.algorithm, data, raw=args.raw,
+                blocks=parse_size(args.blocks) if args.blocks else None,
+            )
             default_suffix = ".tdc"
 
     # -- output --------------------------------------------------------------

@@ -27,6 +27,7 @@ from tudocomp_tpu.compressors.repair import RePairCompressor  # noqa: F401
 from tudocomp_tpu.compressors.esp import EspCompressor  # noqa: F401
 from tudocomp_tpu.compressors.lz78u import LZ78UCompressor  # noqa: F401
 from tudocomp_tpu.compressors.lfs import LFSCompressor  # noqa: F401
+from tudocomp_tpu.compressors.blocks import BlocksCompressor  # noqa: F401
 
 for _coder in _coders.ALL_CODERS:
     REGISTRY.register(_coder)
@@ -46,5 +47,6 @@ for _comp in (
     LZ78Compressor,
     LZWCompressor,
     RePairCompressor,
+    BlocksCompressor,
 ):
     REGISTRY.register(_comp)
