@@ -55,11 +55,14 @@ def global_block_batch(mesh, local_blocks: np.ndarray,
     return blocks, lengths
 
 
-def gather_frames_host_local(words, bits, rle_lens):
-    """Per-host view of the frames this process owns (ordered by block
-    index); process 0 concatenates in block order for the container."""
+def gather_frames_host_local(arr):
+    """Per-host view of the block rows this process owns, as ordered
+    ``(first_block_index, rows)`` pieces. Each host then writes its own
+    byte range of the container (offsets from a size all-gather), or
+    ships its pieces to process 0 — either way no device-level
+    cross-host gather is needed."""
     out = []
-    for shard in words.addressable_shards:
-        out.append((shard.index, np.asarray(shard.data)))
-    out.sort(key=lambda t: t[0][0].start or 0)
+    for shard in arr.addressable_shards:
+        out.append((shard.index[0].start or 0, np.asarray(shard.data)))
+    out.sort(key=lambda t: t[0])
     return out
