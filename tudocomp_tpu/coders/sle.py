@@ -50,6 +50,16 @@ def _rank_tables(chars: np.ndarray):
     """Top k-mer and literal ranking from the literal pre-pass
     (vectorized; ordering matches the Counter-based spec: descending
     count, ties by value)."""
+    from tudocomp_tpu import native
+
+    if chars.size > 4096 and native.available():
+        got = native.sle_rank(chars, K, MAX_KMERS, MAX_LITS)
+        if got is not None:
+            keys, lit_arr = got
+            return (
+                [int(k).to_bytes(K, "big") for k in keys.tolist()],
+                lit_arr.tolist(),
+            )
     kmers: list[bytes] = []
     if chars.size >= K:
         win = np.lib.stride_tricks.sliding_window_view(chars, K)
@@ -87,6 +97,18 @@ class SLECoder(Algorithm):
             self._lit_rank_arr = np.full(256, -1, np.int64)
             for l, i in self.lit_rank.items():
                 self._lit_rank_arr[l] = i
+            # native matcher tables: kmer keys sorted ascending + the
+            # rank of each sorted key; literal ranks as int32[256]
+            keys = np.array(
+                [int.from_bytes(km, "big") for km in self.kmers],
+                np.int64,
+            )
+            order = np.argsort(keys, kind="stable")
+            self._sorted_keys = np.ascontiguousarray(keys[order])
+            self._key_rank = np.ascontiguousarray(order.astype(np.int64))
+            self._lit_rank32 = np.ascontiguousarray(
+                self._lit_rank_arr.astype(np.int32)
+            )
             out.write_compressed_int(len(self.kmers))
             for km in self.kmers:
                 for b in km:
@@ -129,8 +151,12 @@ class SLECoder(Algorithm):
         def _flush_bulk(self, limit: int) -> int:
             """Vectorized greedy matcher: jump-table pointer doubling over
             ``jump[i] = i+K if kmer at i else i+1``, then bulk token
-            emission. Bit-identical to the scalar loop."""
+            emission. Bit-identical to the scalar loop. The native C
+            matcher (``tdc_sle_run_tokens``) takes over when built."""
             buf = np.asarray(self._pending, np.uint8)
+            got = self._native_tokens(buf, limit)
+            if got is not None:
+                return got
             n = buf.size
             # K-gram integer keys
             if n >= K:
@@ -208,6 +234,24 @@ class SLECoder(Algorithm):
             self.out.write_tokens(values, lens)
             return i_end
 
+        def _native_tokens(self, buf: np.ndarray, limit: int):
+            """Emit SLE tokens for ``buf[:limit]`` via the native matcher;
+            returns the consumed count or None when native is absent."""
+            from tudocomp_tpu import native
+
+            if not native.available():
+                return None
+            got = native.sle_run_tokens(
+                buf, limit, self._sorted_keys, self._key_rank, K,
+                self._lit_rank32,
+            )
+            if got is None:
+                return None
+            consumed, values, lens = got
+            if lens.size:
+                self.out.write_tokens(values, lens)
+            return consumed
+
         def encode(self, v, r: Range) -> None:
             if isinstance(r, LiteralRange):
                 self._pending.append(int(v) & 0xFF)
@@ -219,7 +263,17 @@ class SLECoder(Algorithm):
 
         def encode_array(self, values, r: Range) -> None:
             if isinstance(r, LiteralRange):
-                self._pending.extend(np.asarray(values, np.uint8).tolist())
+                arr = np.asarray(values, np.uint8)
+                if not self._pending and arr.size > 64:
+                    # bulk path straight off the array (no list roundtrip);
+                    # the un-consumed tail (< K bytes) stays pending
+                    consumed = self._native_tokens(
+                        arr, arr.size - (K - 1)
+                    )
+                    if consumed is not None:
+                        self._pending.extend(arr[consumed:].tolist())
+                        return
+                self._pending.extend(arr.tolist())
                 self._flush_pending(final=False)
             else:
                 self._flush_pending(final=True)

@@ -428,17 +428,13 @@ class LCPCompressor(Compressor):
         flen_r = MinDistributedRange(flen_min, flen_max)
         fdist_max = decoder.decode(text_r)
         fdist_r = Range(fdist_max)
-        from tudocomp_tpu.compressors.lzss import _native_decode_args
+        from tudocomp_tpu.compressors.lzss import decode_stream_native
 
-        args = _native_decode_args(decoder, flen_r, text_r, fdist_r)
-        if args is not None:
-            from tudocomp_tpu import native
-
-            payload, nbits, start, w_src, w_len, w_dist, lut = args
-            lit_bytes, fpos, fsrc, flens = native.lzss_decode_stream(
-                payload, nbits, start, n, flen_r.min,
-                w_src, w_len, w_dist, lut, mode=1,
-            )
+        fast = decode_stream_native(
+            decoder, n, flen_r, text_r, fdist_r, mode=1
+        )
+        if fast is not None:
+            lit_bytes, fpos, fsrc, flens = fast
             total = int(lit_bytes.size + flens.sum())
             covered = np.zeros(total, bool)
             for p_, l_ in zip(fpos.tolist(), flens.tolist()):

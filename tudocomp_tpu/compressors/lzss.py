@@ -208,6 +208,25 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
         coder.finish()
         return
 
+    from tudocomp_tpu.coders.sle import K as SLE_K, SLECoder
+
+    if len(factors) and isinstance(coder, SLECoder.Encoder) \
+            and not coder._pending:
+        from tudocomp_tpu import native
+
+        got = native.factor_stream_sle_encode(
+            text,
+            np.array([f.pos for f in factors.factors], np.int64),
+            np.array([f.src for f in factors.factors], np.int64),
+            np.array([f.len for f in factors.factors], np.int64),
+            text_r.bits, flen_r.bits, fdist_r.bits, flen_r.min,
+            coder._sorted_keys, coder._key_rank, SLE_K,
+            coder._lit_rank32,
+        )
+        if got is not None:
+            coder.out.write_tokens(*got)
+            return
+
     p = 0
     for f in factors:
         if f.pos == p:
@@ -255,17 +274,41 @@ def _native_decode_args(decoder, flen_r, text_r, fdist_r):
     )
 
 
-def _decode_factors_native(decoder, n, flen_r, text_r, fdist_r):
+def decode_stream_native(decoder, n, flen_r, text_r, fdist_r, mode=0):
+    """Native factor-stream decode for bit/huffman/sle decoders. Mode 0
+    returns the reconstructed text bytes; mode 1 returns
+    ``(literals, fpos, fsrc, flen)`` for forward-capable resolution.
+    None when no native fast path applies."""
+    from tudocomp_tpu import native
+
+    if not native.available():
+        return None
+    from tudocomp_tpu.coders.sle import K as SLE_K, SLECoder
+
+    if isinstance(decoder, SLECoder.Decoder):
+        if decoder.buffer:
+            return None
+        rd = decoder.inp
+        res = native.lzss_decode_stream_sle(
+            np.packbits(rd._bits), rd.total, rd.pos, n, flen_r.min,
+            text_r.bits, flen_r.bits, fdist_r.bits,
+            b"".join(decoder.kmers), SLE_K,
+            bytes(decoder.lits), mode=mode,
+        )
+        if res is not None:
+            rd.pos = rd.total
+        return res
     args = _native_decode_args(decoder, flen_r, text_r, fdist_r)
     if args is None:
         return None
-    from tudocomp_tpu import native
-
     payload, nbits, start, w_src, w_len, w_dist, lut = args
-    return native.lzss_decode_stream(
+    res = native.lzss_decode_stream(
         payload, nbits, start, n, flen_r.min,
-        w_src, w_len, w_dist, lut, mode=0,
+        w_src, w_len, w_dist, lut, mode=mode,
     )
+    if res is not None:
+        decoder.inp.pos = decoder.inp.total
+    return res
 
 
 def decode_factor_text(decoder) -> bytes:
@@ -279,7 +322,7 @@ def decode_factor_text(decoder) -> bytes:
     fdist_max = decoder.decode(text_r)
     fdist_r = Range(fdist_max)
 
-    fast = _decode_factors_native(decoder, n, flen_r, text_r, fdist_r)
+    fast = decode_stream_native(decoder, n, flen_r, text_r, fdist_r, mode=0)
     if fast is not None:
         return fast
 

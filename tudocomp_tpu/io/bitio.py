@@ -55,6 +55,12 @@ def pack_tokens(values: np.ndarray, lens: np.ndarray):
     lens64 = np.asarray(lens, dtype=np.int64)
     if values.size == 0:
         return np.zeros(0, np.uint8), 0
+    if values.size > 512:
+        from tudocomp_tpu import native
+
+        got = native.pack_tokens32(values, lens64)
+        if got is not None:
+            return got
     ends = np.cumsum(lens64)
     total = int(ends[-1])
     offs = ends - lens64

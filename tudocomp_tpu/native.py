@@ -181,6 +181,38 @@ def _load():
             ctypes.c_int64, u8p,
         ]
         lib.tdc_tbc2_decode.restype = ctypes.c_int64
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
+        lib.tdc_sle_run_tokens.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, i64p, i64p,
+            ctypes.c_int64, ctypes.c_int, i32p,
+            u64p, i64p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_sle_run_tokens.restype = ctypes.c_int64
+        lib.tdc_factor_stream_sle.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int64,
+            i64p, i64p, ctypes.c_int64, ctypes.c_int, i32p,
+            u64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_factor_stream_sle.restype = ctypes.c_int64
+        lib.tdc_lzss_decode_sle.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int64, ctypes.c_int, u8p, ctypes.c_int64,
+            ctypes.c_int, u8p, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_lzss_decode_sle.restype = ctypes.c_int64
+        lib.tdc_pack_tokens32.argtypes = [
+            u32p, u8p, ctypes.c_int64, u8p,
+        ]
+        lib.tdc_pack_tokens32.restype = ctypes.c_int64
+        lib.tdc_sle_rank.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, i64p, ctypes.c_int64,
+            u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_sle_rank.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -714,3 +746,122 @@ def slp_dep_sort(rules: np.ndarray, root: int):
     if got < 0:
         raise ValueError("SLP dependency cycle")
     return out[:n], int(new_root.value)
+
+
+def sle_run_tokens(buf: np.ndarray, limit: int, sorted_keys: np.ndarray,
+                   key_rank: np.ndarray, kk: int, lit_rank: np.ndarray):
+    """SLE greedy-matcher token emission for one literal run. Returns
+    (consumed, values u64, lens i64) or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    n = buf.size
+    cap = 3 * max(1, n) + 4
+    values = np.empty(cap, np.uint64)
+    lens = np.empty(cap, np.int64)
+    ntok = ctypes.c_int64(0)
+    got = lib.tdc_sle_run_tokens(
+        buf, n, limit, sorted_keys, key_rank, sorted_keys.size, kk,
+        lit_rank, values, lens, cap, ctypes.byref(ntok),
+    )
+    if got < 0:
+        raise RuntimeError("sle token overflow")
+    m = ntok.value
+    return int(got), values[:m], lens[:m]
+
+
+def factor_stream_sle_encode(text: np.ndarray, fpos, fsrc, flen,
+                             w_src: int, w_len: int, w_dist: int,
+                             flen_min: int, sorted_keys, key_rank,
+                             kk: int, lit_rank):
+    """Whole SLE factor-stream body (after the 4 header fields) as one
+    token array pair, or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, np.uint8)
+    fpos = np.ascontiguousarray(fpos, np.int64)
+    fsrc = np.ascontiguousarray(fsrc, np.int64)
+    flen = np.ascontiguousarray(flen, np.int64)
+    covered = int(flen.sum())
+    gap_bytes = text.size - covered
+    cap = 3 * max(1, gap_bytes) + 4 * fpos.size + 8
+    values = np.empty(cap, np.uint64)
+    lens = np.empty(cap, np.int64)
+    got = lib.tdc_factor_stream_sle(
+        text, text.size, fpos, fsrc, flen, fpos.size,
+        w_src, w_len, w_dist, flen_min,
+        sorted_keys, key_rank, sorted_keys.size, kk, lit_rank,
+        values, lens, cap,
+    )
+    if got < 0:
+        raise RuntimeError("sle factor-stream token overflow")
+    return values[:got], lens[:got]
+
+
+def lzss_decode_stream_sle(payload, nbits, start_bit, n, flen_min,
+                           w_src, w_len, w_dist, kmers: bytes, kk: int,
+                           lits: bytes, mode=0):
+    """Native factor-stream decode with SLE gap literals. Same returns
+    as :func:`lzss_decode_stream`, or None if native unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    km = np.frombuffer(kmers, np.uint8) if kmers else np.zeros(1, np.uint8)
+    n_kmers = len(kmers) // kk if kmers else 0
+    lt = np.frombuffer(lits, np.uint8) if lits else np.zeros(1, np.uint8)
+    n_lits = len(lits)
+    out_cap = max(64, n + 64)
+    out = np.empty(out_cap, np.uint8)
+    fcap = max(16, n + 1)
+    fpos = np.empty(fcap, np.int64)
+    fsrc = np.empty(fcap, np.int64)
+    flen = np.empty(fcap, np.int64)
+    nfac = ctypes.c_int64(0)
+    got = lib.tdc_lzss_decode_sle(
+        payload, nbits, start_bit, n, flen_min,
+        w_src, w_len, w_dist, km, n_kmers, kk, lt, n_lits, mode,
+        out, out_cap, fpos, fsrc, flen, fcap, ctypes.byref(nfac),
+    )
+    if got == -2:
+        raise ValueError("malformed sle factor stream")
+    if got < 0:
+        raise RuntimeError("factor decode overflow")
+    if mode == 0:
+        return out[:got].tobytes()
+    m = nfac.value
+    return out[:got], fpos[:m], fsrc[:m], flen[:m]
+
+
+def pack_tokens32(values: np.ndarray, lens: np.ndarray):
+    """Pack (value, len<=32) tokens MSB-first (bit-identical to
+    ``io.bitio.pack_tokens``). Returns (payload u8, total_bits) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    values = np.ascontiguousarray(values, np.uint32)
+    lens = np.ascontiguousarray(lens, np.uint8)
+    n = values.size
+    cap = (int(lens.sum(dtype=np.int64)) + 7) // 8 + 1
+    out = np.empty(max(1, cap), np.uint8)
+    total = lib.tdc_pack_tokens32(values, lens, n, out)
+    return out[: (total + 7) // 8], int(total)
+
+
+def sle_rank(chars: np.ndarray, kk: int, max_kmers: int, max_lits: int):
+    """SLE rank tables: (kmer key list int64, literal byte list) ordered
+    by descending count (ties by value), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    chars = np.ascontiguousarray(chars, np.uint8)
+    keys = np.empty(max(1, max_kmers), np.int64)
+    lits = np.empty(max(1, max_lits), np.uint8)
+    n_lits = ctypes.c_int64(0)
+    nk = lib.tdc_sle_rank(
+        chars, chars.size, kk, keys, max_kmers, lits, max_lits,
+        ctypes.byref(n_lits),
+    )
+    return keys[:nk], lits[: n_lits.value]
