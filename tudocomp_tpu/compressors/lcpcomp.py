@@ -92,8 +92,7 @@ class ArraysComp(Algorithm):
             sa, isa, text.require_lcp(), threshold
         )
         if got is not None:
-            for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
-                factors.append(p, s, ln)
+            factors.extend_arrays(*got)
             return
         lcp = text.require_lcp().copy()
         if lcp.size == 0:
@@ -132,8 +131,7 @@ class MaxHeapStrategy(Algorithm):
             sa, isa, text.require_lcp(), threshold, "heap"
         )
         if got is not None:
-            for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
-                factors.append(p, s, ln)
+            factors.extend_arrays(*got)
             return
         lcp = text.require_lcp().copy()
         heap = [
@@ -274,10 +272,25 @@ class BulldozerStrategy(Algorithm):
             x += 1
 
 
+def _factor_arrays(factors):
+    """Normalize a factor collection (list of tuples or an array
+    triple) to (pos, src, len) int64 arrays."""
+    if isinstance(factors, tuple):
+        return tuple(np.asarray(a, np.int64) for a in factors)
+    if not factors:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    a = np.asarray(factors, np.int64)
+    return a[:, 0], a[:, 1], a[:, 2]
+
+
 def _factor_mapping(n: int, factors) -> np.ndarray:
     mapping = np.full(n, -1, np.int64)
-    for pos, src, length in factors:
-        mapping[pos : pos + length] = np.arange(src, src + length)
+    pos, src, lng = _factor_arrays(factors)
+    if pos.size:
+        tot = int(lng.sum())
+        ramp = np.arange(tot) - np.repeat(np.cumsum(lng) - lng, lng)
+        mapping[np.repeat(pos, lng) + ramp] = np.repeat(src, lng) + ramp
     return mapping
 
 
@@ -336,9 +349,7 @@ class CompactDec(Algorithm):
     def resolve(self, n, literals, lit_positions, factors) -> bytes:
         from tudocomp_tpu import native
 
-        fpos = np.asarray([f[0] for f in factors], np.int64)
-        fsrc = np.asarray([f[1] for f in factors], np.int64)
-        flen = np.asarray([f[2] for f in factors], np.int64)
+        fpos, fsrc, flen = _factor_arrays(factors)
         got = native.lcpcomp_compact_decode(
             n, literals, lit_positions, fpos, fsrc, flen
         )
@@ -347,7 +358,9 @@ class CompactDec(Algorithm):
         # pure-Python fallback: same waiter-propagation algorithm
         buf = np.zeros(n, np.uint8)
         waiters: dict[int, list[int]] = {}
-        for pos, src, length in factors:
+        for pos, src, length in zip(
+            fpos.tolist(), fsrc.tolist(), flen.tolist()
+        ):
             for k in range(length):
                 waiters.setdefault(src + k, []).append(pos + k)
         known = np.zeros(n, bool)
@@ -437,12 +450,15 @@ class LCPCompressor(Compressor):
             lit_bytes, fpos, fsrc, flens = fast
             total = int(lit_bytes.size + flens.sum())
             covered = np.zeros(total, bool)
-            for p_, l_ in zip(fpos.tolist(), flens.tolist()):
-                covered[p_ : p_ + l_] = True
+            if fpos.size:
+                tot = int(flens.sum())
+                ramp = np.arange(tot) - np.repeat(
+                    np.cumsum(flens) - flens, flens
+                )
+                covered[np.repeat(fpos, flens) + ramp] = True
             positions = np.flatnonzero(~covered)
             return resolve_factors(
-                total, lit_bytes, positions,
-                list(zip(fpos.tolist(), fsrc.tolist(), flens.tolist())),
+                total, lit_bytes, positions, (fpos, fsrc, flens),
                 strategy=self.env.instantiate("dec"),
             )
 

@@ -48,56 +48,132 @@ class Factor:
 
 
 class FactorBuffer:
-    """Sorted factor list with min/max length tracking."""
+    """Sorted factor buffer with min/max length tracking.
+
+    Array-backed: bulk producers (the native factorizers) hand whole
+    (pos, src, len) arrays over via :meth:`extend_arrays`; scalar
+    ``append`` stages into lists. ``arrays()`` is the canonical view —
+    sort/flatten/encoding all operate vectorized on it."""
 
     def __init__(self):
-        self.factors: list[Factor] = []
+        self._pos: list[int] = []
+        self._src: list[int] = []
+        self._len: list[int] = []
+        self._arr = None  # (pos, src, len) int64 arrays once merged
         self.shortest = None
         self.longest = 0
 
     def append(self, pos: int, src: int, length: int) -> None:
-        self.factors.append(Factor(pos, src, length))
+        if self._arr is not None:
+            a = self._arr
+            self._pos = a[0].tolist()
+            self._src = a[1].tolist()
+            self._len = a[2].tolist()
+            self._arr = None
+        self._pos.append(pos)
+        self._src.append(src)
+        self._len.append(length)
         self.shortest = (
             length if self.shortest is None else min(self.shortest, length)
         )
         self.longest = max(self.longest, length)
 
+    def extend_arrays(self, pos, src, length) -> None:
+        """Bulk append from parallel arrays (native factorizer output)."""
+        pos = np.asarray(pos, np.int64)
+        src = np.asarray(src, np.int64)
+        length = np.asarray(length, np.int64)
+        if pos.size == 0:
+            return
+        merged = (
+            (pos, src, length) if self._arr is None and not self._pos
+            else tuple(
+                np.concatenate([a, b])
+                for a, b in zip(self.arrays(), (pos, src, length))
+            )
+        )
+        self._arr = merged
+        self._pos = self._src = self._len = []
+        lo = int(length.min())
+        self.shortest = lo if self.shortest is None else min(
+            self.shortest, lo
+        )
+        self.longest = max(self.longest, int(length.max()))
+
+    def arrays(self):
+        """(pos, src, len) int64 arrays in current order."""
+        if self._arr is None:
+            self._arr = (
+                np.array(self._pos, np.int64),
+                np.array(self._src, np.int64),
+                np.array(self._len, np.int64),
+            )
+            self._pos = self._src = self._len = []
+        return self._arr
+
+    @property
+    def factors(self) -> list[Factor]:
+        p, s, l = self.arrays()
+        return [
+            Factor(*t)
+            for t in zip(p.tolist(), s.tolist(), l.tolist())
+        ]
+
     def __len__(self):
-        return len(self.factors)
+        return self._arr[0].size if self._arr is not None else len(self._pos)
 
     def __iter__(self):
         return iter(self.factors)
 
     def sort(self) -> None:
-        self.factors.sort(key=lambda f: f.pos)
+        p, s, l = self.arrays()
+        order = np.argsort(p, kind="stable")
+        self._arr = (p[order], s[order], l[order])
 
     def flatten(self) -> None:
         """Rewrite factor sources that point into other factors to their
-        transitive origin (reference ``LZSSFactors.hpp:79-132``)."""
-        if not self.factors:
+        transitive origin (reference ``LZSSFactors.hpp:79-132``).
+        Vectorized: each round jumps every still-contained source one
+        level toward its origin (Jacobi form of the sequential rewrite;
+        containment guarantees the same fixed point)."""
+        pos, src, lng = self.arrays()
+        if pos.size == 0:
             return
-        last = self.factors[-1]
-        fmap = np.zeros(last.pos + last.len, np.int64)
-        for i, f in enumerate(self.factors):
-            fmap[f.pos : f.pos + f.len] = i + 1
-        for f in self.factors:
-            src = f.src
-            while src < fmap.size and fmap[src]:
-                s = self.factors[fmap[src] - 1]
-                d = src - s.pos
-                if d + f.len <= s.len:
-                    src = s.src + d
-                else:
-                    break
-            f.src = src
+        end = int(pos[-1] + lng[-1])
+        fmap = np.zeros(end, np.int64)
+        tot = int(lng.sum())
+        ramp = np.arange(tot) - np.repeat(np.cumsum(lng) - lng, lng)
+        fmap[np.repeat(pos, lng) + ramp] = np.repeat(
+            np.arange(pos.size) + 1, lng
+        )
+        src = src.copy()
+        for _ in range(max(2, int(np.ceil(np.log2(pos.size + 2))) * 4)):
+            inside = src < end
+            fi = np.where(inside, fmap[np.minimum(src, end - 1)], 0)
+            hit = fi > 0
+            if not hit.any():
+                break
+            s_idx = fi - 1
+            d = src - pos[s_idx]
+            ok = hit & (d + lng <= lng[s_idx])
+            if not ok.any():
+                break
+            nxt = np.where(ok, src[s_idx] + d, src)
+            if np.array_equal(nxt, src):
+                break
+            src = nxt
+        self._arr = (pos, src, lng)
 
 
 def uncovered_literals(text: np.ndarray, factors: FactorBuffer) -> Literals:
     """Literal iterator skipping factor-covered positions
     (reference ``lzss/LZSSLiterals.hpp:10-50``)."""
     covered = np.zeros(text.size, bool)
-    for f in factors:
-        covered[f.pos : f.pos + f.len] = True
+    pos, _, lng = factors.arrays()
+    if pos.size:
+        tot = int(lng.sum())
+        ramp = np.arange(tot) - np.repeat(np.cumsum(lng) - lng, lng)
+        covered[np.repeat(pos, lng) + ramp] = True
     keep = ~covered
     return Literals(text[keep], np.flatnonzero(keep))
 
@@ -120,9 +196,7 @@ def _encode_factors_bulk(coder, text, factors, text_r, flen_r, fdist_r):
     interleaved (flag, [gap, literals...], src, len) sequence. Bit-exact
     with the scalar loop (pinned by tests/test_golden.py); applies for
     bit/huffman coders, whose field widths are fixed per stream."""
-    pos = np.array([f.pos for f in factors.factors], np.int64)
-    src = np.array([f.src for f in factors.factors], np.int64)
-    lng = np.array([f.len for f in factors.factors], np.int64)
+    pos, src, lng = factors.arrays()
     n = text.size
     prev_end = np.concatenate([[0], (pos + lng)[:-1]])
     gaps = pos - prev_end
@@ -182,12 +256,15 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
     n = int(text.size)
     flen_min = factors.shortest if factors.shortest is not None else 0
     flen_max = factors.longest
-    fdist_max = 0
-    p = 0
-    for f in factors:
-        fdist_max = max(fdist_max, f.pos - p)
-        p = f.pos + f.len
-    fdist_max = max(fdist_max, n - p)
+    fpos, _, flng = factors.arrays()
+    if fpos.size:
+        prev_end = np.concatenate([[0], (fpos + flng)[:-1]])
+        fdist_max = max(
+            int((fpos - prev_end).max()),
+            n - int(fpos[-1] + flng[-1]),
+        )
+    else:
+        fdist_max = n
 
     text_r = Range(n)
     flen_r = MinDistributedRange(flen_min, flen_max)
@@ -215,10 +292,7 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
         from tudocomp_tpu import native
 
         got = native.factor_stream_sle_encode(
-            text,
-            np.array([f.pos for f in factors.factors], np.int64),
-            np.array([f.src for f in factors.factors], np.int64),
-            np.array([f.len for f in factors.factors], np.int64),
+            text, *factors.arrays(),
             text_r.bits, flen_r.bits, fdist_r.bits, flen_r.min,
             coder._sorted_keys, coder._key_rank, SLE_K,
             coder._lit_rank32,
@@ -445,8 +519,7 @@ def factorize_lcp(text: np.ndarray, threshold: int) -> FactorBuffer:
     )
     if got is not None:
         factors = FactorBuffer()
-        for p, s, ln in zip(*map(lambda a: a.tolist(), got)):
-            factors.append(p, s, ln)
+        factors.extend_arrays(*got)
         return factors
     sa = ds.require_sa().tolist()
     isa = ds.require_isa().tolist()
