@@ -103,6 +103,15 @@ class LZ78UCompressor(Compressor):
         threshold = self.env.option("threshold").as_int()
         T = np.frombuffer(data, np.uint8)
         st = SuffixTree(data)
+        from tudocomp_tpu import native
+
+        if native.available():
+            got = native.lz78u_parse(
+                st.parent, st.sdepth, st.is_leaf, st.leaf_of_rank,
+                st.isa, T, threshold,
+            )
+            if got is not None:
+                return self._encode_events(*got)
         R: dict[int, int] = {}  # internal node -> factor id
         em = _Emission()
         factor_count = 0
@@ -195,6 +204,63 @@ class LZ78UCompressor(Compressor):
                 string_coder.encode(payload, literal_r)
         return out.getvalue()
 
+    def _encode_events(self, kind, value, aux) -> bytes:
+        """Encode the native parse's event stream. For binary-field
+        coders (bit / huffman) the whole stream is one vectorized
+        write_tokens call; other coders replay the events scalar
+        (bit-identical to the python walk either way)."""
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+        from tudocomp_tpu.compressors.lzss import _literal_tokens
+        from tudocomp_tpu.utils.bits import bits_for_arr
+
+        strategy = self.env.instantiate("comp")
+        out = BitWriter()
+        ref_env = self.env.env_for_option("coder")
+        ref_coder = ref_env.cls.Encoder(ref_env, out, NoLiterals())
+        sc_env = strategy.env.env_for_option("string_coder")
+        chars = value[kind == 2].astype(np.uint8)
+        lits = (
+            Literals(chars, np.arange(chars.size))
+            if type(strategy).use_literals else NoLiterals()
+        )
+        string_coder = sc_env.cls.Encoder(sc_env, out, lits)
+        bulk = isinstance(
+            ref_coder, (BitCoder.Encoder, HuffmanCoder.Encoder)
+        ) and isinstance(
+            string_coder, (BitCoder.Encoder, HuffmanCoder.Encoder)
+        )
+        if bulk:
+            values = np.zeros(kind.size, np.uint64)
+            lens = np.zeros(kind.size, np.int64)
+            is_ref = kind == 0
+            is_sep = kind == 1
+            is_char = kind == 2
+            values[is_ref] = value[is_ref].astype(np.uint64)
+            ref_aux = aux[is_ref]
+            lens[is_ref] = np.where(
+                ref_aux >= 0,
+                bits_for_arr(np.maximum(ref_aux, 0)).astype(np.int64),
+                len_r.bits,
+            )
+            values[is_sep] = value[is_sep].astype(np.uint64)
+            lens[is_sep] = 1
+            cv, cl = _literal_tokens(string_coder, chars)
+            values[is_char] = cv
+            lens[is_char] = cl
+            out.write_tokens(values, lens)
+            return out.getvalue()
+        for k_, v_, a_ in zip(
+            kind.tolist(), value.tolist(), aux.tolist()
+        ):
+            if k_ == 0:
+                ref_coder.encode(v_, Range(a_) if a_ >= 0 else len_r)
+            elif k_ == 1:
+                out.write_bit(v_)
+            else:
+                string_coder.encode(v_, literal_r)
+        return out.getvalue()
+
     # -- decompression -------------------------------------------------------
 
     def decompress(self, data: bytes) -> bytes:
@@ -204,6 +270,28 @@ class LZ78UCompressor(Compressor):
         ref_coder = ref_env.cls.Decoder(ref_env, inp)
         sc_env = strategy.env.env_for_option("string_coder")
         string_coder = sc_env.cls.Decoder(sc_env, inp)
+
+        from tudocomp_tpu import native
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+
+        if native.available() and isinstance(
+            ref_coder, (BitCoder.Decoder, HuffmanCoder.Decoder)
+        ) and isinstance(
+            string_coder, (BitCoder.Decoder, HuffmanCoder.Decoder)
+        ):
+            lut = None
+            if isinstance(string_coder, HuffmanCoder.Decoder) \
+                    and string_coder.table is not None:
+                lut_sym, lut_len = string_coder.table.build_lut()
+                lut = (lut_sym, lut_len, string_coder.table.longest)
+            got = native.lz78u_decode(
+                np.packbits(inp._bits), inp.total, inp.pos, lut,
+                out_hint=16 * len(data),
+            )
+            if got is not None:
+                inp.pos = inp.total
+                return got
 
         refs: list[int] = []
         strings: list[bytes] = []

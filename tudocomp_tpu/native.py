@@ -213,6 +213,17 @@ def _load():
             u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
         lib.tdc_sle_rank.restype = ctypes.c_int64
+        lib.tdc_lz78u_parse.argtypes = [
+            i64p, i64p, u8p, i64p, i64p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u8p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78u_parse.restype = ctypes.c_int64
+        lib.tdc_lz78u_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+            ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78u_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -865,3 +876,58 @@ def sle_rank(chars: np.ndarray, kk: int, max_kmers: int, max_lits: int):
         ctypes.byref(n_lits),
     )
     return keys[:nk], lits[: n_lits.value]
+
+
+def lz78u_parse(parent, sdepth, is_leaf, leaf_of_rank, isa,
+                text: np.ndarray, threshold: int):
+    """LZ78U suffix-tree factorization event stream:
+    (kind u8, value i64, aux i64) arrays, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    parent = np.ascontiguousarray(parent, np.int64)
+    sdepth = np.ascontiguousarray(sdepth, np.int64)
+    is_leaf = np.ascontiguousarray(
+        np.asarray(is_leaf).astype(np.uint8)
+    )
+    leaf_of_rank = np.ascontiguousarray(leaf_of_rank, np.int64)
+    isa = np.ascontiguousarray(isa, np.int64)
+    text = np.ascontiguousarray(text, np.uint8)
+    n = text.size
+    cap = 8 * max(64, n)
+    kind = np.empty(cap, np.uint8)
+    value = np.empty(cap, np.int64)
+    aux = np.empty(cap, np.int64)
+    got = lib.tdc_lz78u_parse(
+        parent, sdepth, is_leaf, leaf_of_rank, isa, text,
+        n, parent.size, threshold, kind, value, aux, cap,
+    )
+    if got < 0:
+        raise RuntimeError("lz78u event overflow")
+    return kind[:got], value[:got], aux[:got]
+
+
+def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int):
+    """Native LZ78U stream decode. Returns bytes or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lut is None:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    else:
+        lut_sym, lut_len, k = lut
+        lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+        lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    cap = max(4096, out_hint)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lz78u_decode(
+            payload, nbits, start_bit, lut_sym, lut_len, k, out, cap,
+        )
+        if got == -2:
+            raise ValueError("malformed lz78u stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
