@@ -1959,3 +1959,148 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
 }
 
 }  // extern "C"
+
+// ---- LZ78 parse over alternative trie structures -------------------------
+// Structure-faithful native variants of the LZ78/LZW dictionary parse
+// (compressors/lz78_trie.py): kind 0 = ternary search trie
+// (lz78/TernaryTrie.hpp), kind 1 = first-child/next-sibling child-list
+// trie (lz78/BinaryTrie.hpp). Same canonical parse as tdc_lz78_parse;
+// only the lookup structure differs (tests pin equality).
+
+extern "C" {
+
+int64_t tdc_lz78_parse_struct(const uint8_t* in, int64_t n, int lzw,
+                              int64_t dict_limit, int kind,
+                              uint32_t* out_refs, uint8_t* out_chars,
+                              int64_t out_cap) {
+    // Node storage. LZ78: ids 0..next_id (0 = root); LZW: 0..255 roots.
+    // Ternary: per-node child BST over (char, lo, hi, child_id).
+    // Binary: per-node first_child + per-node next_sibling/in_char.
+    struct BstNode { uint8_t ch; int32_t lo, hi; uint32_t id; };
+    std::vector<int32_t> bst_root;       // trie node -> BST root
+    std::vector<BstNode> bst;            // ternary arena
+    std::vector<int32_t> first_child;    // binary layout
+    std::vector<int32_t> next_sibling;
+    std::vector<uint8_t> in_char;
+    int64_t roots = lzw ? 256 : 1;
+    auto reset = [&]() {
+        if (kind == 0) {
+            bst_root.assign(size_t(roots), -1);
+            bst.clear();
+        } else {
+            first_child.assign(size_t(roots), -1);
+            next_sibling.assign(size_t(roots), -1);
+            in_char.assign(size_t(roots), 0);
+        }
+    };
+    reset();
+    auto add_node = [&]() {
+        if (kind == 0) {
+            bst_root.push_back(-1);
+        } else {
+            first_child.push_back(-1);
+            next_sibling.push_back(-1);
+            in_char.push_back(0);
+        }
+    };
+    // find (node, c); if absent insert mapping to `fresh` and return -1
+    auto find_or_insert = [&](uint32_t node, uint8_t c,
+                              uint32_t fresh) -> int64_t {
+        if (kind == 0) {
+            int32_t b = bst_root[node];
+            int32_t prev = -1;
+            bool hi = false;
+            while (b != -1) {
+                if (bst[size_t(b)].ch == c) return bst[size_t(b)].id;
+                prev = b;
+                hi = c > bst[size_t(b)].ch;
+                b = hi ? bst[size_t(b)].hi : bst[size_t(b)].lo;
+            }
+            int32_t nb = int32_t(bst.size());
+            bst.push_back({c, -1, -1, fresh});
+            if (prev == -1) bst_root[node] = nb;
+            else if (hi) bst[size_t(prev)].hi = nb;
+            else bst[size_t(prev)].lo = nb;
+            add_node();
+            return -1;
+        }
+        int32_t ch = first_child[node];
+        int32_t prev = -1;
+        while (ch != -1) {
+            if (in_char[size_t(ch)] == c) return ch;
+            prev = ch;
+            ch = next_sibling[size_t(ch)];
+        }
+        // binary trie ids ARE node slots: ids are assigned in slot
+        // order by both parse loops, so the fresh slot equals `fresh`
+        add_node();
+        int32_t slot = int32_t(first_child.size()) - 1;
+        (void)fresh;
+        in_char[size_t(slot)] = c;
+        if (prev == -1) first_child[node] = slot;
+        else next_sibling[size_t(prev)] = slot;
+        return -1;
+    };
+    int64_t count = 0;
+    uint32_t next_id = 1;
+    uint32_t lzw_next = 256;
+    uint32_t node = 0;
+    uint32_t parent = 0;
+    uint8_t last_c = 0;
+    int lzw_active = 0;
+    uint32_t lzw_node = 0;
+    // binary layout maps trie ids to storage slots 1:1 only when ids
+    // are assigned in slot order, which both loops below guarantee.
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        last_c = c;
+        if (!lzw) {
+            int64_t child = find_or_insert(node, c, next_id);
+            if (child < 0) {
+                if (count >= out_cap) return -1;
+                out_refs[count] = node;
+                out_chars[count] = c;
+                count++;
+                next_id++;
+                parent = node = 0;
+                if (dict_limit && next_id > uint32_t(dict_limit)) {
+                    reset();
+                    next_id = 1;
+                }
+            } else {
+                parent = node;
+                node = uint32_t(child);
+            }
+        } else {
+            if (!lzw_active) { lzw_node = c; lzw_active = 1; continue; }
+            int64_t child = find_or_insert(lzw_node, c, lzw_next);
+            if (child < 0) {
+                if (count >= out_cap) return -1;
+                out_refs[count++] = lzw_node;
+                lzw_next++;
+                lzw_node = c;
+                if (dict_limit
+                    && lzw_next > uint32_t(dict_limit) + 256) {
+                    reset();
+                    lzw_next = 256;
+                }
+            } else {
+                lzw_node = uint32_t(child);
+            }
+        }
+    }
+    if (!lzw) {
+        if (node != 0) {
+            if (count >= out_cap) return -1;
+            out_refs[count] = parent;
+            out_chars[count] = last_c;
+            count++;
+        }
+    } else if (lzw_active) {
+        if (count >= out_cap) return -1;
+        out_refs[count++] = lzw_node;
+    }
+    return count;
+}
+
+}  // extern "C"

@@ -37,14 +37,16 @@ class LZ78Compressor(Compressor):
         dict_max = self.env.option("dict_size").as_int()
         out = BitWriter()
         coder = self.coder_encoder(out, Literals.none())
-        if dict_max == 0:
+        trie = self.env.instantiate("lz78trie")
+        if dict_max == 0 and trie.native_kind is not None:
             # all tries produce the canonical LZ78 parse; the native
-            # hash-trie parser is the fast path (lz78/squeeze_node.hpp)
+            # parser runs the structural class the strategy names
+            # (hash / ternary TST / child-list binary)
             from tudocomp_tpu import native
             from tudocomp_tpu.coders.simple import BitCoder
             from tudocomp_tpu.utils.bits import bits_for_arr
 
-            got = native.lz78_parse(data)
+            got = native.lz78_parse(data, structure=trie.native_kind)
             if got is not None:
                 refs, chars = got
                 if isinstance(coder, BitCoder.Encoder):
@@ -71,7 +73,6 @@ class LZ78Compressor(Compressor):
                         coder.encode(ch, literal_r)
                 coder.finish()
                 return out.getvalue()
-        trie = self.env.instantiate("lz78trie")
 
         trie.add_rootnode(0)
         factor_count = 0

@@ -1,32 +1,61 @@
-"""LZ78 trie strategy family.
+"""LZ78 trie strategy family — real, structurally distinct dictionaries.
 
-Reference: ``lz78/LZ78Trie.hpp`` interface plus ten concrete tries (ternary,
-binary, cedar, hash, ...). Every trie yields the *same canonical LZ78
-parse* — the reference's variants differ in constant-factor performance of
-pointer-machine structures, which is meaningless for an array-program host
-specification. Here the host implementation is the ``(parent_id, char) ->
-child_id`` hash formulation (reference ``lz78/HashTrie.hpp:13-60`` +
-``squeeze_node.hpp:10-30``) — the formulation that maps onto the TPU path
-(vectorized hashing) — and the registered strategy names select table
-behavior knobs rather than pointer layouts.
+Reference: ``lz78/LZ78Trie.hpp`` interface plus the concrete tries under
+``compressors/lz78/``. Every trie yields the *same canonical LZ78
+parse*; the strategies differ in node layout and lookup structure,
+exactly as in the reference:
+
+- ``ternary``        — ternary search trie (``lz78/TernaryTrie.hpp``)
+- ``binary``         — first-child / next-sibling lists, linear scan
+                       (``lz78/BinaryTrie.hpp``)
+- ``binary_sorted``  — per-node sorted child arrays, binary search
+                       (``lz78/BinarySortedTrie.hpp``)
+- ``cedar``          — double-array (base/check) trie
+                       (``lz78/CedarTrie.hpp`` / vendored cedar)
+- ``hash``           — (parent<<8|char) -> id open-addressing map over
+                       the hash framework (``lz78/HashTrie.hpp``,
+                       MixHasher + LinearProber + pow2 sizes)
+- ``hash_plus``      — hash trie with direct (x2 modulo) sizing and a
+                       denser load factor (``lz78/HashTriePlus.hpp``)
+- ``ext_hash``       — the host language's library hash table
+                       (``lz78/ExtHashTrie.hpp`` = std::unordered_map;
+                       here the Python dict)
+- ``rolling``        — Karp-Rabin rolling fingerprint of the node's
+                       string as the key (``lz78/RollingTrie.hpp``)
+- ``rolling_plus``   — rolling fingerprints over the denser hash_plus
+                       table (``lz78/RollingTriePlus.hpp``)
+- ``compact_sparse_hash`` — bucketized quotient layout: the table
+                       stores 8-bit quotients + values in sparse
+                       buckets (``lz78/CompactSparseHashTrie.hpp``,
+                       simplified Cleary scheme)
+
+The native C parsers (``native/tdc_native.cpp``) implement the three
+structural classes — hash table, ternary search trie, and child-list
+binary trie — and ``lz78.py`` dispatches to the one matching the
+selected strategy; the remaining variants run their Python structures.
+All paths are pinned equal by ``tests/test_lz78_tries.py``.
 """
 
 from __future__ import annotations
+
+from bisect import bisect_left
 
 from tudocomp_tpu.meta import Algorithm, Meta
 
 
 class LZ78Trie(Algorithm):
-    """Dictionary: maps (node_id, byte) -> node_id with insertion-order ids."""
+    """Interface: maps (node_id, byte) -> node_id, insertion-order ids
+    (reference ``lz78/LZ78Trie.hpp:41-90``)."""
+
+    #: native structural class ("hash" | "ternary" | "binary" | None)
+    native_kind: str | None = None
 
     def __init__(self, env):
         super().__init__(env)
-        self.table: dict[tuple[int, int], int] = {}
         self.size = 0
 
     def clear(self) -> None:
-        self.table.clear()
-        self.size = 0
+        raise NotImplementedError
 
     def add_rootnode(self, value: int) -> int:
         assert self.size == value
@@ -35,7 +64,28 @@ class LZ78Trie(Algorithm):
 
     def find_or_insert(self, node: int, char: int):
         """Returns (child_id, is_new)."""
-        key = (node, char)
+        raise NotImplementedError
+
+
+class ExtHashTrie(LZ78Trie):
+    """Library hash table (reference ``lz78/ExtHashTrie.hpp``)."""
+
+    native_kind = "hash"
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "ext_hash", "Library hash table trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.table: dict[int, int] = {}
+
+    def clear(self) -> None:
+        self.table.clear()
+        self.size = 0
+
+    def find_or_insert(self, node: int, char: int):
+        key = (node << 8) | char
         child = self.table.get(key)
         if child is None:
             child = self.size
@@ -45,28 +95,435 @@ class LZ78Trie(Algorithm):
         return child, False
 
 
-def _make_trie(name: str, doc: str):
-    class _Trie(LZ78Trie):
-        @classmethod
-        def meta(cls):
-            return Meta("lz78trie", name, doc)
+class HashTrie(LZ78Trie):
+    """Open-addressing trie over the hash framework
+    (reference ``lz78/HashTrie.hpp:13-60`` + ``squeeze_node.hpp``)."""
 
-    _Trie.__name__ = f"{name.title().replace('_', '')}Trie"
-    return _Trie
+    native_kind = "hash"
+    _manager = "pow"
+    _load = 0.5
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "hash", "(parent,char)->id hash trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        from tudocomp_tpu.registry import create_algo
+        from tudocomp_tpu.utils.hash import (
+            HashMap, MixHasher, SizeManagerDirect, SizeManagerPow2,
+        )
+
+        mgr = (
+            SizeManagerPow2 if self._manager == "pow"
+            else SizeManagerDirect
+        )
+        self.table = HashMap(
+            hasher=create_algo(MixHasher), manager=create_algo(mgr),
+            load_factor=self._load,
+        )
+
+    def clear(self) -> None:
+        self.table.clear()
+        self.size = 0
+
+    def find_or_insert(self, node: int, char: int):
+        key = (node << 8) | char
+        child = self.table.get(key)
+        if child is None:
+            child = self.size
+            self.table.insert(key, child)
+            self.size += 1
+            return child, True
+        return child, False
 
 
-TernaryTrie = _make_trie("ternary", "Ternary trie (canonical parse)")
-BinaryTrie = _make_trie("binary", "Binary trie (canonical parse)")
-BinarySortedTrie = _make_trie("binary_sorted", "Sorted binary trie")
-CedarTrie = _make_trie("cedar", "Double-array trie (canonical parse)")
-HashTrie = _make_trie("hash", "(parent, char)->id hash table trie")
-HashTriePlus = _make_trie("hash_plus", "Hash trie with compact growth")
-RollingTrie = _make_trie("rolling", "Karp-Rabin rolling-hash trie")
-RollingTriePlus = _make_trie("rolling_plus", "Rolling-hash trie, compact")
-ExtHashTrie = _make_trie("ext_hash", "External hash table trie")
-CompactSparseHashTrie = _make_trie(
-    "compact_sparse_hash", "Cleary-style compact sparse hash trie"
-)
+class HashTriePlus(HashTrie):
+    """Denser table, direct sizing (reference ``lz78/HashTriePlus.hpp``)."""
+
+    _manager = "direct"
+    _load = 0.8
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "hash_plus", "Dense hash trie (x2 sizes)")
+
+
+class RollingTrie(HashTrie):
+    """Karp-Rabin rolling fingerprints: a node's key is the rolling
+    hash of its full string, extended per char (reference
+    ``lz78/RollingTrie.hpp``). Collision-checked against (parent, char)
+    so the parse stays canonical."""
+
+    native_kind = "hash"
+    _B = 1000000007  # KR base
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "rolling", "Karp-Rabin rolling-hash trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.fp: list[int] = []  # node id -> rolling fingerprint
+        self.table2: dict[tuple[int, int], int] = {}
+
+    def clear(self) -> None:
+        super().clear()
+        self.fp.clear()
+        self.table2.clear()
+
+    def add_rootnode(self, value: int) -> int:
+        # per-root fingerprint seed (LZ78: one empty root, fp 0;
+        # LZW: 256 one-char roots, seeded by the char)
+        self.fp.append(value)
+        return super().add_rootnode(value)
+
+    def find_or_insert(self, node: int, char: int):
+        # rolling extension of the parent's fingerprint
+        key = (self.fp[node] * self._B + char + 1) & ((1 << 64) - 1)
+        child = self.table2.get((node, char))
+        if child is None:
+            child = self.size
+            self.table2[(node, char)] = child
+            self.table.insert(key ^ (node << 8 | char), child)
+            self.fp.append(key)
+            self.size += 1
+            return child, True
+        return child, False
+
+
+class RollingTriePlus(RollingTrie):
+    _manager = "direct"
+    _load = 0.8
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "rolling_plus", "Dense rolling-hash trie")
+
+
+class TernaryTrie(LZ78Trie):
+    """Ternary search trie (reference ``lz78/TernaryTrie.hpp``): each
+    node's children form a BST keyed by edge byte; lookup walks
+    lo/eq/hi links."""
+
+    native_kind = "ternary"
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "ternary", "Ternary search trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        # per trie node: root of its child BST (index into the BST
+        # arrays); BST nodes carry (byte, lo, hi, trie child id)
+        self.child_bst: list[int] = []
+        self.b_char: list[int] = []
+        self.b_lo: list[int] = []
+        self.b_hi: list[int] = []
+        self.b_id: list[int] = []
+
+    def clear(self) -> None:
+        self.child_bst.clear()
+        self.b_char.clear()
+        self.b_lo.clear()
+        self.b_hi.clear()
+        self.b_id.clear()
+        self.size = 0
+
+    def add_rootnode(self, value: int) -> int:
+        self.child_bst.append(-1)
+        return super().add_rootnode(value)
+
+    def find_or_insert(self, node: int, char: int):
+        b = self.child_bst[node]
+        prev, went_hi = -1, False
+        while b != -1:
+            bc = self.b_char[b]
+            if char == bc:
+                return self.b_id[b], False
+            prev = b
+            went_hi = char > bc
+            b = self.b_hi[b] if went_hi else self.b_lo[b]
+        child = self.size
+        nb = len(self.b_char)
+        self.b_char.append(char)
+        self.b_lo.append(-1)
+        self.b_hi.append(-1)
+        self.b_id.append(child)
+        if prev == -1:
+            self.child_bst[node] = nb
+        elif went_hi:
+            self.b_hi[prev] = nb
+        else:
+            self.b_lo[prev] = nb
+        self.child_bst.append(-1)
+        self.size += 1
+        return child, True
+
+
+class BinaryTrie(LZ78Trie):
+    """First-child / next-sibling node layout, linear sibling scan
+    (reference ``lz78/BinaryTrie.hpp``)."""
+
+    native_kind = "binary"
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "binary", "First-child/next-sibling trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.first_child: list[int] = []
+        self.next_sibling: list[int] = []
+        self.in_char: list[int] = []
+
+    def clear(self) -> None:
+        self.first_child.clear()
+        self.next_sibling.clear()
+        self.in_char.clear()
+        self.size = 0
+
+    def add_rootnode(self, value: int) -> int:
+        self.first_child.append(-1)
+        self.next_sibling.append(-1)
+        self.in_char.append(-1)
+        return super().add_rootnode(value)
+
+    def find_or_insert(self, node: int, char: int):
+        c = self.first_child[node]
+        prev = -1
+        while c != -1:
+            if self.in_char[c] == char:
+                return c, False
+            prev = c
+            c = self.next_sibling[c]
+        child = self.size
+        self.first_child.append(-1)
+        self.next_sibling.append(-1)
+        self.in_char.append(char)
+        if prev == -1:
+            self.first_child[node] = child
+        else:
+            self.next_sibling[prev] = child
+        self.size += 1
+        return child, True
+
+
+class BinarySortedTrie(LZ78Trie):
+    """Per-node sorted child arrays + binary search
+    (reference ``lz78/BinarySortedTrie.hpp``)."""
+
+    native_kind = "binary"
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "binary_sorted", "Sorted-children trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        self.child_chars: list[list[int]] = []
+        self.child_ids: list[list[int]] = []
+
+    def clear(self) -> None:
+        self.child_chars.clear()
+        self.child_ids.clear()
+        self.size = 0
+
+    def add_rootnode(self, value: int) -> int:
+        self.child_chars.append([])
+        self.child_ids.append([])
+        return super().add_rootnode(value)
+
+    def find_or_insert(self, node: int, char: int):
+        chars = self.child_chars[node]
+        i = bisect_left(chars, char)
+        if i < len(chars) and chars[i] == char:
+            return self.child_ids[node][i], False
+        child = self.size
+        chars.insert(i, char)
+        self.child_ids[node].insert(i, child)
+        self.child_chars.append([])
+        self.child_ids.append([])
+        self.size += 1
+        return child, True
+
+
+class CedarTrie(LZ78Trie):
+    """Double-array (base/check) trie (reference ``lz78/CedarTrie.hpp``
+    over the vendored cedar library; this is a from-scratch classic
+    base/check implementation with first-fit base relocation)."""
+
+    native_kind = None  # runs its own structure
+
+    @classmethod
+    def meta(cls):
+        return Meta("lz78trie", "cedar", "Double-array (base/check) trie")
+
+    def __init__(self, env):
+        super().__init__(env)
+        self._init_arrays()
+
+    def _init_arrays(self):
+        cap = 512
+        self.base = [0] * cap
+        self.check = [-1] * cap  # -1 = free slot
+        self.node_id = [-1] * cap
+        self.slot_of: list[int] = []  # trie node id -> DA slot
+        self.children: list[list[int]] = []  # slot -> child bytes
+
+    def clear(self) -> None:
+        self._init_arrays()
+        self.size = 0
+
+    def add_rootnode(self, value: int) -> int:
+        s = value  # roots live at slots 0..n_roots-1
+        self._grow(s)
+        self.check[s] = -2  # occupied, no parent (root marker)
+        self.node_id[s] = value
+        self.slot_of.append(s)
+        while len(self.children) <= s:
+            self.children.append([])
+        return super().add_rootnode(value)
+
+    def _grow(self, need: int) -> None:
+        cap = len(self.base)
+        while cap <= need:
+            cap *= 2
+        self.base.extend([0] * (cap - len(self.base)))
+        self.check.extend([-1] * (cap - len(self.check)))
+        self.node_id.extend([-1] * (cap - len(self.node_id)))
+
+    def _find_base(self, chars: list[int]) -> int:
+        b = 1
+        while True:
+            ok = True
+            for ch in chars:
+                s = b + ch
+                if s >= len(self.base):
+                    self._grow(s)
+                if self.check[s] != -1:
+                    ok = False
+                    break
+            if ok:
+                return b
+            b += 1
+
+    def _relocate(self, slot: int, new_char: int) -> None:
+        """Move slot's children to a base that also fits new_char."""
+        kids = self.children[slot]
+        old_base = self.base[slot]
+        newb = self._find_base(kids + [new_char])
+        need = max((newb + ch for ch in kids), default=0)
+        while len(self.children) <= need:
+            self.children.append([])
+        for ch in kids:
+            old_s = old_base + ch
+            new_s = newb + ch
+            self.base[new_s] = self.base[old_s]
+            self.check[new_s] = slot
+            self.node_id[new_s] = self.node_id[old_s]
+            nid = self.node_id[old_s]
+            self.slot_of[nid] = new_s
+            self.children[new_s] = self.children[old_s]
+            # re-parent grandchildren
+            gb = self.base[old_s]
+            for gch in self.children[old_s]:
+                self.check[gb + gch] = new_s
+            self.check[old_s] = -1
+            self.node_id[old_s] = -1
+            self.children[old_s] = []
+        self.base[slot] = newb
+
+    def find_or_insert(self, node: int, char: int):
+        slot = self.slot_of[node]
+        s = self.base[slot] + char
+        if s >= len(self.base):
+            self._grow(s)
+        if self.check[s] == slot and self.node_id[s] != -1:
+            return self.node_id[s], False
+        if self.check[s] != -1:  # collision: relocate this node's block
+            self._relocate(slot, char)
+            slot = self.slot_of[node]
+            s = self.base[slot] + char
+        child = self.size
+        nb = self._find_base([])  # any base works for a leaf
+        self.base[s] = nb
+        self.check[s] = slot
+        self.node_id[s] = child
+        self.slot_of.append(s)
+        while len(self.children) <= s:
+            self.children.append([])
+        self.children[s] = []
+        self.children[slot].append(char)
+        self.size += 1
+        return child, True
+
+
+class CompactSparseHashTrie(LZ78Trie):
+    """Bucketized quotient table (reference
+    ``lz78/CompactSparseHashTrie.hpp``, simplified Cleary scheme):
+    the hash splits into a bucket index and an 8-bit quotient; buckets
+    store (quotient, full key, value) compactly and grow by doubling
+    the bucket count."""
+
+    native_kind = "hash"
+
+    @classmethod
+    def meta(cls):
+        return Meta(
+            "lz78trie", "compact_sparse_hash",
+            "Compact sparse (quotient-bucket) hash trie",
+        )
+
+    def __init__(self, env):
+        super().__init__(env)
+        from tudocomp_tpu.registry import create_algo
+        from tudocomp_tpu.utils.hash import VignaHasher
+
+        self.hasher = create_algo(VignaHasher)
+        self._init_buckets(64)
+
+    def _init_buckets(self, nb: int):
+        self.nb = nb
+        self.bq: list[list[int]] = [[] for _ in range(nb)]  # quotients
+        self.bk: list[list[int]] = [[] for _ in range(nb)]  # full keys
+        self.bv: list[list[int]] = [[] for _ in range(nb)]  # values
+
+    def clear(self) -> None:
+        self._init_buckets(64)
+        self.size = 0
+
+    def _locate(self, key: int):
+        h = self.hasher.hash(key)
+        return h % self.nb, (h >> 32) & 0xFF
+
+    def _rehash(self):
+        old = list(zip(self.bk, self.bv))
+        self._init_buckets(self.nb * 2)
+        for ks, vs in old:
+            for k, v in zip(ks, vs):
+                b, q = self._locate(k)
+                self.bq[b].append(q)
+                self.bk[b].append(k)
+                self.bv[b].append(v)
+
+    def find_or_insert(self, node: int, char: int):
+        key = (node << 8) | char
+        b, q = self._locate(key)
+        qs = self.bq[b]
+        for i, qq in enumerate(qs):
+            if qq == q and self.bk[b][i] == key:
+                return self.bv[b][i], False
+        child = self.size
+        if self.size + 1 > self.nb * 4:  # avg bucket occupancy cap
+            self._rehash()
+            b, q = self._locate(key)
+        self.bq[b].append(q)
+        self.bk[b].append(key)
+        self.bv[b].append(child)
+        self.size += 1
+        return child, True
+
 
 ALL_TRIES = [
     TernaryTrie,

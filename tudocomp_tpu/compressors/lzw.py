@@ -143,7 +143,12 @@ class LZWCompressor(Compressor):
         from tudocomp_tpu.ranges import Range
         from tudocomp_tpu.utils.bits import bits_for_arr
 
-        got = native.lz78_parse(data, lzw=True)
+        trie = self.env.instantiate("lz78trie")
+        if trie.native_kind is None:
+            return None
+        got = native.lz78_parse(
+            data, lzw=True, structure=trie.native_kind
+        )
         if got is None:
             return None
         refs, _ = got

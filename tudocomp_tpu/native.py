@@ -224,6 +224,11 @@ def _load():
             ctypes.c_int, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78u_decode.restype = ctypes.c_int64
+        lib.tdc_lz78_parse_struct.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int, ctypes.c_int64,
+            ctypes.c_int, u32p, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78_parse_struct.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -312,8 +317,11 @@ def lzss_lcp_factorize(sa, isa, lcp, threshold: int):
     return pos[:got], src[:got], length[:got]
 
 
-def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0):
-    """LZ78/LZW canonical parse. Returns (refs u32[], chars u8[]) or None."""
+def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0,
+               structure: str = "hash"):
+    """LZ78/LZW canonical parse over the named trie structure
+    ("hash", "ternary", "binary"). Returns (refs u32[], chars u8[])
+    or None; every structure yields the identical parse."""
     lib = _load()
     if lib is None:
         return None
@@ -321,9 +329,15 @@ def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0):
     cap = max(16, inp.size + 2)
     refs = np.empty(cap, np.uint32)
     chars = np.empty(cap, np.uint8)
-    got = lib.tdc_lz78_parse(
-        inp, inp.size, int(lzw), dict_limit, refs, chars, cap
-    )
+    if structure == "hash":
+        got = lib.tdc_lz78_parse(
+            inp, inp.size, int(lzw), dict_limit, refs, chars, cap
+        )
+    else:
+        kind = {"ternary": 0, "binary": 1}[structure]
+        got = lib.tdc_lz78_parse_struct(
+            inp, inp.size, int(lzw), dict_limit, kind, refs, chars, cap
+        )
     if got < 0:
         raise RuntimeError("lz78 parse buffer overflow")
     return refs[:got], chars[:got]
