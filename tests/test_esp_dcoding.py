@@ -88,3 +88,41 @@ def test_esp_default_uses_sorted_range_fit():
     )
     assert blob == explicit
     assert cli.decompress(blob, "esp") == data
+
+
+def test_ipd_dictionaries_identical_grammar():
+    """All three pair dictionaries (library dict, hash-framework map,
+    bit-width-adaptive IntVector table) drive the host ESP rounds to
+    the identical grammar, which matches the native kernel's."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.compressors.esp import (
+        DynamicSizeIPD, HashMapIPD, StdUnorderedMapIPD, esp_rounds,
+    )
+    from tudocomp_tpu.registry import create_algo
+
+    rng = np.random.default_rng(21)
+    pieces = [
+        b"abcabcabcabcabc",
+        rng.choice(np.frombuffer(b"acgt", np.uint8), 600)
+        .astype(np.uint8).tobytes(),
+        bytes(rng.integers(0, 256, 400, dtype=np.uint8)),
+        b"zzzzzzzzzzzz",
+    ]
+    for data in pieces:
+        base = esp_rounds(data)  # native when available
+        results = []
+        try:
+            native._lib = None
+            native._tried = True
+            for cls in (StdUnorderedMapIPD, HashMapIPD, DynamicSizeIPD):
+                results.append(
+                    esp_rounds(data, ipd=create_algo(cls))
+                )
+        finally:
+            native._tried = False
+            native._lib = None
+        for rules, root, empty in results:
+            assert np.array_equal(rules, base[0])
+            assert root == base[1]

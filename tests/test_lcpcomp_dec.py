@@ -61,3 +61,35 @@ def test_comp_strategy_equivalence():
         assert cli.decompress(blob, algo) == data
         sizes[comp] = len(blob)
     assert sizes["heap"] == sizes["max_lcp"]
+
+
+def test_strategy_equivalence_claims():
+    """Pins the documented equivalences: max_lcp emits the heap
+    strategy's exact factor stream, and the peak strategies stay in the
+    same size class as the bucket-array reference strategy."""
+    import numpy as np
+
+    from tudocomp_tpu import compressors as _register  # noqa: F401
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(31)
+    corpora = [
+        (b"abcabcabcabcabcxyzxyzxyzxyz" * 30) + b"\x00",
+        rng.choice(np.frombuffer(b"einstrl ", np.uint8), 6000)
+        .astype(np.uint8).tobytes() + b"\x00",
+    ]
+    for data in corpora:
+        outs = {}
+        for comp in ("arrays", "heap", "max_lcp", "plcp", "plcppeaks"):
+            spec = f"lcpcomp(coder=bit,threshold=5,comp={comp})"
+            c = REGISTRY.instantiate(spec)
+            enc = c.compress(data)
+            assert REGISTRY.instantiate(spec).decompress(enc) == data
+            outs[comp] = enc
+        # documented claim: max_lcp == heap (same order, same rules)
+        assert outs["max_lcp"] == outs["heap"]
+        # strategies are alternatives, not equals: same size class
+        sizes = {k: len(v) for k, v in outs.items()}
+        base = sizes["arrays"]
+        for k, s in sizes.items():
+            assert s <= 2 * base, (k, sizes)

@@ -46,3 +46,32 @@ def test_compressed_lcp():
     for i in range(len(text)):
         assert int(cl.plcp(i)) == plcp[i], i
         assert cl[i] == lcp[i], i
+
+
+def test_textds_compressed_degree_matches_plain():
+    """SparseISA / CompressedLCP wired through TextDS answer the same
+    point queries as the plain arrays, and lzss_lcp(ds=compressed)
+    produces the byte-identical stream."""
+    import numpy as np
+
+    from tudocomp_tpu import compressors as _register  # noqa: F401
+    from tudocomp_tpu.ds.suffix import TextDS
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(13)
+    data = rng.choice(
+        np.frombuffer(b"abracadabra ", np.uint8), 3000
+    ).astype(np.uint8).tobytes() + b"\x00"
+    ds = TextDS(data)
+    isa = ds.require_isa()
+    lcp = ds.require_lcp()
+    s_isa = ds.require_isa_sparse()
+    c_lcp = ds.require_lcp_compressed()
+    for i in range(0, len(data), 7):
+        assert s_isa[i] == isa[i]
+        assert c_lcp[i] == lcp[i]
+    plain = REGISTRY.instantiate("lzss_lcp(coder=bit)").compress(data)
+    comp = REGISTRY.instantiate(
+        "lzss_lcp(coder=bit,ds=compressed)"
+    ).compress(data)
+    assert plain == comp

@@ -176,11 +176,14 @@ def _merge_one_blocks(blocks: list[list[int]]) -> list[int]:
     return out
 
 
-def esp_rounds(data: bytes):
+def esp_rounds(data: bytes, ipd=None):
     """Run ESP to completion. Returns (rules: int64[R,2], root, empty).
 
     Fast path: ``tdc_esp_rounds`` (native, bit-identical mirror of the
-    loop below — verified by the cross-check fuzz test)."""
+    loop below — verified by the cross-check fuzz test; it keeps its
+    own open-addressing pair table). ``ipd`` selects the pair
+    dictionary used by this host implementation (reference ``ipd=``
+    option); every dictionary produces the identical grammar."""
     from tudocomp_tpu import native
 
     if len(data) > 0:
@@ -188,16 +191,20 @@ def esp_rounds(data: bytes):
         if got is not None:
             rules, root = got
             return rules, root, False
+    if ipd is None:
+        from tudocomp_tpu.registry import create_algo
+
+        ipd = create_algo(StdUnorderedMapIPD)
+    lookup, store = ipd.make()
     s = np.frombuffer(data, np.uint8).astype(np.int64)
-    rules: dict[tuple[int, int], int] = {}
     rule_list: list[tuple[int, int]] = []
 
     def rule_id(a: int, b: int) -> int:
         key = (a, b)
-        rid = rules.get(key)
+        rid = lookup(key)
         if rid is None:
             rid = 256 + len(rule_list)
-            rules[key] = rid
+            store(key, rid)
             rule_list.append(key)
         return rid
 
@@ -442,21 +449,138 @@ class SortedSLPCoder(Algorithm):
 
 
 class StdUnorderedMapIPD(Algorithm):
+    """Library hash table pair dictionary (reference
+    ``esp/StdUnorderedMapIPD.hpp`` = std::unordered_map; here the
+    Python dict). The native round kernel keeps its own open-addressing
+    table; these dictionaries drive the host fallback and are pinned to
+    identical grammars by ``tests/test_esp_dcoding.py``."""
+
     @classmethod
     def meta(cls):
         return Meta("ipd", "std_unordered_map", "Hash map pair dictionary")
 
+    def make(self):
+        table: dict[tuple[int, int], int] = {}
+        return table.get, table.__setitem__
+
 
 class HashMapIPD(Algorithm):
+    """Open-addressing pair dictionary over the hash framework
+    (reference ``esp/HashMapIPD.hpp``; ``utils/hash.py`` HashMap)."""
+
     @classmethod
     def meta(cls):
         return Meta("ipd", "hash_map", "Custom hash map pair dictionary")
 
+    def make(self):
+        from tudocomp_tpu.utils.hash import HashMap
+
+        m = HashMap()
+
+        def lookup(key):
+            return m.get((key[0] << 32) | key[1])
+
+        def store(key, rid):
+            m.insert((key[0] << 32) | key[1], rid)
+
+        return lookup, store
+
 
 class DynamicSizeIPD(Algorithm):
+    """Bit-width-adaptive pair dictionary (reference
+    ``esp/DynamicSizeIPD.hpp``): keys and values live in bit-packed
+    ``IntVector`` storage at the minimal width for the current symbol
+    range, re-packing to wider words as the grammar grows."""
+
     @classmethod
     def meta(cls):
         return Meta("ipd", "dynamic_size", "Bit-width-adaptive IPD")
+
+    class _Table:
+        def __init__(self):
+            from tudocomp_tpu.ds.int_vector import IntVector
+
+            self._iv = IntVector
+            self.sym_w = 9  # current symbol width (>= bits_for(256))
+            self.cap = 64
+            self.size = 0
+            # keys stored +1 so packed 0 = empty slot
+            self.keys = IntVector(
+                np.zeros(self.cap, np.uint64), 2 * self.sym_w + 1
+            )
+            self.vals = IntVector(
+                np.zeros(self.cap, np.uint64), self.sym_w
+            )
+
+        def _hash(self, k: int) -> int:
+            k = (k ^ (k >> 30)) * 0xBF58476D1CE4E5B9 & (2**64 - 1)
+            k = (k ^ (k >> 27)) * 0x94D049BB133111EB & (2**64 - 1)
+            return (k ^ (k >> 31)) % self.cap
+
+        def _pack(self, a: int, b: int) -> int:
+            return ((a << self.sym_w) | b) + 1
+
+        def _regrow(self, sym_w=None, cap=None):
+            old_keys = self.keys.as_array()
+            old_vals = self.vals.as_array()
+            live = old_keys != 0
+            w = self.sym_w
+            ab = old_keys[live] - 1
+            pairs = [
+                (int(k) >> w, int(k) & ((1 << w) - 1))
+                for k in ab.tolist()
+            ]
+            rids = old_vals[live].tolist()
+            self.sym_w = sym_w or self.sym_w
+            self.cap = cap or self.cap
+            self.keys = self._iv(
+                np.zeros(self.cap, np.uint64), 2 * self.sym_w + 1
+            )
+            self.vals = self._iv(
+                np.zeros(self.cap, np.uint64), self.sym_w
+            )
+            self.size = 0
+            for (a, b), r in zip(pairs, rids):
+                self.store((a, b), int(r))
+
+        def lookup(self, key):
+            a, b = key
+            if max(a, b) >> self.sym_w:
+                return None  # symbol wider than any stored key
+            k = self._pack(a, b)
+            s = self._hash(k)
+            while True:
+                cur = int(self.keys[s])
+                if cur == 0:
+                    return None
+                if cur == k:
+                    return int(self.vals[s])
+                s = (s + 1) % self.cap
+
+        def store(self, key, rid):
+            a, b = key
+            need = max(
+                self.sym_w,
+                int(max(a, b, rid)).bit_length(),
+            )
+            if need > self.sym_w:
+                self._regrow(sym_w=need)
+            if (self.size + 1) * 2 > self.cap:
+                self._regrow(cap=self.cap * 2)
+            k = self._pack(a, b)
+            s = self._hash(k)
+            while int(self.keys[s]) != 0:
+                if int(self.keys[s]) == k:
+                    self.vals[s] = rid
+                    return
+                s = (s + 1) % self.cap
+            self.keys[s] = k
+            self.vals[s] = rid
+            self.size += 1
+
+    def make(self):
+        t = self._Table()
+        return t.lookup, t.store
 
 
 class EspCompressor(Compressor):
@@ -477,7 +601,9 @@ class EspCompressor(Compressor):
 
     def compress(self, data: bytes) -> bytes:
         with StatPhase("ESP Algorithm"):
-            rules, root, empty = esp_rounds(data)
+            rules, root, empty = esp_rounds(
+                data, ipd=self.env.instantiate("ipd")
+            )
             StatPhase.log("SLP size", int(rules.shape[0]))
         coder = self.env.instantiate("slp_coder")
         return coder.encode(rules, root, empty)

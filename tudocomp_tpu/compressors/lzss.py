@@ -507,23 +507,35 @@ class LZSSSlidingWindowCompressor(Compressor):
 # --- SA/LCP based ---------------------------------------------------------------
 
 
-def factorize_lcp(text: np.ndarray, threshold: int) -> FactorBuffer:
+def factorize_lcp(text: np.ndarray, threshold: int,
+                  compressed: bool = False) -> FactorBuffer:
     """LZ77 factorization via SA/ISA/LCP with naive PSV/NSV scans
     (reference ``LZSSLCPCompressor.hpp:60-115``; PSV preferred on ties).
-    The native runtime runs the identical loop when available."""
+    The native runtime runs the identical loop when available.
+    ``compressed`` selects the compressed-space TextDS degree: ISA
+    point queries through SparseISA and LCP through the compressed
+    PLCP encoding (reference TextDS compressed_space), trading time
+    for o(n)-bit extra storage on the host path."""
     ds = TextDS(text.tobytes())
     from tudocomp_tpu import native
 
-    got = native.lzss_lcp_factorize(
-        ds.require_sa(), ds.require_isa(), ds.require_lcp(), threshold
-    )
-    if got is not None:
-        factors = FactorBuffer()
-        factors.extend_arrays(*got)
-        return factors
-    sa = ds.require_sa().tolist()
-    isa = ds.require_isa().tolist()
-    lcp = ds.require_lcp().tolist()
+    if not compressed:
+        got = native.lzss_lcp_factorize(
+            ds.require_sa(), ds.require_isa(), ds.require_lcp(),
+            threshold,
+        )
+        if got is not None:
+            factors = FactorBuffer()
+            factors.extend_arrays(*got)
+            return factors
+    if compressed:
+        sa = ds.require_sa()
+        isa = ds.require_isa_sparse()
+        lcp = ds.require_lcp_compressed()
+    else:
+        sa = ds.require_sa().tolist()
+        isa = ds.require_isa().tolist()
+        lcp = ds.require_lcp().tolist()
     n = text.size
     factors = FactorBuffer()
     i = 0
@@ -568,6 +580,7 @@ class LZSSLCPCompressor(Compressor):
             accepts=NON_CONSUMING_CODER_NAMES,
         )
         m.option_dynamic("threshold", 3)
+        m.option_dynamic("ds", "plain")
         m.needs_sentinel_terminator()
         return m
 
@@ -576,7 +589,10 @@ class LZSSLCPCompressor(Compressor):
             raise ValueError("lzss_lcp requires a sentineled input")
         threshold = self.env.option("threshold").as_int()
         text = np.frombuffer(data, np.uint8)
-        factors = factorize_lcp(text, threshold)
+        factors = factorize_lcp(
+            text, threshold,
+            compressed=self.env.option("ds").as_string() == "compressed",
+        )
         out = BitWriter()
         coder = self.coder_encoder(out, uncovered_literals(text, factors))
         encode_factor_text(coder, text, factors)

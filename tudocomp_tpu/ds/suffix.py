@@ -123,6 +123,8 @@ class TextDS:
         self._phi = None
         self._plcp = None
         self._lcp = None
+        self._isa_sparse = None
+        self._lcp_compressed = None
 
     @property
     def size(self) -> int:
@@ -152,3 +154,26 @@ class TextDS:
         if self._lcp is None:
             self._lcp = lcp_array(self.require_sa(), self.require_plcp())
         return self._lcp
+
+    # -- compressed-space degree (reference TextDS.hpp compressed_space:
+    # structures answer point queries from o(n)-extra-bit storage) ------
+
+    def require_isa_sparse(self, t: int = 3):
+        """ISA as a SparseISA (every t-th entry + cycle walking,
+        reference ``ds/SparseISA.hpp``)."""
+        if self._isa_sparse is None:
+            from tudocomp_tpu.ds.rank_select import SparseISA
+
+            self._isa_sparse = SparseISA(self.require_sa(), t)
+        return self._isa_sparse
+
+    def require_lcp_compressed(self):
+        """LCP answered from the bit-compressed PLCP encoding
+        (reference ``ds/CompressedLCP.hpp`` / LCPForwardIterator)."""
+        if self._lcp_compressed is None:
+            from tudocomp_tpu.ds.rank_select import CompressedLCP
+
+            self._lcp_compressed = CompressedLCP(
+                self.require_sa(), self.require_plcp()
+            )
+        return self._lcp_compressed
