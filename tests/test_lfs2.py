@@ -44,3 +44,25 @@ def test_lfs2_python_fallback_matches_native():
         got_p = _lfs2_parse_py(sa, lcp, n, 5)
         for a, b in zip(got_n, got_p):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_lfs_strategies_distinct_and_roundtrip():
+    """sim_st and bst are real strategies: all four roundtrip, and on
+    partially-overlapping repeats sim_st's shorter-prefix re-binning
+    yields a different (here: smaller) stream than st."""
+    import numpy as np
+
+    from tudocomp_tpu import compressors as _register  # noqa: F401
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(5)
+    data = rng.choice(
+        np.frombuffer(b"the quick brown fox ", np.uint8), 12000
+    ).astype(np.uint8).tobytes() + b"\x00"
+    sizes = {}
+    for strat in ("esa", "st", "sim_st", "bst"):
+        spec = f"lfs_comp(computing_strat={strat})"
+        enc = REGISTRY.instantiate(spec).compress(data)
+        assert REGISTRY.instantiate(spec).decompress(enc) == data
+        sizes[strat] = len(enc)
+    assert sizes["sim_st"] != sizes["st"], sizes

@@ -193,9 +193,14 @@ class STStrategy(Algorithm):
         return dictionary, occurrences
 
 
-class SimSTStrategy(STStrategy):
-    """Simulated suffix tree variant (reference ``SimSTStrategy.hpp``);
-    shares the st computation over the SA-built tree."""
+class SimSTStrategy(Algorithm):
+    """Simulated suffix tree (reference ``SimSTStrategy.hpp:25-229``):
+    nodes binned by string depth, occurrence lists merged from children
+    on first touch, and — the behavioral difference from ``st`` — a
+    node whose occurrences are cut short by already-replaced tails is
+    *re-binned at the shortest live prefix length* (``min_shorter``)
+    when that prefix is still an LRF longer than the parent's depth, so
+    partially-covered repeats are substituted at reduced length."""
 
     @classmethod
     def meta(cls):
@@ -203,15 +208,196 @@ class SimSTStrategy(STStrategy):
         m.option_dynamic("min_lrf", 2)
         return m
 
+    def compute_rules(self, text: bytes):
+        min_lrf = self.env.option("min_lrf").as_int()
+        st = SuffixTree(text)
+        n = st.n
+        nn = len(st.parent)
+        children: list[list[int]] = [[] for _ in range(nn)]
+        for v in range(1, nn):
+            children[int(st.parent[v])].append(v)
+        max_depth = 0
+        bins: dict[int, list[int]] = {}
+        for v in range(nn):
+            if not st.is_leaf[v] and v != st.root:
+                d = int(st.sdepth[v])
+                bins.setdefault(d, []).append(v)
+                max_depth = max(max_depth, d)
+        dead = np.zeros(n, bool)
+        node_begins: dict[int, list[int]] = {}
+        dictionary: list[tuple[int, int]] = []
+        occurrences: list[tuple[int, int, int]] = []
 
-class BSTStrategy(STStrategy):
-    """Binary-suffix-tree variant (reference ``BSTStrategy.hpp``)."""
+        def begins(v: int) -> list[int]:
+            got = node_begins.get(v)
+            if got is not None:
+                return got
+            # iterative post-order: build descendants first (deep trees
+            # of run-heavy inputs would blow Python recursion)
+            stack, order = [v], []
+            while stack:
+                u = stack.pop()
+                order.append(u)
+                for c in children[u]:
+                    if not st.is_leaf[c] and c not in node_begins:
+                        stack.append(c)
+            for u in reversed(order):
+                if u in node_begins:
+                    continue
+                merged = []
+                for c in children[u]:
+                    if st.is_leaf[c]:
+                        p = int(st.suffix[c])
+                        if not dead[p]:
+                            merged.append(p)
+                    else:
+                        merged.extend(node_begins[c])
+                        node_begins[c] = []
+                merged.sort()  # selection walks positions ascending
+                node_begins[u] = merged
+            return node_begins[v]
+
+        for length in range(max_depth, min_lrf - 1, -1):
+            queue = bins.get(length, [])
+            for v in queue:
+                poss = begins(v)
+                selected = []
+                not_selected = []
+                last = -length - 1
+                min_shorter = 1
+                for p in poss:
+                    if (
+                        last + length <= p and not dead[p]
+                        and not dead[p + length - 1]
+                    ):
+                        selected.append(p)
+                        last = p
+                    else:
+                        not_selected.append(p)
+                    if not dead[p] and dead[p + length - 1]:
+                        while (
+                            p + min_shorter < n
+                            and not dead[p + min_shorter]
+                        ):
+                            min_shorter += 1
+                # re-add at the shortest live prefix (reference :72-88)
+                if min_shorter > 1 and min_shorter < length \
+                        and min_shorter >= min_lrf:
+                    parent_depth = int(st.sdepth[int(st.parent[v])])
+                    if parent_depth < min_shorter:
+                        bins.setdefault(min_shorter, []).append(v)
+                if len(selected) >= 2:
+                    node_begins[v] = not_selected
+                    rule_id = len(dictionary)
+                    dictionary.append((int(selected[0]), length))
+                    for p in selected:
+                        dead[p : p + length] = True
+                        occurrences.append((p, rule_id, length))
+        occurrences.sort()
+        return dictionary, occurrences
+
+
+class BSTStrategy(Algorithm):
+    """Binary (first-child/next-sibling) suffix tree walk (reference
+    ``BSTStrategy.hpp:25-120`` over ``BinarySuffixTree``): string
+    depths computed by explicit child-chain recursion, per-node
+    beginning positions merged from the chain on demand, greedy
+    non-overlapping selection with dead-position filtering of the
+    retained list. No shorter-prefix re-binning (unlike ``sim_st``)."""
 
     @classmethod
     def meta(cls):
         m = Meta("lfs_comp", "bst", "Binary-ST LRF computation")
         m.option_dynamic("min_lrf", 2)
         return m
+
+    def compute_rules(self, text: bytes):
+        min_lrf = self.env.option("min_lrf").as_int()
+        st = SuffixTree(text)
+        n = st.n
+        nn = len(st.parent)
+        # first-child / next-sibling representation
+        first_child = [0] * nn
+        next_sibling = [0] * nn
+        for v in range(nn - 1, 0, -1):  # prepend keeps child order
+            p = int(st.parent[v])
+            next_sibling[v] = first_child[p]
+            first_child[p] = v
+        bins: dict[int, list[int]] = {}
+        max_depth = 0
+        stack = [int(st.root)]
+        while stack:  # explicit DFS over the child chains
+            v = stack.pop()
+            if first_child[v] != 0:
+                d = int(st.sdepth[v])
+                if d > 0:
+                    bins.setdefault(d, []).append(v)
+                    max_depth = max(max_depth, d)
+                c = first_child[v]
+                while c != 0:
+                    stack.append(c)
+                    c = next_sibling[c]
+        dead = np.zeros(n, bool)
+        beginning_positions: dict[int, list[int]] = {}
+        dictionary: list[tuple[int, int]] = []
+        occurrences: list[tuple[int, int, int]] = []
+
+        def positions(v: int) -> list[int]:
+            got = beginning_positions.get(v)
+            if got is not None:
+                return got
+            stack, order = [v], []
+            while stack:
+                u = stack.pop()
+                order.append(u)
+                c = first_child[u]
+                while c != 0:
+                    if first_child[c] != 0 \
+                            and c not in beginning_positions:
+                        stack.append(c)
+                    c = next_sibling[c]
+            for u in reversed(order):
+                if u in beginning_positions:
+                    continue
+                merged = []
+                c = first_child[u]
+                while c != 0:
+                    if first_child[c] == 0:  # leaf
+                        p = int(st.suffix[c])
+                        if not dead[p]:
+                            merged.append(p)
+                    else:
+                        merged.extend(beginning_positions[c])
+                        beginning_positions[c] = []
+                    c = next_sibling[c]
+                merged.sort()
+                beginning_positions[u] = merged
+            return beginning_positions[v]
+
+        for length in range(max_depth, min_lrf - 1, -1):
+            for v in bins.get(length, []):
+                poss = positions(v)
+                selected = []
+                not_selected = []
+                last = -length - 1
+                for p in poss:
+                    if (
+                        last + length <= p and not dead[p]
+                        and not dead[p + length - 1]
+                    ):
+                        selected.append(p)
+                        last = p
+                    elif not dead[p]:  # drop dead heads (ref :105-112)
+                        not_selected.append(p)
+                if len(selected) >= 2:
+                    beginning_positions[v] = not_selected
+                    rule_id = len(dictionary)
+                    dictionary.append((int(selected[0]), length))
+                    for p in selected:
+                        dead[p : p + length] = True
+                        occurrences.append((p, rule_id, length))
+        occurrences.sort()
+        return dictionary, occurrences
 
 
 class EncodeStrategy(Algorithm):
