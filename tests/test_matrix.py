@@ -35,7 +35,7 @@ elif os.environ.get("FULL_MATRIX"):
 else:
     # default: spread a budget across families so every compressor and
     # every sub-strategy family member appears
-    budget_per_family = 8
+    budget_per_family = 16
     by_family: dict[str, list[str]] = {}
     for c in ALL_CONFIGS:
         by_family.setdefault(c.split("(")[0], []).append(c)
@@ -51,7 +51,7 @@ if _FAST:
 else:
     # default: a representative slice (full corpus x full grid is the
     # nightly setting; set FAST_MATRIX=0 elsewhere to disable slicing)
-    _CORPUS = [c for c in _CORPUS if len(c) < 2048][:14]
+    _CORPUS = [c for c in _CORPUS if len(c) < 4096][:18]
 
 
 def test_matrix_has_coverage():

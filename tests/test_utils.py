@@ -87,3 +87,42 @@ def test_native_runtime_builds():
     from tudocomp_tpu import native
 
     assert native.available(), "native/tdc_native.cpp failed to build"
+
+
+def test_charter_svg_export():
+    """etc/charter.py renders a StatPhase JSON tree to in-bounds SVG
+    with one span per phase (parity artifact for www/charter)."""
+    import json
+    import re
+    import subprocess
+    import sys
+    import tempfile
+
+    tree = {
+        "title": "root", "timeDelta": 100.0, "memPeak": 4096,
+        "stats": [], "sub": [
+            {"title": "a", "timeDelta": 60.0, "memPeak": 2048,
+             "stats": [{"key": "k", "value": 1}], "sub": [
+                 {"title": "a1", "timeDelta": 20.0, "memPeak": 0,
+                  "stats": [], "sub": []}]},
+            {"title": "b", "timeDelta": 40.0, "memPeak": 1024,
+             "stats": [], "sub": []},
+        ],
+    }
+    with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                     delete=False) as f:
+        json.dump(tree, f)
+        path = f.name
+    out = path + ".svg"
+    subprocess.run(
+        [sys.executable, "etc/charter.py", path, "-o", out],
+        check=True, capture_output=True,
+    )
+    svg = open(out).read()
+    assert svg.startswith("<svg")
+    # 4 phase spans + 3 memory bars (a1 has memPeak 0) + surface rect
+    rects = re.findall(r'<rect x="([\d.]+)"[^>]*width="([\d.]+)"', svg)
+    assert len(rects) == 7
+    for x, w in rects:
+        assert 0 <= float(x) and float(x) + float(w) <= 862
+    assert "a1" in svg and "Phase timeline" in svg
