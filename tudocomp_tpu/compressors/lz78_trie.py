@@ -156,7 +156,6 @@ class RollingTrie(HashTrie):
     so the parse stays canonical."""
 
     native_kind = "hash"
-    _B = 1000000007  # KR base
 
     @classmethod
     def meta(cls):
@@ -164,7 +163,10 @@ class RollingTrie(HashTrie):
 
     def __init__(self, env):
         super().__init__(env)
-        self.fp: list[int] = []  # node id -> rolling fingerprint
+        from tudocomp_tpu.utils.hash import KarpRabinHash
+
+        self._kr = KarpRabinHash
+        self.fp: list = []  # node id -> KarpRabinHash of its string
         self.table2: dict[tuple[int, int], int] = {}
 
     def clear(self) -> None:
@@ -173,20 +175,20 @@ class RollingTrie(HashTrie):
         self.table2.clear()
 
     def add_rootnode(self, value: int) -> int:
-        # per-root fingerprint seed (LZ78: one empty root, fp 0;
+        # per-root fingerprint seed (LZ78: one empty root, seed 0;
         # LZW: 256 one-char roots, seeded by the char)
-        self.fp.append(value)
+        self.fp.append(self._kr(value))
         return super().add_rootnode(value)
 
     def find_or_insert(self, node: int, char: int):
         # rolling extension of the parent's fingerprint
-        key = (self.fp[node] * self._B + char + 1) & ((1 << 64) - 1)
+        kr = self.fp[node].extended(char)
         child = self.table2.get((node, char))
         if child is None:
             child = self.size
             self.table2[(node, char)] = child
-            self.table.insert(key ^ (node << 8 | char), child)
-            self.fp.append(key)
+            self.table.insert(kr.key() ^ (node << 8 | char), child)
+            self.fp.append(kr)
             self.size += 1
             return child, True
         return child, False

@@ -179,6 +179,68 @@ class QuadraticProber(Algorithm):
         return (base + (i * (i + 1)) // 2) % m
 
 
+class GaussProber(Algorithm):
+    """Gauss-sum probing: step i advances by i (triangular positions,
+    reference ``util/Hash.hpp`` GaussProber)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("hash_prober", "gauss", "Gauss-sum probing")
+
+    def step(self, base: int, i: int, m: int) -> int:
+        return (base + (i * (i + 1)) // 2) % m
+
+
+class DoubleHashingProber(Algorithm):
+    """Double hashing: stride ``(1 + h mod (m-1)) | 1`` (reference
+    ``util/Hash.hpp`` _DoubleHashingProber). Odd strides walk all of a
+    pow2 table."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("hash_prober", "double", "Double hashing")
+
+    def step(self, base: int, i: int, m: int) -> int:
+        stride = (1 + (base % max(m - 1, 1))) | 1
+        return (base + i * stride) % m
+
+
+class WordpackRollingHash:
+    """Shift-and-add rolling fingerprint of a byte sequence (reference
+    ``util/Hash.hpp:307-330`` WordpackRollingHash: ``(val + len)`` keyed
+    word packing)."""
+
+    def __init__(self):
+        self.val = 0
+        self.length = 0
+
+    def advance(self, c: int) -> None:
+        self.val = ((self.val << 8) | (c & 0xFF)) & _M64
+        self.length += 1
+
+    def key(self) -> int:
+        return (self.val + self.length) & _M64
+
+
+class KarpRabinHash:
+    """Karp-Rabin polynomial rolling hash over base ``B`` (reference
+    vendored ``util/hash/rabinkarphash.h``): supports O(1) extension;
+    used by the rolling LZ78 tries."""
+
+    B = 1000000007
+
+    def __init__(self, seed: int = 0):
+        self.val = seed & _M64
+
+    def extended(self, c: int) -> "KarpRabinHash":
+        h = KarpRabinHash()
+        h.val = (self.val * self.B + (c & 0xFF) + 1) & _M64
+        return h
+
+    def key(self) -> int:
+        return self.val
+
+
 class HashMap:
     """Open-addressing u64 -> i64 map over pluggable strategies
     (reference ``util/Hash.hpp:183-354`` HashMap).
@@ -249,5 +311,6 @@ class HashMap:
 
 for _cls in (VignaHasher, KnuthHasher, MixHasher, NoopHasher,
              SizeManagerPow2, SizeManagerPrime, SizeManagerDirect,
-             LinearProber, QuadraticProber):
+             LinearProber, QuadraticProber, GaussProber,
+             DoubleHashingProber):
     REGISTRY.register(_cls)
