@@ -2104,3 +2104,85 @@ int64_t tdc_lz78_parse_struct(const uint8_t* in, int64_t n, int lzw,
 }
 
 }  // extern "C"
+
+// ---- Re-Pair stream decode -----------------------------------------------
+// Mirrors compressors/repair.py decompress: 32-bit rule count, then per
+// rule i two symbols (flag bit + literal | (id - 256) in bits_for(i)
+// bits), then start symbols in bits_for(num_rules) bits; grammar
+// expansion by explicit stack. Literals via canonical-huffman LUT when
+// k > 0 else plain 8-bit. Returns output length, -1 overflow, -2
+// malformed.
+
+extern "C" {
+
+int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
+                          int64_t start_bit, const uint8_t* lut_sym,
+                          const uint8_t* lut_len, int k,
+                          uint8_t* out, int64_t out_cap) {
+    BitRd rd{payload, nbits, start_bit};
+    auto bits_for = [](int64_t v) -> int {
+        int b = 1;
+        while ((uint64_t(v) >> b) != 0) b++;
+        return b;
+    };
+    auto read_literal = [&]() -> int {
+        if (k > 0) {
+            int64_t save = rd.pos;
+            int64_t w = rd.read(k);
+            int len = lut_len[w];
+            if (len == 0) return -1;
+            rd.pos = save + len;
+            return lut_sym[w];
+        }
+        return int(rd.read(8));
+    };
+    int64_t nr = rd.read(32);
+    if (nr < 0 || nr > nbits) return -2;  // cheap sanity bound
+    std::vector<int64_t> L(static_cast<size_t>(nr));
+    std::vector<int64_t> R(static_cast<size_t>(nr));
+    for (int64_t i = 0; i < nr; i++) {
+        int w = bits_for(i);
+        for (int side = 0; side < 2; side++) {
+            int64_t x;
+            if (rd.read(1)) {
+                x = 256 + rd.read(w);
+                if (x - 256 >= i) return -2;  // forward rule reference
+            } else {
+                int c = read_literal();
+                if (c < 0) return -2;
+                x = c;
+            }
+            (side ? R : L)[size_t(i)] = x;
+        }
+    }
+    int w = bits_for(nr);
+    int64_t o = 0;
+    std::vector<int64_t> stack;
+    while (rd.pos < nbits) {
+        int64_t x;
+        if (rd.read(1)) {
+            x = 256 + rd.read(w);
+            if (x - 256 >= nr) return -2;
+        } else {
+            int c = read_literal();
+            if (c < 0) return -2;
+            x = c;
+        }
+        stack.clear();
+        stack.push_back(x);
+        while (!stack.empty()) {
+            int64_t s = stack.back();
+            stack.pop_back();
+            if (s < 256) {
+                if (o >= out_cap) return -1;
+                out[o++] = uint8_t(s);
+            } else {
+                stack.push_back(R[size_t(s - 256)]);
+                stack.push_back(L[size_t(s - 256)]);
+            }
+        }
+    }
+    return o;
+}
+
+}  // extern "C"

@@ -115,3 +115,44 @@ def test_compression_actually_compresses():
                  "encode(huff)", "lzss_lcp(bit)"):
         comp = roundtrip(algo, data)
         assert len(comp) < len(data), algo
+
+
+def test_repair_bulk_and_native_decode_identity():
+    """The vectorized repair stream encoder is bit-identical to the
+    scalar loop, and the native decoder matches the python decoder."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.compressors.repair import RePairCompressor
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(2)
+    pieces = [
+        b"abcabcabc",
+        rng.choice(np.frombuffer(b"ab ", np.uint8), 6000)
+        .astype(np.uint8).tobytes(),
+        bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+        b"",
+    ]
+    orig = RePairCompressor.__dict__["_encode_bulk"]
+    for data in pieces:
+        for spec in ("repair(coder=huff)", "repair(coder=bit)",
+                     "repair(coder=huff,max_rules=7)"):
+            enc_bulk = REGISTRY.instantiate(spec).compress(data)
+            try:
+                RePairCompressor._encode_bulk = staticmethod(
+                    lambda *a, **k: False
+                )
+                enc_scalar = REGISTRY.instantiate(spec).compress(data)
+            finally:
+                RePairCompressor._encode_bulk = orig
+            assert enc_bulk == enc_scalar, (spec, len(data))
+            out_nat = REGISTRY.instantiate(spec).decompress(enc_bulk)
+            try:
+                native._lib = None
+                native._tried = True
+                out_py = REGISTRY.instantiate(spec).decompress(enc_bulk)
+            finally:
+                native._tried = False
+                native._lib = None
+            assert out_nat == out_py == data, (spec, len(data))

@@ -118,6 +118,8 @@ class RePairCompressor(Compressor):
                 coder.encode(x - SIGMA, r)
 
         coder.encode(len(rules), len_r)
+        if self._encode_bulk(coder, out, rules, start):
+            return out.getvalue()
         for i, (left, right) in enumerate(rules):
             r = Range(i)
             encode_sym(left, r)
@@ -128,8 +130,71 @@ class RePairCompressor(Compressor):
         coder.finish()
         return out.getvalue()
 
+    @staticmethod
+    def _encode_bulk(coder, out, rules, start) -> bool:
+        """One write_tokens call for the whole rule+start stream
+        (bit / huffman coders: binary non-literal fields). Bit-exact
+        with the scalar loop."""
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+        from tudocomp_tpu.compressors.lzss import _literal_tokens
+        from tudocomp_tpu.utils.bits import bits_for, bits_for_arr
+
+        if not isinstance(
+            coder, (BitCoder.Encoder, HuffmanCoder.Encoder)
+        ):
+            return False
+        nr = len(rules)
+        rsyms = (
+            np.array(rules, np.int64).reshape(-1)
+            if nr else np.zeros(0, np.int64)
+        )
+        widths = np.concatenate([
+            np.repeat(bits_for_arr(np.arange(max(nr, 1))[:nr]), 2)
+            .astype(np.int64),
+            np.full(start.size, bits_for(nr), np.int64),
+        ])
+        syms = np.concatenate([rsyms, start.astype(np.int64)])
+        is_rule = syms >= SIGMA
+        values = np.zeros(2 * syms.size, np.uint64)
+        lens = np.zeros(2 * syms.size, np.int64)
+        values[0::2] = is_rule
+        lens[0::2] = 1
+        values[1::2] = np.where(is_rule, syms - SIGMA, 0)
+        lens[1::2] = np.where(is_rule, widths, 0)
+        if (~is_rule).any():
+            lv, ll = _literal_tokens(
+                coder, syms[~is_rule].astype(np.uint8)
+            )
+            lit_slots = 2 * np.flatnonzero(~is_rule) + 1
+            values[lit_slots] = lv
+            lens[lit_slots] = ll
+        out.write_tokens(values, lens)
+        coder.finish()
+        return True
+
     def decompress(self, data: bytes) -> bytes:
-        decoder = self.coder_decoder(BitReader(data))
+        reader = BitReader(data)
+        decoder = self.coder_decoder(reader)
+        from tudocomp_tpu import native
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+
+        if native.available() and isinstance(
+            decoder, (BitCoder.Decoder, HuffmanCoder.Decoder)
+        ):
+            lut = None
+            if isinstance(decoder, HuffmanCoder.Decoder) \
+                    and decoder.table is not None:
+                lut_sym, lut_len = decoder.table.build_lut()
+                lut = (lut_sym, lut_len, decoder.table.longest)
+            got = native.repair_decode(
+                np.packbits(reader._bits), reader.total, reader.pos,
+                lut, out_hint=16 * len(data),
+            )
+            if got is not None:
+                reader.pos = reader.total
+                return got
 
         def decode_sym(r: Range) -> int:
             if decoder.decode(bit_r):

@@ -69,11 +69,10 @@ def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
     # scatter vbyte payloads after the char(s)
     if has_vb.any():
         v_starts = (out_starts + nchars)[has_vb]
-        v_ends = v_starts + vlens[has_vb]
-        idx = np.concatenate(
-            [np.arange(s, e) for s, e in zip(v_starts, v_ends)]
-        )
-        out[idx] = run_payload
+        vl = vlens[has_vb]
+        tot = int(vl.sum())
+        ramp = np.arange(tot) - np.repeat(np.cumsum(vl) - vl, vl)
+        out[np.repeat(v_starts, vl) + ramp] = run_payload
     return out
 
 

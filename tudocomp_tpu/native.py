@@ -229,6 +229,11 @@ def _load():
             ctypes.c_int, u32p, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78_parse_struct.restype = ctypes.c_int64
+        lib.tdc_repair_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+            ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_repair_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -942,6 +947,32 @@ def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int):
         )
         if got == -2:
             raise ValueError("malformed lz78u stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def repair_decode(payload, nbits, start_bit, lut, out_hint: int):
+    """Native Re-Pair stream decode. Returns bytes or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lut is None:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    else:
+        lut_sym, lut_len, k = lut
+        lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+        lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    cap = max(4096, out_hint)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_repair_decode(
+            payload, nbits, start_bit, lut_sym, lut_len, k, out, cap,
+        )
+        if got == -2:
+            raise ValueError("malformed repair stream")
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
