@@ -106,3 +106,20 @@ def test_cli_blocks_streaming(tmp_path):
     )
     assert rc == 0
     assert out.read_bytes() == full
+
+
+def test_logging_flags(tmp_path):
+    """--loglevel/--logdir/--logverbosity configure the logging layer
+    (reference glog passthrough, Options.hpp:15-32)."""
+    import logging
+
+    from tudocomp_tpu.utils import log as tlog
+
+    tlog.configure("debug", str(tmp_path / "logs"), 2)
+    assert tlog.vlog(2) and not tlog.vlog(3)
+    lg = tlog.get_logger("test")
+    lg.info("hello from the test")
+    for h in logging.getLogger("tudocomp_tpu").handlers:
+        h.flush()
+    files = list((tmp_path / "logs").iterdir())
+    assert files and "hello from the test" in files[0].read_text()

@@ -223,6 +223,12 @@ def main(argv=None) -> int:
     p.add_argument("--stats", nargs="?", const="STATS", default=None)
     p.add_argument("--usestdin", action="store_true")
     p.add_argument("--usestdout", action="store_true")
+    p.add_argument("--loglevel", default=None,
+                   help="logging level (debug/info/warning/error)")
+    p.add_argument("--logdir", default=None,
+                   help="write a per-run log file into this directory")
+    p.add_argument("--logverbosity", type=int, default=None,
+                   help="VLOG verbosity gate (glog-style)")
     p.add_argument(
         "--blocks", metavar="SIZE",
         help="compress block-wise (constant memory, restartable); "
@@ -234,6 +240,9 @@ def main(argv=None) -> int:
         "last complete block frame",
     )
     args = p.parse_args(argv)
+    from tudocomp_tpu.utils.log import configure as _log_configure
+
+    _log_configure(args.loglevel, args.logdir, args.logverbosity)
 
     if args.list:
         print(REGISTRY.doc_listing())

@@ -38,7 +38,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-G = 8  # segments per grid step
+G = 8  # base segments-per-grid-step granularity (callers pad nc to G)
+
+
+def _group(nc: int, interpret: bool) -> int:
+    """Segments per grid step: 16 on real TPU when the batch allows
+    (half the grid steps; VMEM still fits), the base G elsewhere
+    (interpreter cost scales with per-step work)."""
+    import os
+
+    want = int(os.environ.get("TDC_PACK_GROUP", "16"))
+    if interpret:
+        return G
+    for g in (want, 16, 8):
+        if g % G == 0 and nc % g == 0 and g <= nc:
+            return g
+    return G
 _I32 = jnp.int32
 
 SEG_BYTES = 2048          # input bytes per segment (RLE stage)
@@ -109,7 +124,8 @@ def _seg_excl_offsets(lens, rows_per_seg: int):
 
 
 def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
-                       bits_ref, *, rows_per_seg: int, wt: int):
+                       bits_ref, *, rows_per_seg: int, wt: int,
+                       g: int = G):
     """Place tokens into per-segment accumulators and write word rows."""
     rows = values.shape[0]
     mask = jnp.where(lens >= 32, _I32(-1), (_I32(1) << lens) - 1)
@@ -126,12 +142,12 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     )
     w0 = _srl(offs, 5)
 
-    acc_ref[:, :] = jnp.zeros((G * 8, wt), jnp.float32)
+    acc_ref[:, :] = jnp.zeros((g * 8, wt), jnp.float32)
     p1_planes = _byte_planes_bf16(part1)
     sp_planes = _byte_planes_bf16(spill)
     win_iota = lax.broadcasted_iota(_I32, (WINDOW, LANES), 0)
     for r in range(rows):
-        g = r // rows_per_seg
+        grp = r // rows_per_seg
         aligned = (jnp.max(row_base[r : r + 1, :]) >> 12) * 128
         w0_local = w0[r][None, :] - aligned
         oh = (win_iota == w0_local).astype(jnp.bfloat16)
@@ -139,14 +155,14 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
             [p[r] for p in p1_planes] + [p[r] for p in sp_planes], axis=0
         )  # (8, 128)
         acc_ref[
-            g * 8 : (g + 1) * 8,
+            grp * 8 : (grp + 1) * 8,
             pl.ds(pl.multiple_of(aligned, LANES), WINDOW),
         ] += lax.dot_general(
             planes, oh, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
-    acc = acc_ref[:, :].astype(_I32).reshape(G, 8, wt)
+    acc = acc_ref[:, :].astype(_I32).reshape(g, 8, wt)
     words_p1 = (
         (acc[:, 0, :] << 24) | (acc[:, 1, :] << 16)
         | (acc[:, 2, :] << 8) | acc[:, 3, :]
@@ -155,7 +171,7 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
         (acc[:, 4, :] << 24) | (acc[:, 5, :] << 16)
         | (acc[:, 6, :] << 8) | acc[:, 7, :]
     )
-    lane_iota = lax.broadcasted_iota(_I32, (G, wt), 1)
+    lane_iota = lax.broadcasted_iota(_I32, (g, wt), 1)
     words_sp = jnp.where(
         lane_iota == 0, _I32(0), pltpu.roll(words_sp, 1, 1)
     )
@@ -163,20 +179,20 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     # total bits per segment = row base + row total at each group's end
     lens_sum_rows = jnp.sum(lens, axis=1, keepdims=True)  # (rows, 1)
     totals = []
-    for g in range(G):
-        base = row_base[(g + 1) * rows_per_seg - 1, :1]
-        last = lens_sum_rows[(g + 1) * rows_per_seg - 1, :1]
+    for gi in range(g):
+        base = row_base[(gi + 1) * rows_per_seg - 1, :1]
+        last = lens_sum_rows[(gi + 1) * rows_per_seg - 1, :1]
         totals.append((base + last)[None, :])
-    bits = jnp.concatenate(totals, axis=0)  # (G, 1)
-    bits_ref[:, :] = jnp.broadcast_to(bits, (G, LANES))
+    bits = jnp.concatenate(totals, axis=0)  # (g, 1)
+    bits_ref[:, :] = jnp.broadcast_to(bits, (g, LANES))
 
 
 def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
-                    acc_ref, *, wt: int):
+                    acc_ref, *, wt: int, g: int = G):
     c = pl.program_id(0)
-    data = data_ref[...]  # (G*HUF_ROWS, 128) i32 bytes
+    data = data_ref[...]  # (g*HUF_ROWS, 128) i32 bytes
     table = table_ref[:, :]  # (8, 256) bf16
-    rows = G * HUF_ROWS
+    rows = g * HUF_ROWS
     lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
     row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
     pos_in_seg = (row % HUF_ROWS) * LANES + lane
@@ -199,29 +215,29 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
     values = (hi << 8) | lo
     # mask past each segment's count (SMEM scalar reads)
     cnt = jnp.zeros((rows, LANES), _I32)
-    for g in range(G):
-        cnt = jnp.where(seg_idx == g, lengths_ref[c * G + g], cnt)
+    for gi in range(g):
+        cnt = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], cnt)
     lens = jnp.where(pos_in_seg < cnt, lens, 0)
     offs, row_base = _seg_excl_offsets(lens, HUF_ROWS)
     _place_and_combine(
         values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
-        rows_per_seg=HUF_ROWS, wt=wt,
+        rows_per_seg=HUF_ROWS, wt=wt, g=g,
     )
 
 
 def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
-                *, offset: int, wt: int):
+                *, offset: int, wt: int, g: int = G):
     c = pl.program_id(0)
-    data = data_ref[...]  # (G*RLE_ROWS, 128) i32 bytes
-    rows = G * RLE_ROWS
+    data = data_ref[...]  # (g*RLE_ROWS, 128) i32 bytes
+    rows = g * RLE_ROWS
     lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
     row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
     pos = (row % RLE_ROWS) * LANES + lane  # position within segment
     seg_idx = row // RLE_ROWS
 
     length = jnp.zeros((rows, LANES), _I32)
-    for g in range(G):
-        length = jnp.where(seg_idx == g, lengths_ref[c * G + g], length)
+    for gi in range(g):
+        length = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], length)
 
     # prev byte within segment (row-local roll + segmented row carry)
     rolled = pltpu.roll(data, 1, 1)
@@ -291,7 +307,7 @@ def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
     offs, row_base = _seg_excl_offsets(lens, RLE_ROWS)
     _place_and_combine(
         values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
-        rows_per_seg=RLE_ROWS, wt=wt,
+        rows_per_seg=RLE_ROWS, wt=wt, g=g,
     )
 
 
@@ -304,27 +320,28 @@ def rle_pack_segments(data, lengths, *, offset: int = 0,
         interpret = jax.default_backend() != "tpu"
     nc, n = data.shape
     assert n == SEG_BYTES and nc % G == 0
+    g = _group(nc, interpret)
     data_i = data.astype(_I32).reshape(nc * RLE_ROWS, LANES)
-    kernel = functools.partial(_rle_kernel, offset=offset, wt=RLE_WT)
+    kernel = functools.partial(_rle_kernel, offset=offset, wt=RLE_WT, g=g)
     words, bits = pl.pallas_call(
         kernel,
-        grid=(nc // G,),
+        grid=(nc // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (G * RLE_ROWS, LANES), lambda c: (c, 0),
+                (g * RLE_ROWS, LANES), lambda c: (c, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=[
-            pl.BlockSpec((G, RLE_WT), lambda c: (c, 0)),
-            pl.BlockSpec((G, LANES), lambda c: (c, 0)),
+            pl.BlockSpec((g, RLE_WT), lambda c: (c, 0)),
+            pl.BlockSpec((g, LANES), lambda c: (c, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nc, RLE_WT), jnp.int32),
             jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * 8, RLE_WT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g * 8, RLE_WT), jnp.float32)],
         interpret=interpret,
     )(lengths.astype(_I32), data_i)
     return (
@@ -343,6 +360,7 @@ def huffman_pack_segments(data, counts, sym_code, sym_len, *,
         interpret = jax.default_backend() != "tpu"
     nc, n = data.shape
     assert n == CAP_BYTES and nc % G == 0
+    g = _group(nc, interpret)
     data_i = data.astype(_I32).reshape(nc * HUF_ROWS, LANES)
     code = sym_code.astype(jnp.uint32)
     table = jnp.stack(
@@ -354,27 +372,27 @@ def huffman_pack_segments(data, counts, sym_code, sym_len, *,
         + [jnp.zeros(256, jnp.float32)] * 5,
         axis=0,
     ).astype(jnp.bfloat16)
-    kernel = functools.partial(_huffman_kernel, wt=HUF_WT)
+    kernel = functools.partial(_huffman_kernel, wt=HUF_WT, g=g)
     words, bits = pl.pallas_call(
         kernel,
-        grid=(nc // G,),
+        grid=(nc // g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(
-                (G * HUF_ROWS, LANES), lambda c: (c, 0),
+                (g * HUF_ROWS, LANES), lambda c: (c, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((G, HUF_WT), lambda c: (c, 0)),
-            pl.BlockSpec((G, LANES), lambda c: (c, 0)),
+            pl.BlockSpec((g, HUF_WT), lambda c: (c, 0)),
+            pl.BlockSpec((g, LANES), lambda c: (c, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nc, HUF_WT), jnp.int32),
             jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((G * 8, HUF_WT), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g * 8, HUF_WT), jnp.float32)],
         interpret=interpret,
     )(counts.astype(_I32), data_i, table)
     return lax.bitcast_convert_type(words, jnp.uint32), bits[:, 0]
