@@ -11,9 +11,10 @@ Measures sustained single-chip throughput of the TBC2 flagship codec
   dependent scalar pulled to the host (block_until_ready does not sync
   through the axon tunnel); container assembly is untimed I/O, like the
   reference's file write.
-- **decode (TPU)**: the gather-free lockstep scan + compaction sort
-  (ops/hufdec_jax.py) + the host np.repeat finish. Feed layout prep is
-  untimed I/O (mirror of assembly).
+- **decode (TPU)**: the gather-free lockstep scan (ops/hufdec_jax.py)
+  over payload-sorted batches (each runs the shortest static scan
+  bucket that fits it) + the host np.repeat finish. Feed layout prep
+  is untimed I/O (mirror of assembly).
 - **decode (host)**: the native C batch kernel on all cores, reported
   for comparison; the headline combined number uses the TPU decode.
 
@@ -67,7 +68,8 @@ def main() -> None:
         BlockCodec, huff_stage, rle_stage,
     )
     from tudocomp_tpu.ops.hufdec_jax import (
-        DEC_STEPS, SEG, decode_segments, decoder_tables, expand_records,
+        SEG, decode_segments, decoder_tables, expand_records,
+        needed_steps, snap_steps,
     )
 
     codec = BlockCodec()
@@ -128,7 +130,7 @@ def main() -> None:
         np.concatenate([np.asarray(o[1]) for o in out]),
     )
 
-    # ---- decode on TPU: lockstep scan + compaction sort -----------------
+    # ---- decode on TPU: lockstep scan, payload-bucketed batches ---------
     (tbl, offset, orig_len, counts, flags, poff,
      pbytes) = codec._parse(container)
     t = decoder_tables(tbl)
@@ -140,23 +142,28 @@ def main() -> None:
     nseg_total = counts.shape[0]
     # wide decode batches: per-op overhead dominates at narrow widths;
     # 16384 lanes measured best (0.455 GB/s vs 0.40 at 32768, where the
-    # [lanes, slots] ys arrays start to pressure HBM)
+    # [lanes, slots] ys arrays start to pressure HBM). Segments are
+    # sorted by payload so each batch runs the shortest static scan
+    # bucket that fits it (decode cost is linear in scan steps).
     DEC_LANES = min(16384, -(-nseg_total // 8192) * 8192)
+    need = needed_steps(pbytes, counts)
+    order = np.argsort(need, kind="stable")
     for lo in range(0, nseg_total, DEC_LANES):
-        hi = min(lo + DEC_LANES, nseg_total)
-        feed8 = np.zeros((DEC_LANES, DEC_STEPS * 4), np.uint8)
-        ls = np.minimum(pbytes[lo:hi], DEC_STEPS * 4)
-        piece = np.repeat(np.arange(hi - lo), ls)
+        idx = order[lo : lo + DEC_LANES]
+        steps = snap_steps(int(need[idx].max()))
+        feed8 = np.zeros((DEC_LANES, steps * 4), np.uint8)
+        ls = np.minimum(pbytes[idx], steps * 4)
+        piece = np.repeat(np.arange(idx.size), ls)
         within = (
             np.arange(int(ls.sum())) - np.repeat(np.cumsum(ls) - ls, ls)
         )
-        feed8[piece, within] = flat[poff[lo:hi][piece] + within]
+        feed8[piece, within] = flat[poff[idx][piece] + within]
         bc = np.zeros(DEC_LANES, np.int32)
-        bc[: hi - lo] = counts[lo:hi]
+        bc[: idx.size] = counts[idx]
         hrw = np.zeros(DEC_LANES, bool)
-        hrw[: hi - lo] = (flags[lo:hi] & 1).astype(bool)
+        hrw[: idx.size] = (flags[idx] & 1).astype(bool)
         rrw = np.zeros(DEC_LANES, bool)
-        rrw[: hi - lo] = (flags[lo:hi] & 2).astype(bool)
+        rrw[: idx.size] = (flags[idx] & 2).astype(bool)
         feeds.append(
             (
                 jnp.asarray(feed8.view(">u4").astype(np.uint32)),
@@ -183,7 +190,11 @@ def main() -> None:
         np.asarray(ch0[:CHK]), np.asarray(en0[:CHK]),
         np.full(CHK, SEG, np.int64),
     )
-    assert dec == data.tobytes()[: CHK * SEG]
+    expect = b"".join(
+        data.tobytes()[s * SEG : (s + 1) * SEG]
+        for s in order[:CHK].tolist()
+    )
+    assert dec == expect
     dtimes = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -404,34 +404,48 @@ class BlockCodec:
         masks = jnp.asarray(t["masks"])
         nseg = counts.shape[0]
         flat = np.frombuffer(data, np.uint8)
-        parts = []
+        # payload-proportional scan lengths: sort segments by needed
+        # steps so each batch runs the shortest static bucket that
+        # fits it (ops/hufdec_jax.py S_BUCKETS), then reassemble in
+        # original order
+        from tudocomp_tpu.ops.hufdec_jax import needed_steps, snap_steps
+
+        need = needed_steps(pbytes, counts)
+        order = np.argsort(need, kind="stable")
+        all_out_lens = np.minimum(
+            np.full(nseg, SEG, np.int64),
+            np.maximum(
+                orig_len - SEG * np.arange(nseg, dtype=np.int64), 0
+            ),
+        )
+        parts: list[bytes | None] = [None] * nseg
         for lo in range(0, nseg, self.batch_lanes):
-            hi = min(lo + self.batch_lanes, nseg)
-            b = _bucket(hi - lo)
-            feed8 = np.zeros((b, DEC_STEPS * 4), np.uint8)
-            lens = np.minimum(pbytes[lo:hi], DEC_STEPS * 4)
-            piece = np.repeat(np.arange(hi - lo), lens)
+            idx = order[lo : lo + self.batch_lanes]
+            b = _bucket(idx.size)
+            steps = snap_steps(int(need[idx].max()))
+            feed8 = np.zeros((b, steps * 4), np.uint8)
+            lens = np.minimum(pbytes[idx], steps * 4)
+            piece = np.repeat(np.arange(idx.size), lens)
             tot = int(lens.sum())
             within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
-            feed8[piece, within] = flat[poff[lo:hi][piece] + within]
+            feed8[piece, within] = flat[poff[idx][piece] + within]
             feed = feed8.view(">u4").astype(np.uint32)
             bc = np.zeros(b, np.int32)
-            bc[: hi - lo] = counts[lo:hi]
+            bc[: idx.size] = counts[idx]
             hrw = np.zeros(b, bool)
-            hrw[: hi - lo] = (flags[lo:hi] & 1).astype(bool)
+            hrw[: idx.size] = (flags[idx] & 1).astype(bool)
             rrw = np.zeros(b, bool)
-            rrw[: hi - lo] = (flags[lo:hi] & 2).astype(bool)
+            rrw[: idx.size] = (flags[idx] & 2).astype(bool)
             chars, ends = decode_segments(
                 jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
                 jnp.asarray(rrw), thresh, offs, masks, offset=offset,
             )
-            out_lens = np.minimum(
-                np.full(b, SEG, np.int64),
-                np.maximum(
-                    orig_len - SEG * (lo + np.arange(b, dtype=np.int64)), 0
-                ),
+            out_lens = np.zeros(b, np.int64)
+            out_lens[: idx.size] = all_out_lens[idx]
+            blob = expand_records(
+                np.asarray(chars), np.asarray(ends), out_lens
             )
-            parts.append(
-                expand_records(np.asarray(chars), np.asarray(ends), out_lens)
-            )
+            starts = np.concatenate([[0], np.cumsum(out_lens)])
+            for j, seg_i in enumerate(idx.tolist()):
+                parts[seg_i] = blob[starts[j] : starts[j + 1]]
         return b"".join(parts)[:orig_len]

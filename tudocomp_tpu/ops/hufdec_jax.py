@@ -63,6 +63,27 @@ DEC_STEPS = FEED_STEPS + 3   # + drain steps (buffer <= 63 bits)
 _I32 = jnp.int32
 _BIG = jnp.int32(0x7FFFFFFF)
 
+#: static scan-length buckets for payload-proportional decode: a batch
+#: of segments runs the shortest bucket that fits its largest payload
+#: (3 shapes -> 3 cached compiles; decode cost is linear in steps)
+S_BUCKETS = (195, 323, DEC_STEPS)
+
+
+def needed_steps(pbytes, counts):
+    """Minimal scan steps per segment: feed words + 3 drain steps, and
+    enough slots for every symbol (steps * D >= count)."""
+    pb = np.asarray(pbytes, np.int64)
+    cn = np.asarray(counts, np.int64)
+    return np.maximum(-(-pb // 4) + 3, -(-cn // D))
+
+
+def snap_steps(need: int) -> int:
+    """Smallest static bucket >= need."""
+    for s in S_BUCKETS:
+        if need <= s:
+            return s
+    return DEC_STEPS
+
 
 def decoder_tables(table):
     """Precompute scan-side arrays from a ``HuffmanTable``.

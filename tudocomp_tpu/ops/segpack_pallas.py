@@ -311,16 +311,26 @@ def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("offset", "interpret"))
 def rle_pack_segments(data, lengths, *, offset: int = 0,
                       interpret: bool | None = None):
     """Fused per-segment RLE: ``data u8[NC, 2048]`` (NC % 8 == 0) ->
     ``(words u32[NC, RLE_WT], rle_bytes i32[NC])``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    nc = data.shape[0]
+    return _rle_pack_jit(
+        data, lengths, offset=offset, interpret=interpret,
+        g=_group(nc, interpret),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offset", "interpret", "g")
+)
+def _rle_pack_jit(data, lengths, *, offset: int, interpret: bool,
+                  g: int):
     nc, n = data.shape
-    assert n == SEG_BYTES and nc % G == 0
-    g = _group(nc, interpret)
+    assert n == SEG_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * RLE_ROWS, LANES)
     kernel = functools.partial(_rle_kernel, offset=offset, wt=RLE_WT, g=g)
     words, bits = pl.pallas_call(
@@ -350,7 +360,6 @@ def rle_pack_segments(data, lengths, *, offset: int = 0,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def huffman_pack_segments(data, counts, sym_code, sym_len, *,
                           interpret: bool | None = None):
     """Fused per-segment Huffman lookup + pack: ``data u8[NC, 3072]``
@@ -358,9 +367,18 @@ def huffman_pack_segments(data, counts, sym_code, sym_len, *,
     ``(words u32[NC, HUF_WT], bits i32[NC])``."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    nc = data.shape[0]
+    return _huffman_pack_jit(
+        data, counts, sym_code, sym_len, interpret=interpret,
+        g=_group(nc, interpret),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "g"))
+def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
+                      interpret: bool, g: int):
     nc, n = data.shape
-    assert n == CAP_BYTES and nc % G == 0
-    g = _group(nc, interpret)
+    assert n == CAP_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * HUF_ROWS, LANES)
     code = sym_code.astype(jnp.uint32)
     table = jnp.stack(
