@@ -2186,3 +2186,144 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
 }
 
 }  // extern "C"
+
+// ---- SA-IS linear-time suffix array ---------------------------------------
+// From-scratch implementation of the induced-sorting algorithm (Nong,
+// Zhang & Chan, "Two Efficient Algorithms for Linear Time Suffix Array
+// Construction", 2009). Replaces the O(n log n) radix prefix-doubling
+// construction as the default tdc_suffix_array backend (same output:
+// the suffix array of a byte string is unique). The divsufsort port the
+// reference vendors (util/divsufsort/) fills the same role there.
+
+namespace tdc_sais {
+
+static inline bool is_lms(const uint8_t* t, int64_t i) {
+    return i > 0 && t[i] && !t[i - 1];
+}
+
+// s: values in [0, K); s[n-1] is the unique smallest symbol (sentinel).
+static void sais(const int64_t* s, int64_t* sa, int64_t n, int64_t K,
+                 std::vector<int64_t>& work) {
+    std::vector<uint8_t> t(static_cast<size_t>(n), uint8_t(0));
+    t[size_t(n - 1)] = 1;
+    for (int64_t i = n - 2; i >= 0; i--)
+        t[size_t(i)] = s[i] < s[i + 1]
+            || (s[i] == s[i + 1] && t[size_t(i + 1)]);
+    std::vector<int64_t> bkt(size_t(K) + 1);
+    auto buckets = [&](bool ends) {
+        std::fill(bkt.begin(), bkt.end(), 0);
+        for (int64_t i = 0; i < n; i++) bkt[size_t(s[i]) + 1]++;
+        for (size_t i = 1; i < bkt.size(); i++) bkt[i] += bkt[i - 1];
+        if (!ends) return;           // bkt[c] = start of bucket c
+        // ends: bkt[c] = one past end of bucket c (shift left by one)
+        for (size_t i = 0; i + 1 < bkt.size(); i++) bkt[i] = bkt[i + 1];
+    };
+    auto induce = [&]() {
+        // L-type left-to-right from bucket starts
+        buckets(false);
+        std::vector<int64_t> head(bkt.begin(), bkt.end());
+        for (int64_t i = 0; i < n; i++) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && !t[size_t(j)])
+                sa[head[size_t(s[j])]++] = j;
+        }
+        // S-type right-to-left from bucket ends
+        buckets(true);
+        std::vector<int64_t> tail(bkt.begin(), bkt.end());
+        for (int64_t i = n - 1; i >= 0; i--) {
+            int64_t j = sa[i] - 1;
+            if (sa[i] > 0 && t[size_t(j)])
+                sa[--tail[size_t(s[j])]] = j;
+        }
+    };
+    // 1) place LMS suffixes at bucket ends (arbitrary order), induce
+    std::fill(sa, sa + n, int64_t(-1));
+    buckets(true);
+    {
+        std::vector<int64_t> tail(bkt.begin(), bkt.end());
+        for (int64_t i = 1; i < n; i++)
+            if (is_lms(t.data(), i)) sa[--tail[size_t(s[i])]] = i;
+    }
+    induce();
+    // 2) extract sorted LMS substrings, assign names
+    int64_t n1 = 0;
+    for (int64_t i = 0; i < n; i++)
+        if (is_lms(t.data(), sa[i])) sa[n1++] = sa[i];
+    std::fill(sa + n1, sa + n, int64_t(-1));
+    int64_t name = 0, prev = -1;
+    for (int64_t i = 0; i < n1; i++) {
+        int64_t pos = sa[i];
+        bool diff = false;
+        if (prev < 0) {
+            diff = true;
+        } else {
+            for (int64_t d = 0;; d++) {
+                if (pos + d >= n || prev + d >= n
+                    || s[pos + d] != s[prev + d]
+                    || t[size_t(pos + d)] != t[size_t(prev + d)]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (is_lms(t.data(), pos + d)
+                              || is_lms(t.data(), prev + d))) {
+                    diff = !(is_lms(t.data(), pos + d)
+                             && is_lms(t.data(), prev + d));
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        sa[n1 + pos / 2] = name - 1;
+    }
+    // compact names into s1 (order of appearance in the text)
+    int64_t* s1 = sa + n - n1;
+    for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
+        if (sa[i] >= 0) sa[j--] = sa[i];
+    // 3) sort the LMS order: recurse if names repeat
+    if (name < n1) {
+        sais(s1, sa, n1, name, work);
+    } else {
+        for (int64_t i = 0; i < n1; i++) sa[s1[i]] = i;
+    }
+    // map s1 indices back to text positions
+    {
+        std::vector<int64_t>& lms = work;
+        lms.clear();
+        lms.reserve(size_t(n1));
+        for (int64_t i = 1; i < n; i++)
+            if (is_lms(t.data(), i)) lms.push_back(i);
+        for (int64_t i = 0; i < n1; i++) sa[i] = lms[size_t(sa[i])];
+    }
+    // 4) final induce from the sorted LMS suffixes
+    std::fill(sa + n1, sa + n, int64_t(-1));
+    buckets(true);
+    {
+        std::vector<int64_t> tail(bkt.begin(), bkt.end());
+        for (int64_t i = n1 - 1; i >= 0; i--) {
+            int64_t j = sa[i];
+            sa[i] = -1;
+            sa[--tail[size_t(s[j])]] = j;
+        }
+    }
+    induce();
+}
+
+}  // namespace tdc_sais
+
+extern "C" {
+
+void tdc_suffix_array_sais(const uint8_t* text, int64_t n, int64_t* sa) {
+    if (n <= 0) return;
+    if (n == 1) { sa[0] = 0; return; }
+    // sentinel formulation: s = text+1 with a trailing unique 0
+    std::vector<int64_t> s(size_t(n) + 1);
+    for (int64_t i = 0; i < n; i++) s[size_t(i)] = int64_t(text[i]) + 1;
+    s[size_t(n)] = 0;
+    std::vector<int64_t> sa1(size_t(n) + 1);
+    std::vector<int64_t> work;
+    tdc_sais::sais(s.data(), sa1.data(), n + 1, 257, work);
+    // drop the sentinel suffix (always first)
+    for (int64_t i = 0; i < n; i++) sa[i] = sa1[size_t(i) + 1];
+}
+
+}  // extern "C"

@@ -40,3 +40,28 @@ def test_device_sa_isa_bwt(case):
     np.testing.assert_array_equal(isa_d, inverse_suffix_array(sa_h))
     bwt_d = np.asarray(bwt_device(jnp.asarray(arr), jnp.asarray(isa_d)))
     np.testing.assert_array_equal(bwt_d, arr[(sa_h - 1) % arr.size])
+
+
+def test_sais_matches_radix():
+    """The linear-time SA-IS construction produces the identical suffix
+    array as the radix prefix-doubling backend on adversarial inputs."""
+    import numpy as np
+    import pytest
+
+    from tudocomp_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(17)
+    cases = [
+        b"", b"a", b"banana\x00", b"aaaaaaaaaa", b"ab" * 700,
+        bytes(rng.integers(0, 256, 4000, dtype=np.uint8)),
+        bytes(rng.integers(0, 2, 6000, dtype=np.uint8)),
+        rng.choice(np.frombuffer(b"acgt", np.uint8), 5000)
+        .astype(np.uint8).tobytes() + b"\x00",
+    ]
+    for d in cases:
+        t = np.frombuffer(d, np.uint8)
+        a = native.suffix_array(t, algo="sais")
+        b = native.suffix_array(t, algo="radix")
+        assert np.array_equal(a, b), len(d)

@@ -126,6 +126,7 @@ def _load():
         lib.tdc_lcpcomp_heap.restype = ctypes.c_int64
         lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
+        lib.tdc_suffix_array_sais.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.tdc_suffix_tree.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, i64p, u8p, i64p, i64p,
         ]
@@ -431,14 +432,19 @@ def plcp(text: np.ndarray, phi: np.ndarray):
     out = np.empty(t.size, np.int64)
     lib.tdc_plcp(t, ph, t.size, out)
     return out
-def suffix_array(text: np.ndarray):
-    """Prefix-doubling radix SA; None if native unavailable."""
+def suffix_array(text: np.ndarray, algo: str = "sais"):
+    """Suffix array; None if native unavailable. ``sais`` (default) is
+    the linear-time induced-sorting construction; ``radix`` the
+    O(n log n) prefix-doubling one (same output — the SA is unique)."""
     lib = _load()
     if lib is None:
         return None
     t = np.ascontiguousarray(text, np.uint8)
     out = np.empty(t.size, np.int64)
-    lib.tdc_suffix_array(t, t.size, out)
+    if algo == "sais":
+        lib.tdc_suffix_array_sais(t, t.size, out)
+    else:
+        lib.tdc_suffix_array(t, t.size, out)
     return out
 _EMPTY_LUT = np.zeros(1, np.uint8)
 

@@ -42,15 +42,17 @@ G = 8  # base segments-per-grid-step granularity (callers pad nc to G)
 
 
 def _group(nc: int, interpret: bool) -> int:
-    """Segments per grid step: 16 on real TPU when the batch allows
-    (half the grid steps; VMEM still fits), the base G elsewhere
-    (interpreter cost scales with per-step work)."""
+    """Segments per grid step (TDC_PACK_GROUP tuning knob). Measured on
+    the v5e: g=16 is bit-identical but no faster than g=8 (53.0 vs
+    53.4 ms rle, 70.8 vs 69.6 ms huffman per 64 MiB) — the per-row
+    placement matmuls dominate, not grid-step overhead — so the base
+    granularity stays the default."""
     import os
 
-    want = int(os.environ.get("TDC_PACK_GROUP", "16"))
+    want = int(os.environ.get("TDC_PACK_GROUP", str(G)))
     if interpret:
         return G
-    for g in (want, 16, 8):
+    for g in (want, G):
         if g % G == 0 and nc % g == 0 and g <= nc:
             return g
     return G
