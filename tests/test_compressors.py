@@ -156,3 +156,81 @@ def test_repair_bulk_and_native_decode_identity():
                 native._tried = False
                 native._lib = None
             assert out_nat == out_py == data, (spec, len(data))
+
+
+def test_flatten_reaches_sequential_fixed_point():
+    """The vectorized FactorBuffer.flatten must land on the same fixed
+    point as the sequential rewrite even for long 'blocked' chains
+    where a containment failure at an intermediate factor prevents
+    pointer doubling (each round advances only one chain level)."""
+    import numpy as np
+
+    from tudocomp_tpu.compressors.lzss import FactorBuffer
+
+    # chain of k factors: factor i at pos p_i with src inside factor
+    # i-1 at offset 2 and len shrinking by 1 -> full containment holds
+    # only one level at a time for the tiny trailing factor
+    k = 200
+    base = 10
+    pos, src, lng = [], [], []
+    cur = base
+    for i in range(k):
+        ln = k + 4 - i  # shrinking lengths
+        pos.append(cur)
+        lng.append(ln)
+        src.append(0 if i == 0 else pos[i - 1] + 2)
+        cur += ln + 1
+    # tiny fully-contained factor pointing at the chain's deep end
+    pos.append(cur)
+    lng.append(2)
+    src.append(pos[-2] + 1)
+    fb = FactorBuffer()
+    fb.extend_arrays(
+        np.array(pos, np.int64), np.array(src, np.int64),
+        np.array(lng, np.int64),
+    )
+    fb.sort()
+    fb.flatten()
+    got_src = fb.arrays()[1].copy()
+
+    # sequential reference (the pre-vectorization algorithm)
+    p = np.array(pos, np.int64)
+    l = np.array(lng, np.int64)
+    end = int(p[-1] + l[-1])
+    fmap = np.zeros(end, np.int64)
+    for i in range(p.size):
+        fmap[p[i] : p[i] + l[i]] = i + 1
+    ref_src = list(src)
+    for fi in range(p.size):
+        s = ref_src[fi]
+        while s < end and fmap[s]:
+            j = fmap[s] - 1
+            d = s - p[j]
+            if d + l[fi] <= l[j]:
+                s = ref_src[j] + d
+            else:
+                break
+        ref_src[fi] = s
+    assert got_src.tolist() == ref_src, (
+        got_src[-3:], ref_src[-3:]
+    )
+
+
+def test_hashmap_double_prober_non_pow2_terminates():
+    """Double hashing on prime/direct table sizes must not loop
+    forever when the stride hits a cycle (HashMap falls back to a
+    linear sweep after m probes)."""
+    from tudocomp_tpu.registry import create_algo
+    from tudocomp_tpu.utils.hash import (
+        DoubleHashingProber, HashMap, NoopHasher, SizeManagerPrime,
+    )
+
+    m = HashMap(
+        hasher=create_algo(NoopHasher),
+        manager=create_algo(SizeManagerPrime),
+        prober=create_algo(DoubleHashingProber),
+    )
+    for k in range(40):  # collides heavily mod 17 before growth
+        m.insert(k * 17 + 15, k)
+    for k in range(40):
+        assert m.get(k * 17 + 15) == k

@@ -167,31 +167,41 @@ class RollingTrie(HashTrie):
 
         self._kr = KarpRabinHash
         self.fp: list = []  # node id -> KarpRabinHash of its string
-        self.table2: dict[tuple[int, int], int] = {}
+        self.in_edge: list[tuple[int, int]] = []  # id -> (parent, char)
+        self.table2: dict[tuple[int, int], int] = {}  # collision fallback
 
     def clear(self) -> None:
         super().clear()
         self.fp.clear()
+        self.in_edge.clear()
         self.table2.clear()
 
     def add_rootnode(self, value: int) -> int:
         # per-root fingerprint seed (LZ78: one empty root, seed 0;
         # LZW: 256 one-char roots, seeded by the char)
         self.fp.append(self._kr(value))
+        self.in_edge.append((-1, -1))
         return super().add_rootnode(value)
 
     def find_or_insert(self, node: int, char: int):
-        # rolling extension of the parent's fingerprint
+        # primary lookup by the rolled fingerprint; the stored
+        # (parent, char) edge verifies the hit, so a fingerprint
+        # collision falls back to the exact table and the parse stays
+        # canonical (the reference trusts the fingerprint outright)
         kr = self.fp[node].extended(char)
+        cand = self.table.get(kr.key())
+        if cand is not None and self.in_edge[cand] == (node, char):
+            return cand, False
         child = self.table2.get((node, char))
-        if child is None:
-            child = self.size
-            self.table2[(node, char)] = child
-            self.table.insert(kr.key() ^ (node << 8 | char), child)
-            self.fp.append(kr)
-            self.size += 1
-            return child, True
-        return child, False
+        if child is not None:
+            return child, False
+        child = self.size
+        self.table.insert(kr.key(), child)
+        self.table2[(node, char)] = child
+        self.fp.append(kr)
+        self.in_edge.append((node, char))
+        self.size += 1
+        return child, True
 
 
 class RollingTriePlus(RollingTrie):

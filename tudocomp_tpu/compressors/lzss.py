@@ -147,7 +147,12 @@ class FactorBuffer:
             np.arange(pos.size) + 1, lng
         )
         src = src.copy()
-        for _ in range(max(2, int(np.ceil(np.log2(pos.size + 2))) * 4)):
+        # iterate to the sequential fixed point: blocked intermediate
+        # factors (containment fails at some chain level) prevent true
+        # pointer doubling, so rounds are capped at the factor count —
+        # the scalar algorithm's own worst-case chain length. Converges
+        # in a handful of rounds on real factorizations.
+        for _ in range(pos.size + 2):
             inside = src < end
             fi = np.where(inside, fmap[np.minimum(src, end - 1)], 0)
             hit = fi > 0

@@ -169,19 +169,22 @@ class LinearProber(Algorithm):
 
 
 class QuadraticProber(Algorithm):
-    """Triangular-number probing — visits every slot of a pow2 table."""
+    """Quadratic probing ``base + i*i`` (reference ``util/Hash.hpp``
+    QuadraticProber). Not cycle-free on every table size — HashMap
+    degrades to a linear sweep after m failed probes."""
 
     @classmethod
     def meta(cls):
         return Meta("hash_prober", "quadratic", "Quadratic probing")
 
     def step(self, base: int, i: int, m: int) -> int:
-        return (base + (i * (i + 1)) // 2) % m
+        return (base + i * i) % m
 
 
 class GaussProber(Algorithm):
-    """Gauss-sum probing: step i advances by i (triangular positions,
-    reference ``util/Hash.hpp`` GaussProber)."""
+    """Gauss-sum probing ``base + i(i+1)/2`` (reference
+    ``util/Hash.hpp`` GaussProber advances by i each probe) — visits
+    every slot of a pow2 table."""
 
     @classmethod
     def meta(cls):
@@ -192,16 +195,17 @@ class GaussProber(Algorithm):
 
 
 class DoubleHashingProber(Algorithm):
-    """Double hashing: stride ``(1 + h mod (m-1)) | 1`` (reference
-    ``util/Hash.hpp`` _DoubleHashingProber). Odd strides walk all of a
-    pow2 table."""
+    """Double hashing: stride ``1 + (h mod (m-1))`` (reference
+    ``util/Hash.hpp`` _DoubleHashingProber) — never 0 mod m, so the
+    sequence always moves; pow2 tables OR the HashMap's linear-sweep
+    fallback guarantee termination."""
 
     @classmethod
     def meta(cls):
         return Meta("hash_prober", "double", "Double hashing")
 
     def step(self, base: int, i: int, m: int) -> int:
-        stride = (1 + (base % max(m - 1, 1))) | 1
+        stride = 1 + (base % max(m - 1, 1))
         return (base + i * stride) % m
 
 
@@ -272,12 +276,21 @@ class HashMap:
     def _slot(self, key: int) -> int:
         base = self.manager.index(self.hasher.hash(key), self.m)
         i = 0
-        while True:
+        while i <= self.m:
             s = self.prober.step(base, i, self.m)
             k = self.keys[s]
             if k == self.EMPTY or k == key:
                 return s
             i += 1
+        # probe sequence cycled without finding a free slot (possible
+        # for quadratic/double probing on non-pow2 sizes): the table is
+        # below its load factor, so a linear sweep always terminates
+        s = base
+        while True:
+            s = (s + 1) % self.m
+            k = self.keys[s]
+            if k == self.EMPTY or k == key:
+                return s
 
     def _rehash(self) -> None:
         old_k, old_v = self.keys, self.values

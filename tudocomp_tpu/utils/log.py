@@ -16,6 +16,7 @@ import time
 
 _ROOT = logging.getLogger("tudocomp_tpu")
 _VERBOSITY = 0
+_FILE_DIR: str | None = None  # logdir a FileHandler was attached for
 
 
 def get_logger(area: str) -> logging.Logger:
@@ -30,7 +31,7 @@ def vlog(level: int) -> bool:
 def configure(loglevel: str | None = None, logdir: str | None = None,
               logverbosity: int | None = None) -> None:
     """Apply the CLI/env logging options (idempotent)."""
-    global _VERBOSITY
+    global _VERBOSITY, _FILE_DIR
     loglevel = loglevel or os.environ.get("TDC_LOGLEVEL")
     logdir = logdir or os.environ.get("TDC_LOGDIR")
     if logverbosity is None:
@@ -45,7 +46,8 @@ def configure(loglevel: str | None = None, logdir: str | None = None,
                 datefmt="%H:%M:%S",
             ))
             _ROOT.addHandler(h)
-    if logdir:
+    if logdir and logdir != _FILE_DIR:  # one FileHandler per logdir
+        _FILE_DIR = logdir
         os.makedirs(logdir, exist_ok=True)
         path = os.path.join(
             logdir, f"tdc.{time.strftime('%Y%m%d-%H%M%S')}.log"
