@@ -95,3 +95,33 @@ def test_blocks_cli_size_parser():
     assert parse_size("16M") == 16 << 20
     assert parse_size("64Ki") == 64 << 10
     assert parse_size("1G") == 1 << 30
+
+
+def test_blocks_workers_parallel_identical():
+    """workers>1 compresses/decompresses blocks concurrently and
+    produces the byte-identical container and output."""
+    import io
+
+    import numpy as np
+
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(8)
+    data = (
+        rng.choice(np.frombuffer(b"compress me! ", np.uint8), 300000)
+        .astype(np.uint8).tobytes()
+    )
+    serial = REGISTRY.instantiate(
+        "blocks(inner=lzss_lcp(coder=bit),b=65536,workers=1)"
+    )
+    par = REGISTRY.instantiate(
+        "blocks(inner=lzss_lcp(coder=bit),b=65536,workers=4)"
+    )
+    c1 = serial.compress(data)
+    c2 = par.compress(data)
+    assert c1 == c2
+    assert par.decompress(c2) == data
+    # streaming parallel decode matches too
+    out = io.BytesIO()
+    par.decompress_stream(io.BytesIO(c2), out)
+    assert out.getvalue() == data

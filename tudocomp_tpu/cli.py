@@ -35,10 +35,12 @@ from tudocomp_tpu.stats import StatPhase
 MAX_HEADER = 1024  # sanity cap while scanning for '%' (ref :293-307)
 
 
-def _instantiate(algostring: str, blocks: int | None = None):
+def _instantiate(algostring: str, blocks: int | None = None,
+                 threads: int = 1):
     """Instantiate, folding ``a:b:c`` chain sugar into nested chain()
     (reference ``tudocomp_driver_tests.cpp:211-233``). ``blocks`` wraps
-    the whole chain in the constant-memory block container."""
+    the whole chain in the constant-memory block container; ``threads``
+    compresses that many blocks concurrently."""
     from tudocomp_tpu.algostr import Node, parse_chain
 
     nodes = parse_chain(algostring)
@@ -46,7 +48,10 @@ def _instantiate(algostring: str, blocks: int | None = None):
     for nxt in nodes[1:]:
         node = Node("chain", [("first", node), ("second", nxt)])
     if blocks is not None:
-        node = Node("blocks", [("inner", node), ("b", str(blocks))])
+        node = Node("blocks", [
+            ("inner", node), ("b", str(blocks)),
+            ("workers", str(max(1, threads))),
+        ])
     return REGISTRY.instantiate(node)
 
 
@@ -160,7 +165,8 @@ def _stream_main(args, p) -> int | None:
         return None
     if not args.algorithm:
         p.error("-a ALGORITHM required for compression")
-    comp = _instantiate(args.algorithm, blocks=parse_size(args.blocks))
+    comp = _instantiate(args.algorithm, blocks=parse_size(args.blocks),
+                        threads=args.threads)
     header = b"" if args.raw else comp.env.id_string().encode() + b"%"
     if args.usestdout:
         with open(args.input, "rb") as fin, root:
@@ -229,6 +235,9 @@ def main(argv=None) -> int:
                    help="write a per-run log file into this directory")
     p.add_argument("--logverbosity", type=int, default=None,
                    help="VLOG verbosity gate (glog-style)")
+    p.add_argument("--threads", type=int, default=1,
+                   help="with --blocks: compress/decompress this many "
+                        "blocks concurrently (host threads)")
     p.add_argument(
         "--blocks", metavar="SIZE",
         help="compress block-wise (constant memory, restartable); "

@@ -19,7 +19,11 @@ reference lacks:
   the first missing block.
 - **block parallelism**: frames decode independently, so a multi-chip
   or multi-host job can scatter blocks without coordination (the same
-  layout ``parallel/pipeline.py`` uses for the flagship codec).
+  layout ``parallel/pipeline.py`` uses for the flagship codec), and
+  ``workers=N`` runs N blocks concurrently on host threads with
+  frames still written in order — peak memory becomes O(N x block
+  size). Speedup is bounded by the inner compressor's GIL-releasing
+  (native-kernel) fraction.
 
 Container: ``TBK1`` magic, vbyte(block_size), then per block
 vbyte(raw_len) vbyte(payload_len) payload. No end marker — EOF ends the
@@ -73,6 +77,7 @@ class BlocksCompressor(Compressor):
         )
         m.option_submeta("inner", "compressor")
         m.option_dynamic("b", DEFAULT_BLOCK)
+        m.option_dynamic("workers", 1)
         return m
 
     # -- inner plumbing ------------------------------------------------------
@@ -145,7 +150,41 @@ class BlocksCompressor(Compressor):
                 self._write_header(dst, bs)
         else:
             self._write_header(dst, bs)
+        workers = max(1, self.env.option("workers").as_int())
         written = 0
+        if workers > 1:
+            # bounded pipeline: <= workers+1 blocks in flight, frames
+            # written in order (StatPhase is process-global, so the
+            # parallel section is one phase rather than one per block)
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with StatPhase(f"blocks x{workers}"), \
+                    ThreadPoolExecutor(workers) as ex:
+                pending: deque = deque()
+                eof = False
+                while True:
+                    while not eof and len(pending) <= workers:
+                        raw = src.read(bs)
+                        if not raw:
+                            eof = True
+                            break
+                        pending.append(
+                            (len(raw),
+                             ex.submit(self._compress_block, raw))
+                        )
+                    if not pending:
+                        break
+                    raw_len, fut = pending.popleft()
+                    payload = fut.result()
+                    frame = bytearray()
+                    write_vbyte(frame, raw_len)
+                    write_vbyte(frame, len(payload))
+                    dst.write(bytes(frame))
+                    dst.write(payload)
+                    dst.flush()  # frame boundary = restart point
+                    written += 1
+            return written
         while True:
             raw = src.read(bs)
             if not raw:
@@ -167,17 +206,54 @@ class BlocksCompressor(Compressor):
         if magic != MAGIC:
             raise ValueError("blocks: bad container magic")
         _read_vbyte_stream(src)  # block size (informational on decode)
+        workers = max(1, self.env.option("workers").as_int())
         n = 0
-        while True:
-            raw_len = _read_vbyte_stream(src)
-            if raw_len is None:
-                break
-            payload_len = _read_vbyte_stream(src)
-            if payload_len is None:
-                raise EOFError("torn frame in block container")
-            payload = src.read(payload_len)
-            if len(payload) != payload_len:
-                raise EOFError("torn frame in block container")
+
+        def frames():
+            while True:
+                raw_len = _read_vbyte_stream(src)
+                if raw_len is None:
+                    return
+                payload_len = _read_vbyte_stream(src)
+                if payload_len is None:
+                    raise EOFError("torn frame in block container")
+                payload = src.read(payload_len)
+                if len(payload) != payload_len:
+                    raise EOFError("torn frame in block container")
+                yield raw_len, payload
+
+        if workers > 1:
+            from collections import deque
+            from concurrent.futures import ThreadPoolExecutor
+
+            with StatPhase(f"blocks x{workers}"), \
+                    ThreadPoolExecutor(workers) as ex:
+                pending: deque = deque()
+                it = frames()
+                eof = False
+                while True:
+                    while not eof and len(pending) <= workers:
+                        got = next(it, None)
+                        if got is None:
+                            eof = True
+                            break
+                        pending.append(
+                            (got[0],
+                             ex.submit(self._decompress_block, got[1]))
+                        )
+                    if not pending:
+                        break
+                    raw_len, fut = pending.popleft()
+                    raw = fut.result()
+                    if len(raw) != raw_len:
+                        raise ValueError(
+                            f"blocks: frame {n} decoded {len(raw)} "
+                            f"bytes, expected {raw_len}"
+                        )
+                    dst.write(raw)
+                    n += 1
+            return n
+        for raw_len, payload in frames():
             with StatPhase(f"block {n}"):
                 raw = self._decompress_block(payload)
             if len(raw) != raw_len:
