@@ -123,3 +123,46 @@ def test_logging_flags(tmp_path):
         h.flush()
     files = list((tmp_path / "logs").iterdir())
     assert files and "hello from the test" in files[0].read_text()
+
+
+def test_cli_subprocess_roundtrip(tmp_path):
+    """True binary-level driver test (reference
+    ``tudocomp_driver_tests.cpp`` runs the tdc binary): compress and
+    decompress through actual subprocesses, plus --list and --stats."""
+    import json
+    import subprocess
+    import sys
+
+    src = tmp_path / "in.txt"
+    data = b"the quick brown fox " * 500 + b"\xff\x00binary\x01"
+    src.write_bytes(data)
+    comp = tmp_path / "out.tdc"
+    stats = tmp_path / "stats.json"
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin"}
+    import os
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    r = subprocess.run(
+        [sys.executable, "-m", "tudocomp_tpu.cli", str(src),
+         "-a", "bwt:rle:mtf:encode(coder=huff)", "-o", str(comp),
+         "-f", "--stats", str(stats)],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    out = tmp_path / "out.txt"
+    r = subprocess.run(
+        [sys.executable, "-m", "tudocomp_tpu.cli", str(comp), "-d",
+         "-o", str(out), "-f"],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr.decode()
+    assert out.read_bytes() == data
+    # --stats wrote a phase tree the charter can consume
+    if stats.exists():
+        tree = json.loads(stats.read_text())
+        assert "timeDelta" in tree
+    r = subprocess.run(
+        [sys.executable, "-m", "tudocomp_tpu.cli", "--list"],
+        capture_output=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0 and b"lcpcomp" in r.stdout

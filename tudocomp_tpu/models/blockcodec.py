@@ -62,8 +62,7 @@ from tudocomp_tpu.utils.vbyte import read_vbyte, write_vbyte
 MAGIC = b"TBC2"
 
 #: payload words kept per segment: bits <= 8 * count <= 16384 -> 512
-#: words (+2 slack)
-PAYLOAD_WORDS = 520
+PAYLOAD_WORDS = 512
 
 #: segments per device batch (16 MiB of output per batch)
 BATCH_LANES = 8192
@@ -94,7 +93,11 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
     words, rle_lens = rle_pack_segments(
         seg_rows, seg_lens, offset=offset
     )
-    rle_rows = jax.vmap(lambda w: bytes_from_words(w, SEG_CAP))(words)
+    # only the first SEG_CAP bytes (SEG_CAP/4 words) of the RLE stream
+    # can survive: longer streams lose to the rle_raw escape below
+    rle_rows = jax.vmap(
+        lambda w: bytes_from_words(w[: SEG_CAP // 4], SEG_CAP)
+    )(words)
     rle_raw = rle_lens > seg_lens  # RLE would expand: keep input bytes
     padded_in = jnp.pad(seg_rows, ((0, 0), (0, SEG_CAP - SEG)))
     rows = jnp.where(rle_raw[:, None], padded_in, rle_rows)

@@ -55,7 +55,8 @@ import numpy as np
 from jax import lax
 
 SEG = 2048          # output bytes per segment
-SEG_CAP = 3072      # max RLE bytes per segment (1.5x worst case)
+SEG_CAP = 2048      # max RLE bytes per segment (the rle_raw
+                    # escape clamps counts to <= SEG)
 D = 11              # decode slots per scan step (11 * min len 3 >= 32)
 FEED_STEPS = SEG * 8 // 32   # 512: max payload words per segment
 DEC_STEPS = FEED_STEPS + 3   # + drain steps (buffer <= 63 bits)

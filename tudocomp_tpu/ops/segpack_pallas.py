@@ -62,9 +62,12 @@ SEG_BYTES = 2048          # input bytes per segment (RLE stage)
 RLE_ROWS = SEG_BYTES // LANES          # 16
 RLE_WT = 1152             # 768 max stream words + 384 window slack
 
-CAP_BYTES = 3072          # RLE bytes per segment (huffman stage input)
-HUF_ROWS = CAP_BYTES // LANES          # 24
-HUF_WT = 1920             # 1536 max stream words + 384 window slack
+# Huffman-stage input cap: the rle_raw escape clamps every segment's
+# symbol count to <= SEG_BYTES (models/blockcodec.py rle_stage), so the
+# huffman kernel never sees more than 2048 live symbols per segment.
+CAP_BYTES = 2048          # RLE bytes per segment (huffman stage input)
+HUF_ROWS = CAP_BYTES // LANES          # 16
+HUF_WT = 1408             # 1024 max stream words (16b codes) + 384 slack
 
 WINDOW = 3 * LANES
 
@@ -364,7 +367,7 @@ def _rle_pack_jit(data, lengths, *, offset: int, interpret: bool,
 
 def huffman_pack_segments(data, counts, sym_code, sym_len, *,
                           interpret: bool | None = None):
-    """Fused per-segment Huffman lookup + pack: ``data u8[NC, 3072]``
+    """Fused per-segment Huffman lookup + pack: ``data u8[NC, 2048]``
     (NC % 8 == 0), codes <= 16 bits ->
     ``(words u32[NC, HUF_WT], bits i32[NC])``."""
     if interpret is None:
