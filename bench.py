@@ -68,8 +68,7 @@ def main() -> None:
         BlockCodec, huff_stage, rle_stage,
     )
     from tudocomp_tpu.ops.hufdec_jax import (
-        SEG, decode_segments, decoder_tables, expand_records,
-        needed_steps, snap_steps,
+        SEG, decoder_tables, expand_records, needed_steps,
     )
 
     codec = BlockCodec()
@@ -130,7 +129,14 @@ def main() -> None:
         np.concatenate([np.asarray(o[1]) for o in out]),
     )
 
-    # ---- decode on TPU: lockstep scan, payload-bucketed batches ---------
+    # ---- decode on TPU: Pallas in-kernel step loop (ops/
+    # hufdec_pallas.py), payload-bucketed batches. The XLA scan decoder
+    # (ops/hufdec_jax.py) remains the CPU/spec path; per-step dispatch
+    # overhead caps it ~2x lower on this chip.
+    from tudocomp_tpu.ops.hufdec_pallas import (
+        decode_segments_pallas, snap_steps_pallas, unpack_records,
+    )
+
     (tbl, offset, orig_len, counts, flags, poff,
      pbytes) = codec._parse(container)
     t = decoder_tables(tbl)
@@ -140,17 +146,14 @@ def main() -> None:
     flat = np.frombuffer(container, np.uint8)
     feeds = []
     nseg_total = counts.shape[0]
-    # wide decode batches: per-op overhead dominates at narrow widths;
-    # 16384 lanes measured best (0.455 GB/s vs 0.40 at 32768, where the
-    # [lanes, slots] ys arrays start to pressure HBM). Segments are
-    # sorted by payload so each batch runs the shortest static scan
-    # bucket that fits it (decode cost is linear in scan steps).
-    DEC_LANES = min(16384, -(-nseg_total // 8192) * 8192)
+    # Segments are sorted by payload so each batch runs the shortest
+    # static step bucket that fits it (decode cost is linear in steps).
+    DEC_LANES = min(32768, -(-nseg_total // 8192) * 8192)
     need = needed_steps(pbytes, counts)
     order = np.argsort(need, kind="stable")
     for lo in range(0, nseg_total, DEC_LANES):
         idx = order[lo : lo + DEC_LANES]
-        steps = snap_steps(int(need[idx].max()))
+        steps = snap_steps_pallas(int(need[idx].max()))
         feed8 = np.zeros((DEC_LANES, steps * 4), np.uint8)
         ls = np.minimum(pbytes[idx], steps * 4)
         piece = np.repeat(np.arange(idx.size), ls)
@@ -173,11 +176,13 @@ def main() -> None:
 
     def decode_device_kernels():
         outs = [
-            decode_segments(f, c, h, r, thresh, offs, masks, offset=0)
+            decode_segments_pallas(
+                f, c, h, r, thresh, offs, masks, offset=0
+            )
             for f, c, h, r in feeds
         ]
         # one dependent scalar pulled to host = honest device sync
-        np.asarray(outs[-1][1][0, -1])
+        np.asarray(outs[-1][0, -1, 0])
         return outs
 
     outs = decode_device_kernels()  # compile
@@ -185,14 +190,13 @@ def main() -> None:
     # an environment artifact; on production hosts this is PCIe-class,
     # and the np.repeat finish overlaps the next batch)
     CHK = 4096  # bounded d2h: full-container roundtrip is asserted on
-    ch0, en0 = outs[0]  # the sample above; this respot-checks at scale
+    ch0, en0 = unpack_records(np.asarray(outs[0][: CHK // 1024]))
     dec = expand_records(
-        np.asarray(ch0[:CHK]), np.asarray(en0[:CHK]),
-        np.full(CHK, SEG, np.int64),
+        ch0, en0, np.full(ch0.shape[0], SEG, np.int64),
     )
     expect = b"".join(
         data.tobytes()[s * SEG : (s + 1) * SEG]
-        for s in order[:CHK].tolist()
+        for s in order[: ch0.shape[0]].tolist()
     )
     assert dec == expect
     dtimes = []

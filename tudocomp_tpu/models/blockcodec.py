@@ -389,6 +389,17 @@ class BlockCodec:
 
     # -- device decode (TPU lockstep scan; ops/hufdec_jax.py) ----------------
 
+    @staticmethod
+    def _device_decoder() -> str:
+        """'pallas' (in-kernel step loop; TPU default) or 'scan' (XLA
+        lockstep scan; CPU/interpret default). Override: TDC_DEC_KERNEL."""
+        import os
+
+        want = os.environ.get("TDC_DEC_KERNEL")
+        if want in ("pallas", "scan"):
+            return want
+        return "pallas" if jax.default_backend() == "tpu" else "scan"
+
     def decompress_device(self, data: bytes) -> bytes:
         (table, offset, orig_len, counts, flags, poff,
          pbytes) = self._parse(data)
@@ -413,6 +424,13 @@ class BlockCodec:
         # original order
         from tudocomp_tpu.ops.hufdec_jax import needed_steps, snap_steps
 
+        kernel = self._device_decoder()
+        if kernel == "pallas":
+            from tudocomp_tpu.ops.hufdec_pallas import (
+                BLOCK, decode_segments_pallas, snap_steps_pallas,
+                unpack_records,
+            )
+
         need = needed_steps(pbytes, counts)
         order = np.argsort(need, kind="stable")
         all_out_lens = np.minimum(
@@ -424,8 +442,12 @@ class BlockCodec:
         parts: list[bytes | None] = [None] * nseg
         for lo in range(0, nseg, self.batch_lanes):
             idx = order[lo : lo + self.batch_lanes]
-            b = _bucket(idx.size)
-            steps = snap_steps(int(need[idx].max()))
+            if kernel == "pallas":
+                b = -(-_bucket(idx.size) // BLOCK) * BLOCK
+                steps = snap_steps_pallas(int(need[idx].max()))
+            else:
+                b = _bucket(idx.size)
+                steps = snap_steps(int(need[idx].max()))
             feed8 = np.zeros((b, steps * 4), np.uint8)
             lens = np.minimum(pbytes[idx], steps * 4)
             piece = np.repeat(np.arange(idx.size), lens)
@@ -439,10 +461,17 @@ class BlockCodec:
             hrw[: idx.size] = (flags[idx] & 1).astype(bool)
             rrw = np.zeros(b, bool)
             rrw[: idx.size] = (flags[idx] & 2).astype(bool)
-            chars, ends = decode_segments(
-                jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
-                jnp.asarray(rrw), thresh, offs, masks, offset=offset,
-            )
+            if kernel == "pallas":
+                packed = decode_segments_pallas(
+                    feed, bc, hrw, rrw, thresh, offs, masks,
+                    offset=offset,
+                )
+                chars, ends = unpack_records(np.asarray(packed))
+            else:
+                chars, ends = decode_segments(
+                    jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
+                    jnp.asarray(rrw), thresh, offs, masks, offset=offset,
+                )
             out_lens = np.zeros(b, np.int64)
             out_lens[: idx.size] = all_out_lens[idx]
             blob = expand_records(

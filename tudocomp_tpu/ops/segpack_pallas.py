@@ -60,16 +60,24 @@ _I32 = jnp.int32
 
 SEG_BYTES = 2048          # input bytes per segment (RLE stage)
 RLE_ROWS = SEG_BYTES // LANES          # 16
-RLE_WT = 1152             # 768 max stream words + 384 window slack
 
 # Huffman-stage input cap: the rle_raw escape clamps every segment's
 # symbol count to <= SEG_BYTES (models/blockcodec.py rle_stage), so the
 # huffman kernel never sees more than 2048 live symbols per segment.
 CAP_BYTES = 2048          # RLE bytes per segment (huffman stage input)
 HUF_ROWS = CAP_BYTES // LANES          # 16
-HUF_WT = 1408             # 1024 max stream words (16b codes) + 384 slack
 
-WINDOW = 3 * LANES
+# Placement window: 256 covers any row. A row's tokens start within
+# 127 words of its 128-word-aligned base, and a row emits at most 64
+# words: huffman = 128 symbols x <= 16 bits; RLE <= 12 bits per input
+# byte amortized (worst piece: run of 2 -> 24 bits, needs offset < 126
+# so the length-2 vbyte stays one byte) + one 32-bit straddle token.
+WINDOW = 2 * LANES
+
+# Accumulator/out widths: max stream words + one window of slack above
+# the last row's aligned base (aligned <= (max_bits >> 12) * 128).
+RLE_WT = 896              # 640 max aligned base + 256 window
+HUF_WT = 1152             # 896 max aligned base + 256 window
 
 
 def _srl(x, n):
@@ -320,6 +328,10 @@ def rle_pack_segments(data, lengths, *, offset: int = 0,
                       interpret: bool | None = None):
     """Fused per-segment RLE: ``data u8[NC, 2048]`` (NC % 8 == 0) ->
     ``(words u32[NC, RLE_WT], rle_bytes i32[NC])``."""
+    # offset >= 126 would let a run of 2 emit a 2-byte vbyte (32 bits
+    # per 2 input bytes), breaking the 12-bit/byte stream bound RLE_WT
+    # and the placement WINDOW are sized for.
+    assert 0 <= offset <= 125, offset
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     nc = data.shape[0]
