@@ -4,7 +4,10 @@ import numpy as np
 
 from tudocomp_tpu.models.blockcodec import BlockCodec
 from tudocomp_tpu.parallel.mesh import make_mesh
-from tudocomp_tpu.parallel.pipeline import compress_sharded
+from tudocomp_tpu.parallel.pipeline import (
+    compress_sharded,
+    decompress_sharded,
+)
 
 
 def _data():
@@ -25,6 +28,15 @@ def test_sharded_matches_single_device():
         sharded = compress_sharded(codec, mesh, data)
         assert sharded == single, f"sp={sp}"
     assert codec.decompress(single) == data
+
+
+def test_sharded_decode_roundtrip():
+    codec = BlockCodec()
+    data = _data()
+    comp = codec.compress(data)
+    for sp in (1, 2):
+        mesh = make_mesh(8, sp=sp)
+        assert decompress_sharded(codec, mesh, comp) == data, f"sp={sp}"
 
 
 def test_graft_entry():

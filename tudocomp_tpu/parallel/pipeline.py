@@ -83,6 +83,97 @@ def sharded_huff_stage(mesh: Mesh, rows, counts, sym_code, sym_len):
     return jax.jit(fn)(rows, counts, sym_code, sym_len)
 
 
+def sharded_decode_stage(mesh: Mesh, feed, counts, hraw, rleraw, thresh,
+                         offs, masks, *, offset: int):
+    """Lockstep segment decode sharded over the mesh (XLA scan decoder;
+    every segment is independently framed, so decode needs **zero**
+    cross-chip communication — the tables are replicated arguments)."""
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P(("dp", "sp")), P(("dp", "sp")), P(("dp", "sp")),
+            P(("dp", "sp")), P(), P(), P(),
+        ),
+        out_specs=(P(("dp", "sp")), P(("dp", "sp"))),
+        check_vma=False,  # scan carries start as replicated constants
+    )
+    def fn(feed, counts, hraw, rleraw, thresh, offs, masks):
+        from tudocomp_tpu.ops.hufdec_jax import decode_segments
+
+        return decode_segments(
+            feed, counts, hraw, rleraw, thresh, offs, masks,
+            offset=offset,
+        )
+
+    return jax.jit(fn)(feed, counts, hraw, rleraw, thresh, offs, masks)
+
+
+def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
+    """Sharded decompression of a TBC2 container (inverse of
+    :func:`compress_sharded`): per-segment payload feeds scatter over
+    the mesh, each chip decodes its segments in lockstep, and the host
+    finish (``np.repeat`` expansion) reassembles in order.
+
+    One static scan length (the largest segment's) serves the whole
+    batch here; the single-chip path's payload-proportional bucketing
+    (``ops/hufdec_jax.S_BUCKETS``) applies per shard-batch in the same
+    way when throughput matters.
+    """
+    from tudocomp_tpu.ops.hufdec_jax import (
+        SEG, decoder_tables, expand_records, needed_steps, snap_steps,
+    )
+
+    (table, offset, orig_len, counts, flags, poff,
+     pbytes) = codec._parse(data)
+    if orig_len == 0:
+        return b""
+    if table is not None:
+        t = decoder_tables(table)
+    else:
+        t = {
+            "thresh": np.zeros(16, np.int32),
+            "offs": np.zeros(16, np.int32),
+            "masks": np.zeros((8, 8), np.int32),
+        }
+    nseg = counts.shape[0]
+    pad_to = -(-nseg // mesh.size) * mesh.size
+    steps = snap_steps(int(needed_steps(pbytes, counts).max()))
+    flat = np.frombuffer(data, np.uint8)
+    feed8 = np.zeros((pad_to, steps * 4), np.uint8)
+    lens = np.minimum(pbytes, steps * 4)
+    piece = np.repeat(np.arange(nseg), lens)
+    within = np.arange(int(lens.sum())) - np.repeat(
+        np.cumsum(lens) - lens, lens
+    )
+    feed8[piece, within] = flat[poff[piece] + within]
+    feed = feed8.view(">u4").astype(np.uint32)
+    bc = np.zeros(pad_to, np.int32)
+    bc[:nseg] = counts
+    hrw = np.zeros(pad_to, bool)
+    hrw[:nseg] = (flags & 1).astype(bool)
+    rrw = np.zeros(pad_to, bool)
+    rrw[:nseg] = (flags & 2).astype(bool)
+    s = NamedSharding(mesh, P(("dp", "sp")))
+    chars, ends = sharded_decode_stage(
+        mesh,
+        jax.device_put(jnp.asarray(feed), s),
+        jax.device_put(jnp.asarray(bc), s),
+        jax.device_put(jnp.asarray(hrw), s),
+        jax.device_put(jnp.asarray(rrw), s),
+        jnp.asarray(t["thresh"]), jnp.asarray(t["offs"]),
+        jnp.asarray(t["masks"]), offset=offset,
+    )
+    out_lens = np.minimum(
+        np.full(pad_to, SEG, np.int64),
+        np.maximum(orig_len - SEG * np.arange(pad_to, dtype=np.int64), 0),
+    )
+    return expand_records(
+        np.asarray(chars), np.asarray(ends), out_lens
+    )[:orig_len]
+
+
 def compress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
     """Sharded compression producing the exact single-device container.
 
