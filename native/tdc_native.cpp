@@ -605,17 +605,26 @@ int64_t tdc_lcpcomp_heap(const int64_t* sa, const int64_t* isa,
                          int64_t* lcp, int64_t n, int64_t threshold,
                          int64_t* out_pos, int64_t* out_src,
                          int64_t* out_len, int64_t cap) {
-    typedef std::pair<int64_t, int64_t> entry;  // (-lcp, index)
-    std::priority_queue<entry, std::vector<entry>, std::greater<entry>> heap;
+    // packed entry: lcp in the high 32 bits, bit-inverted index low —
+    // a max-heap on the u64 pops the largest LCP and, on ties, the
+    // smallest index (same order as the pair-based formulation).
+    auto pack = [](int64_t lv, int64_t i) -> uint64_t {
+        return (uint64_t(lv) << 32) | uint64_t(~uint32_t(i));
+    };
+    std::vector<uint64_t> init;
+    init.reserve(size_t(n) / 4);
     for (int64_t i = 0; i < n; i++)
-        if (lcp[i] >= threshold) heap.push({-lcp[i], i});
+        if (lcp[i] >= threshold) init.push_back(pack(lcp[i], i));
+    std::priority_queue<uint64_t> heap(
+        std::less<uint64_t>(), std::move(init));  // O(n) make_heap
     int64_t count = 0;
     while (!heap.empty()) {
-        auto [neg, index] = heap.top();
+        uint64_t key = heap.top();
         heap.pop();
+        int64_t index = int64_t(~uint32_t(key & 0xFFFFFFFFu));
         int64_t lv = lcp[index];
-        if (lv != -neg) {
-            if (lv >= threshold) heap.push({-lv, index});
+        if (lv != int64_t(key >> 32)) {
+            if (lv >= threshold) heap.push(pack(lv, index));
             continue;
         }
         int64_t pos = sa[index], src = sa[index - 1], len = lv;
