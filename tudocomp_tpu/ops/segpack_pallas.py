@@ -72,7 +72,21 @@ HUF_ROWS = CAP_BYTES // LANES          # 16
 # words: huffman = 128 symbols x <= 16 bits; RLE <= 12 bits per input
 # byte amortized (worst piece: run of 2 -> 24 bits, needs offset < 126
 # so the length-2 vbyte stays one byte) + one 32-bit straddle token.
+#
+# TDC_PACK_WINDOW=128 switches to the rotate formulation: tokens place
+# into a row-local 128-wide window at w0 - (row_base >> 5) in [0, 66),
+# the (8, 128) matmul result rolls by (row_base >> 5) % 128 lanes
+# (tpu dynamic rotate), and wrap-masked halves accumulate into the
+# 256-word span at the row's 128-aligned block. Bit-identical; halves
+# the one-hot compare volume (the placement loop's dominant term).
 WINDOW = 2 * LANES
+
+
+def _window() -> int:
+    import os
+
+    w = int(os.environ.get("TDC_PACK_WINDOW", str(WINDOW)))
+    return w if w in (LANES, WINDOW) else WINDOW
 
 # Accumulator/out widths: max stream words + one window of slack above
 # the last row's aligned base (aligned <= (max_bits >> 12) * 128).
@@ -158,22 +172,51 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     acc_ref[:, :] = jnp.zeros((g * 8, wt), jnp.float32)
     p1_planes = _byte_planes_bf16(part1)
     sp_planes = _byte_planes_bf16(spill)
-    win_iota = lax.broadcasted_iota(_I32, (WINDOW, LANES), 0)
+    window = _window()
+    win_iota = lax.broadcasted_iota(_I32, (window, LANES), 0)
+    lane8 = lax.broadcasted_iota(_I32, (8, LANES), 1)
     for r in range(rows):
         grp = r // rows_per_seg
-        aligned = (jnp.max(row_base[r : r + 1, :]) >> 12) * 128
-        w0_local = w0[r][None, :] - aligned
-        oh = (win_iota == w0_local).astype(jnp.bfloat16)
+        base = jnp.max(row_base[r : r + 1, :])
         planes = jnp.stack(
             [p[r] for p in p1_planes] + [p[r] for p in sp_planes], axis=0
         )  # (8, 128)
-        acc_ref[
-            grp * 8 : (grp + 1) * 8,
-            pl.ds(pl.multiple_of(aligned, LANES), WINDOW),
-        ] += lax.dot_general(
-            planes, oh, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if window == WINDOW:
+            aligned = (base >> 12) * 128
+            w0_local = w0[r][None, :] - aligned
+            oh = (win_iota == w0_local).astype(jnp.bfloat16)
+            acc_ref[
+                grp * 8 : (grp + 1) * 8,
+                pl.ds(pl.multiple_of(aligned, LANES), WINDOW),
+            ] += lax.dot_general(
+                planes, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # rotate formulation: row-local 128-wide window + dynamic
+            # lane roll to the absolute position, wrap-masked into the
+            # 256-word span at the row's 128-aligned block
+            base_w = base >> 5
+            w0_local = w0[r][None, :] - base_w  # in [0, 66)
+            oh = (win_iota == w0_local).astype(jnp.bfloat16)
+            contrib = lax.dot_general(
+                planes, oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (8, 128) at window lane v = w0 - base_w
+            amt = base_w & (LANES - 1)
+            rolled = pltpu.roll(contrib, amt, 1)
+            no_wrap = lane8 >= amt  # lane v+amt < 128: stays in block
+            blk = (base_w >> 7) * 128
+            acc_ref[
+                grp * 8 : (grp + 1) * 8,
+                pl.ds(pl.multiple_of(blk, LANES), 2 * LANES),
+            ] += jnp.concatenate(
+                [
+                    jnp.where(no_wrap, rolled, 0.0),
+                    jnp.where(no_wrap, 0.0, rolled),
+                ],
+                axis=1,
+            )
 
     acc = acc_ref[:, :].astype(_I32).reshape(g, 8, wt)
     words_p1 = (
