@@ -1078,6 +1078,7 @@ struct DigramEntry {
     uint64_t key;
     int64_t count;
     int32_t head, tail;
+    int64_t best;  // high-water count already pushed into the heap
 };
 
 struct DigramMap {
@@ -1099,7 +1100,7 @@ struct DigramMap {
             int32_t e = table[s];
             if (e < 0) {
                 table[s] = int32_t(entries.size());
-                entries.push_back({key, 0, -1, -1});
+                entries.push_back({key, 0, -1, -1, 0});
                 return table[s];
             }
             if (entries[size_t(e)].key == key) return e;
@@ -1145,7 +1146,24 @@ int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
         else en.head = int32_t(i);
         en.tail = int32_t(i);
         en.count++;
-        heap.push((uint64_t(en.count) << 32) | uint32_t(e));
+        // push only on a fresh high-water count: every entry always
+        // keeps a heap key >= its live count (appends push new maxima,
+        // stale pops re-push the live count), so the max live key is
+        // always present and the valid-pop order is unchanged
+        if (en.count > en.best) {
+            en.best = en.count;
+            heap.push((uint64_t(en.count) << 32) | uint32_t(e));
+        }
+    };
+    auto occ_append_nopush = [&](int64_t i) {
+        int32_t e = map.find_or_add(key_at(i));
+        auto& en = map.entries[size_t(e)];
+        od_prv[size_t(i)] = en.tail;
+        od_nxt[size_t(i)] = -1;
+        if (en.tail >= 0) od_nxt[size_t(en.tail)] = int32_t(i);
+        else en.head = int32_t(i);
+        en.tail = int32_t(i);
+        en.count++;
     };
     auto occ_remove = [&](int64_t i) {
         int32_t e = map.find_or_add(key_at(i));
@@ -1157,7 +1175,13 @@ int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
         en.count--;
     };
 
-    for (int64_t i = 0; i + 1 < n; i++) occ_append(i);
+    for (int64_t i = 0; i + 1 < n; i++) occ_append_nopush(i);
+    for (size_t e = 0; e < map.entries.size(); e++) {
+        auto& en = map.entries[e];
+        en.best = en.count;
+        if (en.count >= 2)
+            heap.push((uint64_t(en.count) << 32) | uint32_t(e));
+    }
 
     int64_t num_rules = 0;
     std::vector<int64_t> occs;
@@ -1167,7 +1191,12 @@ int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
         int32_t e = int32_t(top & 0xFFFFFFFFu);
         int64_t cnt = int64_t(top >> 32);
         auto& en = map.entries[size_t(e)];
-        if (en.count != cnt) continue;  // stale
+        if (en.count != cnt) {  // stale: re-arm the live count
+            en.best = en.count;
+            if (en.count >= 2)
+                heap.push((uint64_t(en.count) << 32) | uint32_t(e));
+            continue;
+        }
         if (cnt < 2) break;             // true maximum below threshold
         uint64_t key = en.key;
         int32_t a = int32_t(key >> 32), b = int32_t(key & 0xFFFFFFFFu);
