@@ -1,0 +1,84 @@
+"""Malformed-container behavior: decoders must raise or return wrong
+bytes — never crash the process or write out of bounds.
+
+The native runtime validates refs/runs/shifts and returns -2 on
+malformed streams (ADVICE round-1 hardening); the Python layers turn
+that into exceptions. There is no integrity checksum in the container
+(same as the reference — compare.py checks SHA externally), so bit
+flips may decode to garbage silently; truncations and header damage
+must fail loudly.
+"""
+
+import numpy as np
+import pytest
+
+from tudocomp_tpu.models.blockcodec import BlockCodec
+from tudocomp_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def container():
+    rng = np.random.default_rng(11)
+    data = (
+        b"hardening corpus " * 400
+        + bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+        + b"r" * 5000
+    )
+    codec = BlockCodec()
+    return data, codec.compress(data)
+
+
+def test_truncations_raise_or_differ(container):
+    data, comp = container
+    codec = BlockCodec()
+    for cut in (0, 1, 3, 4, 5, len(comp) // 2, len(comp) - 1):
+        blob = comp[:cut]
+        try:
+            out = codec.decompress(blob)
+        except Exception:
+            continue  # loud failure is the expected path
+        assert out != data  # silent truncation must not roundtrip
+
+
+def test_header_corruption_raises(container):
+    data, comp = container
+    codec = BlockCodec()
+    bad = bytearray(comp)
+    bad[:4] = b"XXXX"
+    with pytest.raises(Exception):
+        codec.decompress(bytes(bad))
+
+
+def test_payload_flip_no_crash(container):
+    """Flip bytes across the payload: decode must complete or raise,
+    and out-of-bounds writes in the native kernels would crash here."""
+    data, comp = container
+    codec = BlockCodec()
+    rng = np.random.default_rng(0)
+    for _ in range(32):
+        bad = bytearray(comp)
+        i = int(rng.integers(8, len(comp)))
+        bad[i] ^= int(rng.integers(1, 256))
+        try:
+            out = codec.decompress(bytes(bad))
+        except Exception:
+            continue
+        assert isinstance(out, bytes)
+
+
+def test_cli_stream_corruption():
+    """Self-describing CLI blobs: header damage raises, never crashes."""
+    data = b"the quick brown fox " * 200
+    comp = cli.compress("lzss_lcp(coder=huff)", data)
+    assert cli.decompress(comp) == data
+    with pytest.raises(Exception):
+        cli.decompress(b"nosuchalgo%" + comp.split(b"%", 1)[1])
+    # factor-stream damage: native decoder returns an error -> exception,
+    # or decodes to different bytes; either way no crash
+    bad = bytearray(comp)
+    bad[len(bad) // 2] ^= 0x55
+    try:
+        out = cli.decompress(bytes(bad))
+        assert isinstance(out, bytes)
+    except Exception:
+        pass
