@@ -226,6 +226,12 @@ def main(argv=None) -> int:
     p.add_argument("-f", "--force", action="store_true")
     p.add_argument("-g", "--generator")
     p.add_argument("-l", "--list", action="store_true")
+    from tudocomp_tpu import __version__
+
+    p.add_argument(
+        "--version", action="version",
+        version=f"tudocomp-tpu {__version__}",
+    )
     p.add_argument("--stats", nargs="?", const="STATS", default=None)
     p.add_argument("--usestdin", action="store_true")
     p.add_argument("--usestdout", action="store_true")
