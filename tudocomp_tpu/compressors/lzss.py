@@ -586,6 +586,10 @@ class LZSSLCPCompressor(Compressor):
         )
         m.option_dynamic("threshold", 3)
         m.option_dynamic("ds", "plain")
+        # comp=psv: reference PSV/NSV scan over SA/LCP (exact).
+        # comp=device: sort-based TPU matcher (ops/lzss_jax.py) — an
+        # alternative valid parse, same wire format.
+        m.option_dynamic("comp", "psv")
         m.needs_sentinel_terminator()
         return m
 
@@ -594,10 +598,18 @@ class LZSSLCPCompressor(Compressor):
             raise ValueError("lzss_lcp requires a sentineled input")
         threshold = self.env.option("threshold").as_int()
         text = np.frombuffer(data, np.uint8)
-        factors = factorize_lcp(
-            text, threshold,
-            compressed=self.env.option("ds").as_string() == "compressed",
-        )
+        if self.env.option("comp").as_string() == "device":
+            from tudocomp_tpu.ops.lzss_jax import factorize_device
+
+            factors = FactorBuffer()
+            factors.extend_arrays(*factorize_device(text, threshold))
+        else:
+            factors = factorize_lcp(
+                text, threshold,
+                compressed=(
+                    self.env.option("ds").as_string() == "compressed"
+                ),
+            )
         out = BitWriter()
         coder = self.coder_encoder(out, uncovered_literals(text, factors))
         encode_factor_text(coder, text, factors)

@@ -1,0 +1,160 @@
+"""Device LZ77 factorization (TPU): prefix-doubling ranks, no tries.
+
+Replaces the reference's sequential PSV/NSV scan over the LCP array
+(``compressors/LZSSLCPCompressor.hpp:60-115``) with an array program
+built from the ops this chip is good at (`lax.sort`, elementwise
+compares, a handful of gathers) and none it is bad at (no hash
+tables, no scatters, no per-position loops):
+
+1. **Exact q-gram ranks by prefix doubling.** ``r_q[i]`` = dense id of
+   ``text[i:i+q]`` for q = 4, 8, 16, 32, 64, built the suffix-array
+   way: sort ``(r_q[i], r_q[i+q])`` pairs and number the groups. Tail
+   positions get unique negative ids so truncated grams never alias.
+2. **Candidates per level — one co-sort each.** Sorting ``(r_q, pos)``
+   puts equal q-grams adjacent with positions ascending, so each
+   position's nearest *previous* occurrence of its q-gram is its sort
+   predecessor. A second co-sort (by pos) carries candidates back to
+   text order — sort twice instead of scatter once (scatters measure
+   ~100M elem/s here; sorts are far cheaper, see ARCHITECTURE.md).
+   The largest q with a candidate wins: if the best possible match has
+   length l, some q in [l/2, l] has an occurrence, so the chosen
+   match is at least half-optimal before extension.
+3. **Binary-lifting extension.** From the base length q, repeat the
+   top level (+64 while the 64-grams at ``pos+L`` / ``cand+L`` agree)
+   then descend 32/16/8/4 and settle 3 final bytes — O(log) gathers,
+   exact lengths up to ``max_len``.
+4. **Commit walk — host.** The greedy left-to-right parse is a trivial
+   O(#factors) walk over the device-computed arrays; like the
+   flagship's np.repeat finish, it rides along with the d2h transfer.
+
+The emitted factors are back-references (src < pos, non-overlapping
+positions), so they flow through the shared factor-stream wire format
+(`compressors/lzss.py`) and its decoders unchanged. The parse is a
+valid LZSS parse but NOT bit-identical to the PSV/NSV one — it is an
+alternative `comp=` strategy, selected as ``lzss_lcp(comp=device)``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_I32 = jnp.int32
+
+LEVELS = (4, 8, 16, 32, 64)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _match_device(text, *, max_len: int):
+    """text u8[n] -> (cand i32[n], length i32[n]).
+
+    cand[i] = nearest previous position whose q-byte prefix equals
+    text[i:i+q] for the largest q in LEVELS with any previous
+    occurrence (-1 if none); length[i] = exact common prefix length of
+    text[i:] and text[cand[i]:], capped at max_len and at n-1-i.
+    """
+    n = text.shape[0]
+    pos = jnp.arange(n, dtype=_I32)
+
+    def shifted(r, k):
+        # r_q[i + k], with unique negative ids past the end so
+        # truncated grams never compare equal
+        tail = -2 - pos[: min(k, n)]
+        return jnp.concatenate([r[k:], tail]) if k < n else -2 - pos
+
+    def dense_rank(hi, lo):
+        shi, slo, spos = lax.sort((hi, lo, pos), num_keys=2)
+        first = jnp.concatenate([
+            jnp.ones(1, jnp.bool_),
+            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
+        ])
+        ranks_sorted = jnp.cumsum(first.astype(_I32)) - 1
+        _, r = lax.sort((spos, ranks_sorted), num_keys=1)
+        return r
+
+    r = text.astype(_I32)                      # q = 1
+    r = dense_rank(r, shifted(r, 1))           # q = 2
+    r = dense_rank(r, shifted(r, 2))           # q = 4
+    ranks = {4: r}
+    for q in (4, 8, 16, 32):
+        r = dense_rank(r, shifted(r, q))
+        ranks[2 * q] = r
+
+    # unique negative ids for tails mean tail positions simply find no
+    # equal-rank predecessor; no extra masking needed
+    cand = jnp.full(n, -1, _I32)
+    base = jnp.zeros(n, _I32)
+    for q in LEVELS:
+        srq, spos = lax.sort((ranks[q], pos), num_keys=2)
+        prev_pos = jnp.concatenate([jnp.full(1, -1, _I32), spos[:-1]])
+        prev_rq = jnp.concatenate([jnp.full(1, -1, _I32), srq[:-1]])
+        cq = jnp.where((prev_rq == srq) & (srq >= 0), prev_pos, -1)
+        _, cq = lax.sort((spos, cq), num_keys=1)
+        cand = jnp.where(cq >= 0, cq, cand)
+        base = jnp.where(cq >= 0, q, base)
+
+    limit = jnp.minimum(n - 1 - pos, max_len)
+    length = jnp.minimum(base, limit)
+    has = cand >= 0
+
+    def extend(length, q):
+        rq = ranks[q]
+        a = pos + length
+        b = cand + length
+        in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
+        ra = rq[jnp.clip(a, 0, n - 1)]
+        rb = rq[jnp.clip(b, 0, n - 1)]
+        ok = has & in_rng & (ra == rb) & (length + q <= limit)
+        return jnp.where(ok, length + q, length)
+
+    for _ in range(max(1, max_len // 64)):
+        length = extend(length, 64)
+    for q in (32, 16, 8, 4):
+        length = extend(length, q)
+    # settle the final 0-3 bytes
+    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
+    for _ in range(3):
+        a = tb[jnp.clip(pos + length, 0, n)]
+        b = tb[jnp.clip(cand + length, 0, n)]
+        ok = has & (length < limit) & (a == b) & (cand + length < n)
+        length = jnp.where(ok, length + 1, length)
+    return cand, jnp.where(has, length, 0)
+
+
+def factorize_device(text: np.ndarray, threshold: int,
+                     max_len: int = 256):
+    """Greedy LZSS parse of ``text`` (numpy u8, sentinel-terminated)
+    using device matching. Returns (pos, src, len) int64 arrays."""
+    n = int(text.size)
+    if n < 4 or threshold < 1:
+        return (np.zeros(0, np.int64),) * 3
+    cand, length = _match_device(jnp.asarray(text), max_len=max_len)
+    cand = np.asarray(cand, np.int64)
+    length = np.asarray(length, np.int64)
+    length = np.where(length >= threshold, length, 0)
+    # host commit walk over factor starts only: jump to the next
+    # position with a usable match after each commit
+    starts = np.flatnonzero(length > 0)
+    out_pos, out_src, out_len = [], [], []
+    i = 0
+    k = 0
+    ns = starts.size
+    while k < ns:
+        s = starts[k]
+        if s < i:
+            k += 1
+            continue
+        out_pos.append(s)
+        out_src.append(cand[s])
+        out_len.append(length[s])
+        i = s + length[s]
+        k = int(np.searchsorted(starts, i))
+    return (
+        np.asarray(out_pos, np.int64),
+        np.asarray(out_src, np.int64),
+        np.asarray(out_len, np.int64),
+    )
