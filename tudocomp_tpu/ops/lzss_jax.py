@@ -85,44 +85,65 @@ def _match_device(text, *, max_len: int):
         ranks[2 * q] = r
 
     # unique negative ids for tails mean tail positions simply find no
-    # equal-rank predecessor; no extra masking needed
+    # equal-rank predecessor; no extra masking needed. Two candidates
+    # per position: the nearest and second-nearest previous occurrence
+    # of the largest matching q-gram class (the nearest one is not
+    # always the longest-extending one).
     cand = jnp.full(n, -1, _I32)
+    cand2 = jnp.full(n, -1, _I32)
     base = jnp.zeros(n, _I32)
     for q in LEVELS:
         srq, spos = lax.sort((ranks[q], pos), num_keys=2)
-        prev_pos = jnp.concatenate([jnp.full(1, -1, _I32), spos[:-1]])
-        prev_rq = jnp.concatenate([jnp.full(1, -1, _I32), srq[:-1]])
-        cq = jnp.where((prev_rq == srq) & (srq >= 0), prev_pos, -1)
-        _, cq = lax.sort((spos, cq), num_keys=1)
+        p1 = jnp.concatenate([jnp.full(1, -1, _I32), spos[:-1]])
+        r1_ = jnp.concatenate([jnp.full(1, -1, _I32), srq[:-1]])
+        p2 = jnp.concatenate([jnp.full(2, -1, _I32), spos[:-2]])
+        r2_ = jnp.concatenate([jnp.full(2, -1, _I32), srq[:-2]])
+        cq = jnp.where(r1_ == srq, p1, -1)
+        cq2 = jnp.where(r2_ == srq, p2, -1)
+        _, cq, cq2 = lax.sort((spos, cq, cq2), num_keys=1)
         cand = jnp.where(cq >= 0, cq, cand)
+        cand2 = jnp.where(cq >= 0, cq2, cand2)
         base = jnp.where(cq >= 0, q, base)
 
     limit = jnp.minimum(n - 1 - pos, max_len)
-    length = jnp.minimum(base, limit)
-    has = cand >= 0
-
-    def extend(length, q):
-        rq = ranks[q]
-        a = pos + length
-        b = cand + length
-        in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
-        ra = rq[jnp.clip(a, 0, n - 1)]
-        rb = rq[jnp.clip(b, 0, n - 1)]
-        ok = has & in_rng & (ra == rb) & (length + q <= limit)
-        return jnp.where(ok, length + q, length)
-
-    for _ in range(max(1, max_len // 64)):
-        length = extend(length, 64)
-    for q in (32, 16, 8, 4):
-        length = extend(length, q)
-    # settle the final 0-3 bytes
     tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
-    for _ in range(3):
-        a = tb[jnp.clip(pos + length, 0, n)]
-        b = tb[jnp.clip(cand + length, 0, n)]
-        ok = has & (length < limit) & (a == b) & (cand + length < n)
-        length = jnp.where(ok, length + 1, length)
-    return cand, jnp.where(has, length, 0)
+
+    def match_len(cand):
+        has = cand >= 0
+        length = jnp.minimum(base, limit)
+
+        def extend(length, q):
+            rq = ranks[q]
+            a = pos + length
+            b = cand + length
+            in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
+            ra = rq[jnp.clip(a, 0, n - 1)]
+            rb = rq[jnp.clip(b, 0, n - 1)]
+            ok = has & in_rng & (ra == rb) & (length + q <= limit)
+            return jnp.where(ok, length + q, length)
+
+        for _ in range(max(1, max_len // 64)):
+            length = extend(length, 64)
+        for q in (32, 16, 8, 4):
+            length = extend(length, q)
+        # settle the final 0-3 bytes
+        for _ in range(3):
+            a = tb[jnp.clip(pos + length, 0, n)]
+            b = tb[jnp.clip(cand + length, 0, n)]
+            ok = has & (length < limit) & (a == b) & (cand + length < n)
+            length = jnp.where(ok, length + 1, length)
+        return jnp.where(has, length, 0)
+
+    l1 = match_len(cand)
+    l2 = match_len(cand2)
+    # base-q equality for cand2 is only guaranteed at its own level;
+    # after the level loop cand2 belongs to the same (largest) class
+    # as cand, so both start from `base` verified bytes
+    take2 = l2 > l1
+    return (
+        jnp.where(take2, cand2, cand),
+        jnp.where(take2, l2, l1),
+    )
 
 
 def factorize_device(text: np.ndarray, threshold: int,
@@ -137,7 +158,9 @@ def factorize_device(text: np.ndarray, threshold: int,
     length = np.asarray(length, np.int64)
     length = np.where(length >= threshold, length, 0)
     # host commit walk over factor starts only: jump to the next
-    # position with a usable match after each commit
+    # position with a usable match after each commit; one-step lazy
+    # matching (defer when the next position matches strictly longer,
+    # zstd-style) recovers most of the greedy/optimal gap for free
     starts = np.flatnonzero(length > 0)
     out_pos, out_src, out_len = [], [], []
     i = 0
@@ -148,6 +171,8 @@ def factorize_device(text: np.ndarray, threshold: int,
         if s < i:
             k += 1
             continue
+        if s + 1 < n and length[s + 1] > length[s] + 1:
+            s += 1  # the deferred byte joins the preceding gap
         out_pos.append(s)
         out_src.append(cand[s])
         out_len.append(length[s])
