@@ -68,7 +68,7 @@ def main() -> None:
         BlockCodec, huff_stage, rle_stage,
     )
     from tudocomp_tpu.ops.hufdec_jax import (
-        SEG, decoder_tables, expand_records, needed_steps,
+        SEG, build_feed, decoder_tables, expand_records, needed_steps,
     )
 
     codec = BlockCodec()
@@ -154,23 +154,13 @@ def main() -> None:
     for lo in range(0, nseg_total, DEC_LANES):
         idx = order[lo : lo + DEC_LANES]
         steps = snap_steps_pallas(int(need[idx].max()))
-        feed8 = np.zeros((DEC_LANES, steps * 4), np.uint8)
-        ls = np.minimum(pbytes[idx], steps * 4)
-        piece = np.repeat(np.arange(idx.size), ls)
-        within = (
-            np.arange(int(ls.sum())) - np.repeat(np.cumsum(ls) - ls, ls)
+        feed, bc, hrw, rrw = build_feed(
+            flat, idx, counts, flags, poff, pbytes, steps, DEC_LANES
         )
-        feed8[piece, within] = flat[poff[idx][piece] + within]
-        bc = np.zeros(DEC_LANES, np.int32)
-        bc[: idx.size] = counts[idx]
-        hrw = np.zeros(DEC_LANES, bool)
-        hrw[: idx.size] = (flags[idx] & 1).astype(bool)
-        rrw = np.zeros(DEC_LANES, bool)
-        rrw[: idx.size] = (flags[idx] & 2).astype(bool)
         feeds.append(
             (
-                jnp.asarray(feed8.view(">u4").astype(np.uint32)),
-                jnp.asarray(bc), jnp.asarray(hrw), jnp.asarray(rrw),
+                jnp.asarray(feed), jnp.asarray(bc),
+                jnp.asarray(hrw), jnp.asarray(rrw),
             )
         )
 

@@ -30,6 +30,19 @@ def test_sharded_matches_single_device():
     assert codec.decompress(single) == data
 
 
+def test_sharded_matches_single_device_sampled():
+    """>= 64 segments: the histogram runs sampled (1-in-8); byte
+    identity must survive because the per-shard sample unions to the
+    global one (pipeline.sharded_rle_stage)."""
+    codec = BlockCodec()
+    data = (_data() * 16)[: 70 * 2048]
+    assert codec.sample_rule(-(-len(data) // 2048))
+    single = codec.compress(data)
+    mesh = make_mesh(8, sp=2)
+    assert compress_sharded(codec, mesh, data) == single
+    assert codec.decompress(single) == data
+
+
 def test_sharded_decode_roundtrip():
     codec = BlockCodec()
     data = _data()

@@ -52,6 +52,12 @@ def _instantiate(algostring: str, blocks: int | None = None,
             ("inner", node), ("b", str(blocks)),
             ("workers", str(max(1, threads))),
         ])
+    elif threads > 1 and node.name == "blocks":
+        # runtime knob on an existing block container (e.g. decompress
+        # of a self-describing header, which never persists `workers`)
+        node = Node(node.name, [
+            kv for kv in node.args if kv[0] != "workers"
+        ] + [("workers", str(threads))])
     return REGISTRY.instantiate(node)
 
 
@@ -109,9 +115,12 @@ def _stream_main(args, p) -> int | None:
     if args.usestdin or args.generator or not args.input:
         return None
 
-    def _report(out_path):
+    def _stats():
         if args.stats is not None:
             print(root.to_json_str(), file=sys.stderr)
+
+    def _report(out_path):
+        _stats()
         a = os.path.getsize(args.input)
         b = os.path.getsize(out_path)
         print(
@@ -137,7 +146,7 @@ def _stream_main(args, p) -> int | None:
             if sep < 0:
                 return None
             algostring, off = head[:sep].decode(), sep + 1
-        comp = _instantiate(algostring)
+        comp = _instantiate(algostring, threads=args.threads)
         if not hasattr(comp, "decompress_stream"):
             return None  # buffered path handles non-block containers
         out_path = args.output or (args.input + ".decomp")
@@ -155,6 +164,7 @@ def _stream_main(args, p) -> int | None:
             if args.usestdout:
                 with root:
                     comp.decompress_stream(fin, sys.stdout.buffer)
+                _stats()
             else:
                 with open(out_path, "wb") as fout, root:
                     comp.decompress_stream(fin, fout)
@@ -172,6 +182,7 @@ def _stream_main(args, p) -> int | None:
         with open(args.input, "rb") as fin, root:
             sys.stdout.buffer.write(header)
             comp.compress_stream(fin, sys.stdout.buffer)
+        _stats()
         return 0
     out_path = args.output or (args.input + ".tdc")
     exists = os.path.exists(out_path) and os.path.getsize(out_path) > 0

@@ -77,7 +77,7 @@ class BlocksCompressor(Compressor):
         )
         m.option_submeta("inner", "compressor")
         m.option_dynamic("b", DEFAULT_BLOCK)
-        m.option_dynamic("workers", 1)
+        m.option_dynamic("workers", 1, runtime=True)
         return m
 
     # -- inner plumbing ------------------------------------------------------

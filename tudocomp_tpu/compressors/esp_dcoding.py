@@ -152,9 +152,10 @@ class SubSeqGreedy(Algorithm):
         return Meta("subseq", "greedy", "First-fit pile decomposition")
 
     def decompose(self, sis: np.ndarray):
+        vals = np.asarray(sis, np.int64).tolist()
         dpi = np.empty(sis.size, np.int64)
         piles: list[tuple[int, int]] = []  # (direction, last value)
-        for i, v in enumerate(np.asarray(sis, np.int64).tolist()):
+        for i, v in enumerate(vals):
             placed = False
             for j, (d, last) in enumerate(piles):
                 if (d == 0 and last < v) or (d == 1 and last > v):
@@ -164,9 +165,11 @@ class SubSeqGreedy(Algorithm):
                     break
             if not placed:
                 dpi[i] = len(piles)
-                # open the pile in the direction its next element is
-                # more likely to extend: compare with the previous value
-                piles.append((0, v))
+                # open the pile in the direction its next element would
+                # extend (one-step lookahead): a descending run opens
+                # ONE decreasing pile instead of a pile per element
+                d = 1 if i + 1 < len(vals) and vals[i + 1] < v else 0
+                piles.append((d, v))
         b = np.asarray([d for d, _ in piles], np.uint8)
         return dpi, b
 

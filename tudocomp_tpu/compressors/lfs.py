@@ -198,9 +198,14 @@ class SimSTStrategy(Algorithm):
     nodes binned by string depth, occurrence lists merged from children
     on first touch, and — the behavioral difference from ``st`` — a
     node whose occurrences are cut short by already-replaced tails is
-    *re-binned at the shortest live prefix length* (``min_shorter``)
-    when that prefix is still an LRF longer than the parent's depth, so
-    partially-covered repeats are substituted at reduced length."""
+    re-binned at a reduced length (``min_shorter``) when that prefix is
+    still an LRF longer than the parent's depth, so partially-covered
+    repeats are substituted at reduced length. ``min_shorter`` is one
+    monotone accumulator shared across the node's occurrences — each
+    dead-tail occurrence only advances it from its current value, not
+    from 1 — exactly mirroring the reference's quirky single-variable
+    scan (``SimSTStrategy.hpp:61-67``), so the re-bin length can exceed
+    some occurrences' true live prefix."""
 
     @classmethod
     def meta(cls):

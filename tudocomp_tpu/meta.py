@@ -51,6 +51,9 @@ class OptionDecl:
     #                                  enumerates (None = all); library
     #                                  instantiation is never restricted,
     #                                  like the reference's create_algo
+    runtime: bool = False  # runtime-only knob (thread counts etc):
+    #                        excluded from the persisted id_string so it
+    #                        never becomes part of the format identity
 
 
 class Meta:
@@ -63,9 +66,12 @@ class Meta:
         self.options: list[OptionDecl] = []
         self.restrictions = InputRestrictions()
 
-    def option_dynamic(self, name: str, default: Any = None) -> "Meta":
+    def option_dynamic(self, name: str, default: Any = None,
+                       runtime: bool = False) -> "Meta":
         self._check(name)
-        self.options.append(OptionDecl(name, "dynamic", default))
+        self.options.append(
+            OptionDecl(name, "dynamic", default, runtime=runtime)
+        )
         return self
 
     def option_submeta(
@@ -173,6 +179,8 @@ class Env:
         meta = self.cls.meta()
         parts = []
         for decl in meta.options:
+            if decl.runtime:
+                continue  # runtime knobs are not format identity
             ov = self._options[decl.name]
             if ov.is_algorithm:
                 parts.append(f"{decl.name}={ov.sub_env.id_string()}")

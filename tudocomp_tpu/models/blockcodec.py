@@ -9,7 +9,7 @@ HuffmanCoder.hpp``, composed like ``rle:encode(huff)``):
   data-parallel unit across chips (``parallel/pipeline.py``);
 - each segment RLEs independently on device (the Pallas fused kernel's
   per-chunk state reset makes segments self-contained runs);
-- ONE canonical Huffman table (min code length 2, max 16) is built on
+- ONE canonical Huffman table (min code length 3, max 16) is built on
   the host from the device-computed histogram of RLE bytes — across
   chips the histogram merges with psum and the table broadcasts;
 - each segment's RLE bytes Huffman-pack independently (fused Pallas
@@ -172,7 +172,12 @@ class BlockCodec:
         nseg = seg_rows.shape[0]
         rows_l, counts_l, rleraw_l = [], [], []
         hist = np.zeros(256, np.int64)
-        sampled = False
+        # one global sampling decision per input (not per batch bucket)
+        # so the container bytes are identical across batch splits,
+        # backends, and mesh shapes (parallel/pipeline.py uses the
+        # same rule); batches start at multiples of 8, so per-batch
+        # rows[::8] equals the global 1-in-8 segment sample
+        sampled = self.sample_rule(nseg)
         for lo in range(0, nseg, self.batch_lanes):
             hi = min(lo + self.batch_lanes, nseg)
             b = _bucket(hi - lo)
@@ -180,11 +185,9 @@ class BlockCodec:
             br[: hi - lo] = seg_rows[lo:hi]
             bl = np.zeros(b, np.int32)
             bl[: hi - lo] = seg_lens[lo:hi]
-            sample = b >= 64
-            sampled = sampled or sample
             rows, counts, rleraw, h = rle_stage(
                 jnp.asarray(br), jnp.asarray(bl),
-                offset=self.offset, sample=sample,
+                offset=self.offset, sample=sampled,
             )
             rows_l.append(rows)
             counts_l.append(counts)
@@ -211,13 +214,21 @@ class BlockCodec:
             n, table, counts_np, rleraw_np, hraw_np, words_np, bits_np
         )
 
+    @staticmethod
+    def sample_rule(nseg: int) -> bool:
+        """Histogram sampling (1-in-8 segments, zstd-style) kicks in at
+        64 segments (128 KiB); below that the exact histogram is free."""
+        return nseg >= 64
+
     def _table_from_hist(self, hist, sampled: bool):
         hist = np.asarray(hist, np.int64)
         if sampled:
             hist = hist + 1  # sampled histogram: keep all bytes encodable
         if (hist > 0).sum() <= 1:
             return None
-        # 16-bit cap: packer tokens; min 2: TPU decoder drain invariant
+        # 16-bit cap: packer tokens. min 3: the TPU decoder drains
+        # D=11 slots * 3 bits >= 32 bits per feed word (hufdec_jax.py);
+        # forcing 3 over 2 costs <0.2% ratio post-RLE and cuts slots 31%
         return HuffmanTable.from_counts(hist, max_len=16, min_len=3)
 
     @staticmethod
@@ -422,7 +433,9 @@ class BlockCodec:
         # steps so each batch runs the shortest static bucket that
         # fits it (ops/hufdec_jax.py S_BUCKETS), then reassemble in
         # original order
-        from tudocomp_tpu.ops.hufdec_jax import needed_steps, snap_steps
+        from tudocomp_tpu.ops.hufdec_jax import (
+            build_feed, needed_steps, snap_steps,
+        )
 
         kernel = self._device_decoder()
         if kernel == "pallas":
@@ -448,19 +461,9 @@ class BlockCodec:
             else:
                 b = _bucket(idx.size)
                 steps = snap_steps(int(need[idx].max()))
-            feed8 = np.zeros((b, steps * 4), np.uint8)
-            lens = np.minimum(pbytes[idx], steps * 4)
-            piece = np.repeat(np.arange(idx.size), lens)
-            tot = int(lens.sum())
-            within = np.arange(tot) - np.repeat(np.cumsum(lens) - lens, lens)
-            feed8[piece, within] = flat[poff[idx][piece] + within]
-            feed = feed8.view(">u4").astype(np.uint32)
-            bc = np.zeros(b, np.int32)
-            bc[: idx.size] = counts[idx]
-            hrw = np.zeros(b, bool)
-            hrw[: idx.size] = (flags[idx] & 1).astype(bool)
-            rrw = np.zeros(b, bool)
-            rrw[: idx.size] = (flags[idx] & 2).astype(bool)
+            feed, bc, hrw, rrw = build_feed(
+                flat, idx, counts, flags, poff, pbytes, steps, b
+            )
             if kernel == "pallas":
                 packed = decode_segments_pallas(
                     feed, bc, hrw, rrw, thresh, offs, masks,

@@ -86,6 +86,35 @@ def snap_steps(need: int) -> int:
     return DEC_STEPS
 
 
+def build_feed(flat, idx, counts, flags, poff, pbytes, steps: int,
+               lanes: int):
+    """Ragged payload gather into the decoders' fixed-shape inputs.
+
+    flat u8[]: whole container; idx: segment indices for this batch;
+    counts/flags/poff/pbytes: parsed per-segment metadata. Returns
+    ``(feed u32[lanes, steps] big-endian, counts i32[lanes],
+    huff_raw bool[lanes], rle_raw bool[lanes])`` zero-padded past
+    ``idx.size``. Shared by the scan decoder, the Pallas decoder, the
+    sharded mesh decode, and bench.py.
+    """
+    idx = np.asarray(idx)
+    feed8 = np.zeros((lanes, steps * 4), np.uint8)
+    ls = np.minimum(pbytes[idx], steps * 4)
+    piece = np.repeat(np.arange(idx.size), ls)
+    within = np.arange(int(ls.sum())) - np.repeat(
+        np.cumsum(ls) - ls, ls
+    )
+    feed8[piece, within] = flat[poff[idx][piece] + within]
+    feed = feed8.view(">u4").astype(np.uint32)
+    bc = np.zeros(lanes, np.int32)
+    bc[: idx.size] = counts[idx]
+    hrw = np.zeros(lanes, bool)
+    hrw[: idx.size] = (flags[idx] & 1).astype(bool)
+    rrw = np.zeros(lanes, bool)
+    rrw[: idx.size] = (flags[idx] & 2).astype(bool)
+    return feed, bc, hrw, rrw
+
+
 def decoder_tables(table):
     """Precompute scan-side arrays from a ``HuffmanTable``.
 
@@ -93,7 +122,8 @@ def decoder_tables(table):
     firstcode thresholds, monotone non-increasing), ``offs`` i32[16]
     (sym_index = (window >> (16-l)) + offs[l-1]), ``masks`` i32[8, 8]
     (bit-sliced sorted-symbol table). Requires max code length <= 16 and
-    min >= 2 (the TBC2 encoder enforces both).
+    min >= 3 (the TBC2 encoder enforces both; 11 slots * 3 bits >= one
+    32-bit feed word is the drain invariant).
     """
     longest = table.longest
     assert 1 <= longest <= 16

@@ -40,11 +40,15 @@ def shard_segments(mesh: Mesh, seg_rows, seg_lens):
     return jax.device_put(seg_rows, s), jax.device_put(seg_lens, s)
 
 
-def sharded_rle_stage(mesh: Mesh, seg_rows, seg_lens, *, offset: int):
+def sharded_rle_stage(mesh: Mesh, seg_rows, seg_lens, *, offset: int,
+                      sample: bool = False):
     """Stage 1 sharded: local RLE + escapes, mesh-psum'd histogram.
 
     Returns ``(rows, counts, rle_raw)`` sharded over the mesh and a
-    replicated u32[256] histogram.
+    replicated u32[256] histogram. With ``sample``, each shard
+    histograms its local rows[::8]; shard chunks are multiples of 8
+    segments, so the union equals the single-device global 1-in-8
+    sample and the table (hence the container) is identical.
     """
 
     @functools.partial(
@@ -59,7 +63,9 @@ def sharded_rle_stage(mesh: Mesh, seg_rows, seg_lens, *, offset: int):
     def fn(rows, lens):
         from tudocomp_tpu.models.blockcodec import rle_stage
 
-        r, c, rr, h = rle_stage(rows, lens, offset=offset, sample=False)
+        r, c, rr, h = rle_stage(
+            rows, lens, offset=offset, sample=sample
+        )
         return r, c, rr, jax.lax.psum(h, ("dp", "sp"))
 
     return jax.jit(fn)(seg_rows, seg_lens)
@@ -122,7 +128,8 @@ def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
     way when throughput matters.
     """
     from tudocomp_tpu.ops.hufdec_jax import (
-        SEG, decoder_tables, expand_records, needed_steps, snap_steps,
+        SEG, build_feed, decoder_tables, expand_records, needed_steps,
+        snap_steps,
     )
 
     (table, offset, orig_len, counts, flags, poff,
@@ -141,20 +148,10 @@ def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
     pad_to = -(-nseg // mesh.size) * mesh.size
     steps = snap_steps(int(needed_steps(pbytes, counts).max()))
     flat = np.frombuffer(data, np.uint8)
-    feed8 = np.zeros((pad_to, steps * 4), np.uint8)
-    lens = np.minimum(pbytes, steps * 4)
-    piece = np.repeat(np.arange(nseg), lens)
-    within = np.arange(int(lens.sum())) - np.repeat(
-        np.cumsum(lens) - lens, lens
+    feed, bc, hrw, rrw = build_feed(
+        flat, np.arange(nseg), counts, flags, poff, pbytes, steps,
+        pad_to,
     )
-    feed8[piece, within] = flat[poff[piece] + within]
-    feed = feed8.view(">u4").astype(np.uint32)
-    bc = np.zeros(pad_to, np.int32)
-    bc[:nseg] = counts
-    hrw = np.zeros(pad_to, bool)
-    hrw[:nseg] = (flags & 1).astype(bool)
-    rrw = np.zeros(pad_to, bool)
-    rrw[:nseg] = (flags & 2).astype(bool)
     s = NamedSharding(mesh, P(("dp", "sp")))
     chars, ends = sharded_decode_stage(
         mesh,
@@ -175,12 +172,10 @@ def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
 
 
 def compress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
-    """Sharded compression producing the exact single-device container.
-
-    ``codec`` is a ``models.blockcodec.BlockCodec``. The histogram runs
-    unsampled, so equality with the single-device container holds for
-    inputs below the sampling threshold (64 segments / 128 KiB) — larger
-    inputs still roundtrip, with an equally valid table.
+    """Sharded compression producing the exact single-device container
+    at every input size: the histogram-sampling decision uses the same
+    global rule (``BlockCodec.sample_rule``) and the per-shard 1-in-8
+    sample unions to the single-device one (see sharded_rle_stage).
     """
     if len(data) == 0:
         return codec._assemble_empty()
@@ -195,10 +190,11 @@ def compress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
         seg_rows = np.pad(seg_rows, ((0, pad_to - nseg), (0, 0)))
         seg_lens = np.pad(seg_lens, (0, pad_to - nseg))
     seg_rows, seg_lens = shard_segments(mesh, seg_rows, seg_lens)
+    sampled = codec.sample_rule(nseg)
     rows, counts, rleraw, hist = sharded_rle_stage(
-        mesh, seg_rows, seg_lens, offset=codec.offset
+        mesh, seg_rows, seg_lens, offset=codec.offset, sample=sampled
     )
-    table = codec._table_from_hist(np.asarray(hist, np.int64), False)
+    table = codec._table_from_hist(np.asarray(hist, np.int64), sampled)
     sym_code, sym_len = codec._device_table(table)
     words, bits, hraw = sharded_huff_stage(
         mesh, rows, counts, sym_code, sym_len
