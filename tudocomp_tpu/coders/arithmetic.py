@@ -73,7 +73,14 @@ class ArithmeticCoder(Algorithm):
                 self.cum = np.zeros(256, np.int64)
                 self.total = 0
             self.min_range = self.total
-            # codebook header
+            # codebook header: fixed 32-bit fields (widened from the
+            # reference's 8); write_int masks silently, so fail loudly
+            # past 2^32 instead of wrapping into a corrupt stream
+            if self.literal_count >= 1 << 32 or self.total >= 1 << 32:
+                raise ValueError(
+                    "arithmetic coder: literal count exceeds the "
+                    "32-bit codebook header"
+                )
             out.write_int(self.literal_count, 32)
             out.write_int(int(nonzero.size), 16)
             for s in nonzero.tolist():

@@ -67,7 +67,11 @@ class Encoder(Algorithm):
     def encode_array(self, values, r: Range) -> None:
         values = np.asarray(values, dtype=np.uint64)
         if isinstance(r, BitRange):
-            self.out.write_int_array(values, 1)
+            # normalize truthiness like the scalar path's bool(v):
+            # raw `values & 1` would flip e.g. 2 -> bit 0
+            self.out.write_int_array(
+                (values != 0).astype(np.uint64), 1
+            )
         else:
             self.out.write_int_array(values - np.uint64(r.min), r.bits)
 

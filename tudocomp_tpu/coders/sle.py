@@ -166,15 +166,9 @@ class SLECoder(Algorithm):
                 )
             else:
                 keys = np.zeros(0, np.int64)
-            kmer_keys = np.array(
-                [
-                    int.from_bytes(km, "big")
-                    for km in self.kmers
-                ],
-                np.int64,
-            )
-            order = np.argsort(kmer_keys, kind="stable")
-            sorted_keys = kmer_keys[order]
+            # tables precomputed in __init__ (same construction)
+            order = self._key_rank
+            sorted_keys = self._sorted_keys
             pos_in_sorted = np.searchsorted(sorted_keys, keys)
             pos_in_sorted = np.minimum(
                 pos_in_sorted, max(0, sorted_keys.size - 1)

@@ -70,7 +70,14 @@ class Input:
     def close(self) -> None:
         self._data = memoryview(b"")
         if self._mmap is not None:
-            self._mmap.close()
+            try:
+                self._mmap.close()
+            except BufferError:
+                # a view from as_view() or a slice Input is still
+                # alive; leave the mmap for GC instead of raising and
+                # half-closing (the reference's InputAlloc pools
+                # allocations for the same reason)
+                return
             self._mmap = None
 
 
@@ -107,3 +114,12 @@ class Output:
                 f.write(self._buf)
         elif self._stream is not None:
             self._stream.flush()
+
+    # context-manager support: a path-backed Output only materializes
+    # its file in close(), so make closing structural
+    def __enter__(self) -> "Output":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()

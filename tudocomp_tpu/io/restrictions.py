@@ -40,6 +40,14 @@ def build_escape_map(restrictions: InputRestrictions):
         # extend the pool with any unrestricted byte values
         extra = [b for b in range(256) if b not in esc and b not in pool]
         pool += extra
+    if len(pool) < len(esc) + 1:
+        # single-byte replacements need one unrestricted byte per
+        # restricted one (plus the escape byte); silently truncating
+        # would let restricted bytes through unescaped
+        raise ValueError(
+            f"escaping impossible: {len(esc)} restricted bytes leave "
+            f"only {len(pool)} replacement bytes"
+        )
     repl = pool[: len(esc) + 1]
     esc = [repl[0]] + esc
     return esc, repl
@@ -90,16 +98,16 @@ def unescape(data: bytes, restrictions: InputRestrictions) -> bytes:
     if not is_escape.any():
         return data
     starts = np.flatnonzero(is_escape)
-    # escape pairs never overlap: drop positions directly after a kept escape
-    keep_escape = np.ones(starts.size, bool)
-    prev_end = -1
-    starts_list = starts.tolist()
-    for i, s in enumerate(starts_list):
-        if s <= prev_end:
-            keep_escape[i] = False
-        else:
-            prev_end = s + 1
-    starts = starts[keep_escape]
+    # Escape pairs never overlap, and a raw E never survives escape()
+    # unescaped, so every maximal run of consecutive E's is a chain of
+    # (E,E) pairs possibly ending in an (E, r!=E) pair: the true pair
+    # starts are exactly the even offsets within each run (vectorized
+    # replacement of the per-escape resolution loop).
+    run_head = np.concatenate([[True], np.diff(starts) > 1])
+    head_idx = np.flatnonzero(run_head)
+    run_id = np.cumsum(run_head) - 1
+    offsets = starts - starts[head_idx][run_id]
+    starts = starts[(offsets & 1) == 0]
     arr[starts + 1] = back[arr[starts + 1]]
     mask = np.ones(arr.size, bool)
     mask[starts] = False

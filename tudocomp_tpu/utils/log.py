@@ -39,7 +39,10 @@ def configure(loglevel: str | None = None, logdir: str | None = None,
     _VERBOSITY = logverbosity
     if loglevel:
         _ROOT.setLevel(loglevel.upper())
-        if not _ROOT.handlers:
+        has_console = any(
+            type(h) is logging.StreamHandler for h in _ROOT.handlers
+        )
+        if not has_console:
             h = logging.StreamHandler()
             h.setFormatter(logging.Formatter(
                 "%(levelname).1s %(asctime)s %(name)s] %(message)s",
