@@ -80,14 +80,18 @@ int64_t tdc_rle_decode(const uint8_t* in, int64_t n, uint8_t* out,
         if (int(c) == prev) {
             uint64_t run = 0;
             int shift = 0;
+            bool terminated = false;
             while (i < n) {
                 uint8_t b = in[i++];
                 if (shift > 63) return -2;  // malformed: vbyte continuation overflow
                 if (shift == 63 && (b & 0x7F) > 1) return -2;
                 run |= uint64_t(b & 0x7F) << shift;
                 shift += 7;
-                if (!(b & 0x80)) break;
+                if (!(b & 0x80)) { terminated = true; break; }
             }
+            // input ended mid-vbyte (continuation bit on the final
+            // byte): reject instead of using the partial value
+            if (!terminated) return -2;
             if (offset < 0 || run < uint64_t(offset)) return -2;  // malformed stream
             run -= uint64_t(offset);
             if (run > uint64_t(out_cap) || o + int64_t(run) > out_cap) return -1;
@@ -758,7 +762,6 @@ static int64_t lfs2_parse_impl(const int64_t* sa, const int64_t* lcp,
                 lb = top.lb;
                 if (top.depth >= min_lrf && top.rb > top.lb)
                     nodes.push_back(top);
-                if (!stack.empty() && l <= stack.back().depth) continue;
             }
             if (stack.empty() || l > stack.back().depth)
                 stack.push_back({l, lb, -1});
@@ -1001,6 +1004,11 @@ int64_t tdc_tbc2_parse(const uint8_t* data, int64_t n, int64_t pos,
         uint64_t m1, m2;
         if (tbc2_read_vbyte(data, n, &pos, &m1) < 0) return -2;
         if (tbc2_read_vbyte(data, n, &pos, &m2) < 0) return -2;
+        // malformed-container bounds: a count past 32 bits would
+        // silently alias under the uint32_t store, and a payload
+        // length >= 2^63 would wrap pos negative and bypass pos > n
+        if ((m1 >> 2) > 0xFFFFFFFFull) return -2;
+        if (m2 > uint64_t(n)) return -2;
         counts[i] = uint32_t(m1 >> 2);
         flags[i] = uint8_t(m1 & 3);
         poff[i] = pos;
@@ -1973,7 +1981,10 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
                     rebuilt.pop_back();
                     break;
                 }
-                if (rd.pos >= nbits && rebuilt.empty()) return -2;
+                // truncated stream: past-EOF reads return zeros which
+                // can decode to a nonzero symbol forever; -1 here
+                // would make the caller's grow-and-retry loop spin
+                if (rd.pos >= nbits) return -2;
             }
         }
         int64_t start = o;
@@ -2175,7 +2186,10 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
         return int(rd.read(8));
     };
     int64_t nr = rd.read(32);
-    if (nr < 0 || nr > nbits) return -2;  // cheap sanity bound
+    // every rule body costs >= 2 stream bits, so a valid nr is bounded
+    // by the remaining bits; a looser check would let a malformed
+    // count allocate 16*nr bytes (bad_alloc would escape the C ABI)
+    if (nr < 0 || 2 * nr > nbits - rd.pos) return -2;
     std::vector<int64_t> L(static_cast<size_t>(nr));
     std::vector<int64_t> R(static_cast<size_t>(nr));
     for (int64_t i = 0; i < nr; i++) {

@@ -30,7 +30,9 @@ class IntVector:
         arr = (
             np.zeros(0, np.uint64)
             if values is None
-            else np.asarray(values, np.uint64)
+            else np.array(values, np.uint64)  # own copy: set_width /
+            # compress return independent vectors, and a caller's
+            # uint64 array must not alias our mutable storage
         )
         self._check(arr)
         self._data = arr  # canonical unpacked form; packing on demand

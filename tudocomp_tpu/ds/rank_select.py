@@ -45,11 +45,14 @@ class BitVector:
         ).astype(np.int64)  # rank before each block
         self.total_ones = int(self.block_rank[-1])
         self._one_positions = None
+        self._zero_positions = None
 
     def rank1(self, i):
         """Number of 1s in bits[0..i) (exclusive, like the cumulative
         convention; i in [0, n])."""
         i = np.asarray(i, np.int64)
+        if len(self.words) == 0:
+            return np.zeros_like(i)
         block = i >> 6
         off = (i & 63).astype(np.uint64)
         word = self.words[np.minimum(block, len(self.words) - 1)]
@@ -78,9 +81,10 @@ class BitVector:
         return self._one_positions[k - 1]
 
     def select0(self, k):
-        zeros = np.flatnonzero(~self.bits)
+        if self._zero_positions is None:  # cached like select1
+            self._zero_positions = np.flatnonzero(~self.bits)
         k = np.asarray(k, np.int64)
-        return zeros[k - 1]
+        return self._zero_positions[k - 1]
 
 
 class SparseISA:
