@@ -167,3 +167,45 @@ def test_native_rle_decode_rejects_malformed():
     bad2 = np.frombuffer(b"aa" + b"\xff" * 12 + b"\x01", np.uint8)
     with pytest.raises(ValueError):
         native.rle_decode(bad2, 0)
+
+
+def test_huffman_pack_pairing_bit_identical(monkeypatch):
+    """TDC_PACK_PAIR=1 (paired placement) must produce the exact words,
+    bit counts, and container bytes of the unpaired kernel."""
+    from tudocomp_tpu.ops.segpack_pallas import (
+        CAP_BYTES, huffman_pack_segments,
+    )
+
+    rng = np.random.default_rng(7)
+    nc = 16
+    # mixed-entropy rows + per-segment counts covering odd/even tails
+    data = rng.choice(
+        np.frombuffer(b"aabbbcdefgh\x00\xff", np.uint8),
+        size=(nc, CAP_BYTES),
+    ).astype(np.uint8)
+    counts = rng.integers(0, CAP_BYTES + 1, nc).astype(np.int32)
+    counts[0], counts[1], counts[2] = 0, 1, CAP_BYTES
+    pos = np.arange(CAP_BYTES)[None, :]
+    data = np.where(pos < counts[:, None], data, 0).astype(np.uint8)
+    hist = np.bincount(data[pos < counts[:, None]], minlength=256)
+    table = HuffmanTable.from_counts(np.maximum(hist, 1), max_len=16)
+
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("TDC_PACK_PAIR", flag)
+        words, bits = huffman_pack_segments(
+            jnp.asarray(data), jnp.asarray(counts),
+            jnp.asarray(table.sym_code.astype(np.uint32)),
+            jnp.asarray(table.sym_len.astype(np.int32)),
+        )
+        outs[flag] = (np.asarray(words), np.asarray(bits))
+    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+
+    monkeypatch.setenv("TDC_PACK_PAIR", "1")
+    codec = BlockCodec()
+    sample = b"".join(CORPUS)[: 1 << 16]
+    comp = codec.compress(sample)
+    assert codec.decompress(comp) == sample
+    monkeypatch.setenv("TDC_PACK_PAIR", "0")
+    assert BlockCodec().compress(sample) == comp

@@ -88,6 +88,20 @@ def _window() -> int:
     w = int(os.environ.get("TDC_PACK_WINDOW", str(WINDOW)))
     return w if w in (LANES, WINDOW) else WINDOW
 
+
+def _pair() -> bool:
+    """TDC_PACK_PAIR=0 disables paired placement (huffman stage only).
+
+    Pairing fuses lane-adjacent codes (<= 16 bits each, so a pair is
+    <= 32 bits — the same part1+spill shape as a single token) and
+    merges row pairs, halving the placement loop's matmul volume. It
+    needs the full 256-word window: a merged row spans two rows'
+    emission (<= 128 words) past a 128-aligned base (<= 127 words).
+    """
+    import os
+
+    return os.environ.get("TDC_PACK_PAIR", "0") == "1" and _window() == WINDOW
+
 # Accumulator/out widths: max stream words + one window of slack above
 # the last row's aligned base (aligned <= (max_bits >> 12) * 128).
 RLE_WT = 896              # 640 max aligned base + 256 window
@@ -150,10 +164,50 @@ def _seg_excl_offsets(lens, rows_per_seg: int):
     return offs, row_base
 
 
+def _pair_merge(values, lens, offs):
+    """Fuse lane-adjacent tokens and merge row pairs for placement.
+
+    Input tokens must be <= 16 bits. Returns arrays of the same shape
+    whose EVEN rows hold one placement unit per lane: even lanes carry
+    row r's pairs (tokens at lanes 2i, 2i+1 fused into <= 32 bits
+    starting at token 2i's offset), odd lanes carry row r+1's pairs.
+    Odd rows are garbage and must be skipped (placement stride 2).
+
+    Zero-length tokens only occur as a suffix of each segment (masked
+    tail), so a pair never has len_even == 0 with len_odd > 0; a fused
+    pair's value is exactly the two codes' bits concatenated MSB-first,
+    matching the sequential bitstream spec.
+    """
+    rows = values.shape[0]
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    l_odd = pltpu.roll(lens, LANES - 1, 1)  # lane i <- lens[i+1]
+    v_odd = pltpu.roll(values, LANES - 1, 1)
+    mask_e = (_I32(1) << lens) - 1
+    mask_o = (_I32(1) << l_odd) - 1
+    pv = ((values & mask_e) << l_odd) | (v_odd & mask_o)
+    plen = lens + l_odd
+
+    def up(x):  # shift rows up by one: row r <- row r+1
+        return jnp.concatenate(
+            [x[1:], jnp.zeros((1, LANES), x.dtype)], axis=0
+        )
+
+    even_lane = (lane & 1) == 0
+    mv = jnp.where(even_lane, pv, pltpu.roll(up(pv), 1, 1))
+    ml = jnp.where(even_lane, plen, pltpu.roll(up(plen), 1, 1))
+    mo = jnp.where(even_lane, offs, pltpu.roll(up(offs), 1, 1))
+    return mv, ml, mo
+
+
 def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
                        bits_ref, *, rows_per_seg: int, wt: int,
-                       g: int = G):
-    """Place tokens into per-segment accumulators and write word rows."""
+                       g: int = G, stride: int = 1):
+    """Place tokens into per-segment accumulators and write word rows.
+
+    With ``stride=2`` only even rows place (paired layout from
+    ``_pair_merge``); totals still cover every original row because
+    merged row sums equal the two fused rows' bit totals.
+    """
     rows = values.shape[0]
     mask = jnp.where(lens >= 32, _I32(-1), (_I32(1) << lens) - 1)
     v = values & mask
@@ -173,9 +227,10 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     p1_planes = _byte_planes_bf16(part1)
     sp_planes = _byte_planes_bf16(spill)
     window = _window()
+    assert stride == 1 or window == WINDOW
     win_iota = lax.broadcasted_iota(_I32, (window, LANES), 0)
     lane8 = lax.broadcasted_iota(_I32, (8, LANES), 1)
-    for r in range(rows):
+    for r in range(0, rows, stride):
         grp = r // rows_per_seg
         base = jnp.max(row_base[r : r + 1, :])
         planes = jnp.stack(
@@ -236,15 +291,16 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     lens_sum_rows = jnp.sum(lens, axis=1, keepdims=True)  # (rows, 1)
     totals = []
     for gi in range(g):
-        base = row_base[(gi + 1) * rows_per_seg - 1, :1]
-        last = lens_sum_rows[(gi + 1) * rows_per_seg - 1, :1]
+        r_last = (gi + 1) * rows_per_seg - stride
+        base = row_base[r_last, :1]
+        last = lens_sum_rows[r_last, :1]
         totals.append((base + last)[None, :])
     bits = jnp.concatenate(totals, axis=0)  # (g, 1)
     bits_ref[:, :] = jnp.broadcast_to(bits, (g, LANES))
 
 
 def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
-                    acc_ref, *, wt: int, g: int = G):
+                    acc_ref, *, wt: int, g: int = G, pair: bool = False):
     c = pl.program_id(0)
     data = data_ref[...]  # (g*HUF_ROWS, 128) i32 bytes
     table = table_ref[:, :]  # (8, 256) bf16
@@ -275,9 +331,13 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
         cnt = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], cnt)
     lens = jnp.where(pos_in_seg < cnt, lens, 0)
     offs, row_base = _seg_excl_offsets(lens, HUF_ROWS)
+    stride = 1
+    if pair:
+        values, lens, offs = _pair_merge(values, lens, offs)
+        stride = 2
     _place_and_combine(
         values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
-        rows_per_seg=HUF_ROWS, wt=wt, g=g,
+        rows_per_seg=HUF_ROWS, wt=wt, g=g, stride=stride,
     )
 
 
@@ -430,13 +490,13 @@ def huffman_pack_segments(data, counts, sym_code, sym_len, *,
     nc = data.shape[0]
     return _huffman_pack_jit(
         data, counts, sym_code, sym_len, interpret=interpret,
-        g=_group(nc, interpret),
+        g=_group(nc, interpret), pair=_pair(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "g"))
+@functools.partial(jax.jit, static_argnames=("interpret", "g", "pair"))
 def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
-                      interpret: bool, g: int):
+                      interpret: bool, g: int, pair: bool = False):
     nc, n = data.shape
     assert n == CAP_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * HUF_ROWS, LANES)
@@ -450,7 +510,7 @@ def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
         + [jnp.zeros(256, jnp.float32)] * 5,
         axis=0,
     ).astype(jnp.bfloat16)
-    kernel = functools.partial(_huffman_kernel, wt=HUF_WT, g=g)
+    kernel = functools.partial(_huffman_kernel, wt=HUF_WT, g=g, pair=pair)
     words, bits = pl.pallas_call(
         kernel,
         grid=(nc // g,),
