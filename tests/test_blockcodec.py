@@ -209,3 +209,41 @@ def test_huffman_pack_pairing_bit_identical(monkeypatch):
     assert codec.decompress(comp) == sample
     monkeypatch.setenv("TDC_PACK_PAIR", "0")
     assert BlockCodec().compress(sample) == comp
+
+
+def test_rle_pack_pairing_bit_identical(monkeypatch):
+    """With TDC_PACK_PAIR=1 the RLE kernel splits run tokens across the
+    run's last two positions; words and byte counts must be identical."""
+    from tudocomp_tpu.ops.segpack_pallas import (
+        SEG_BYTES, rle_pack_segments,
+    )
+
+    rng = np.random.default_rng(11)
+    nc = 16
+    rows = []
+    for i in range(nc):
+        if i % 4 == 0:  # long runs incl. 2-byte vbytes (len > 129)
+            rows.append(np.repeat(
+                rng.integers(0, 256, 8, dtype=np.uint8), 256))
+        elif i % 4 == 1:  # no runs
+            rows.append(np.arange(SEG_BYTES, dtype=np.uint8))
+        elif i % 4 == 2:  # run-of-2 heavy
+            rows.append(np.repeat(
+                rng.integers(0, 256, SEG_BYTES // 2, dtype=np.uint8), 2))
+        else:  # mixed text-like
+            rows.append(rng.choice(
+                np.frombuffer(b"aab\ncd  eee", np.uint8), size=SEG_BYTES))
+    data = np.stack([r[:SEG_BYTES] for r in rows]).astype(np.uint8)
+    lens = rng.integers(0, SEG_BYTES + 1, nc).astype(np.int32)
+    lens[0], lens[1] = SEG_BYTES, 1
+
+    for offset in (0, 1, 125):
+        outs = {}
+        for flag in ("0", "1"):
+            monkeypatch.setenv("TDC_PACK_PAIR", flag)
+            words, nbytes = rle_pack_segments(
+                jnp.asarray(data), jnp.asarray(lens), offset=offset
+            )
+            outs[flag] = (np.asarray(words), np.asarray(nbytes))
+        np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
+        np.testing.assert_array_equal(outs["0"][0], outs["1"][0])

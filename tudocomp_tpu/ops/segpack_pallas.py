@@ -173,10 +173,11 @@ def _pair_merge(values, lens, offs):
     starting at token 2i's offset), odd lanes carry row r+1's pairs.
     Odd rows are garbage and must be skipped (placement stride 2).
 
-    Zero-length tokens only occur as a suffix of each segment (masked
-    tail), so a pair never has len_even == 0 with len_odd > 0; a fused
-    pair's value is exactly the two codes' bits concatenated MSB-first,
-    matching the sequential bitstream spec.
+    A fused pair's value is the two tokens' bits concatenated MSB-first
+    at the even token's offset, matching the sequential bitstream spec.
+    Zero-length tokens anywhere are fine: with len_even == 0 the pair
+    degenerates to the odd token, and its exclusive offset equals the
+    even lane's (offsets advance by token length).
     """
     rows = values.shape[0]
     lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
@@ -342,7 +343,7 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
 
 
 def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
-                *, offset: int, wt: int, g: int = G):
+                *, offset: int, wt: int, g: int = G, pair: bool = False):
     c = pl.program_id(0)
     data = data_ref[...]  # (g*RLE_ROWS, 128) i32 bytes
     rows = g * RLE_ROWS
@@ -416,14 +417,47 @@ def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
     vb_val = jnp.where(two, (b0 << 8) | b1, b0)
     vb_bits = jnp.where(two, 16, 8)
     cc = (data << 8) | data
-    run_val = (cc << vb_bits) | vb_val
-    values = jnp.where(is_run, run_val, data)
-    lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
+    stride = 1
+    if pair:
+        # Split each run token across the run's last two positions —
+        # the char pair (16 bits) at the penult, the vbyte (8/16 bits)
+        # at the end — so every emission is <= 16 bits. The bitstream
+        # is unchanged (cc precedes vb at consecutive offsets); with
+        # all tokens <= 16 bits the huffman stage's pair+merge halves
+        # the placement loop here too. A run piece has >= 2 positions,
+        # so the penult always exists inside the piece, and a position
+        # is never both a piece end and the next piece's penult (the
+        # next piece would need len >= 2 while starting after it).
+        def from_next(x):
+            r = pltpu.roll(x, LANES - 1, 1)
+            first = jnp.min(
+                jnp.where(lane == 0, x, _I32(1 << 30)),
+                axis=1, keepdims=True,
+            )
+            nr = jnp.concatenate(
+                [first[1:], jnp.zeros((1, 1), _I32)], axis=0
+            )
+            return jnp.where(lane == LANES - 1, nr, r)
+
+        pen = (
+            from_next(is_end.astype(_I32)) & from_next(is_run.astype(_I32))
+        ) == 1
+        values = jnp.where(is_end & is_run, vb_val, data)
+        values = jnp.where(pen, cc, values)
+        lens = jnp.where(is_end, jnp.where(is_run, vb_bits, 8), 0)
+        lens = jnp.where(pen, 16, lens)
+    else:
+        run_val = (cc << vb_bits) | vb_val
+        values = jnp.where(is_run, run_val, data)
+        lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
 
     offs, row_base = _seg_excl_offsets(lens, RLE_ROWS)
+    if pair:
+        values, lens, offs = _pair_merge(values, lens, offs)
+        stride = 2
     _place_and_combine(
         values, lens, offs, row_base, acc_ref, words_ref, bits_ref,
-        rows_per_seg=RLE_ROWS, wt=wt, g=g,
+        rows_per_seg=RLE_ROWS, wt=wt, g=g, stride=stride,
     )
 
 
@@ -440,19 +474,21 @@ def rle_pack_segments(data, lengths, *, offset: int = 0,
     nc = data.shape[0]
     return _rle_pack_jit(
         data, lengths, offset=offset, interpret=interpret,
-        g=_group(nc, interpret),
+        g=_group(nc, interpret), pair=_pair(),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offset", "interpret", "g")
+    jax.jit, static_argnames=("offset", "interpret", "g", "pair")
 )
 def _rle_pack_jit(data, lengths, *, offset: int, interpret: bool,
-                  g: int):
+                  g: int, pair: bool = False):
     nc, n = data.shape
     assert n == SEG_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * RLE_ROWS, LANES)
-    kernel = functools.partial(_rle_kernel, offset=offset, wt=RLE_WT, g=g)
+    kernel = functools.partial(
+        _rle_kernel, offset=offset, wt=RLE_WT, g=g, pair=pair
+    )
     words, bits = pl.pallas_call(
         kernel,
         grid=(nc // g,),
