@@ -311,17 +311,25 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
     pos_in_seg = (row % HUF_ROWS) * LANES + lane
     seg_idx = row // HUF_ROWS
 
-    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
+    # table lookup: one (8,256)x(256, B*128) dot per B-row block instead
+    # of a dot per row — same one-hot volume, 16x fewer MXU issues (the
+    # small-matmul loop is issue-bound, not MAC-bound)
+    B = HUF_ROWS
+    bins_b = lax.broadcasted_iota(_I32, (256, B * LANES), 0)
     his, los, lns = [], [], []
-    for r in range(rows):
-        oh = (bins == data[r][None, :]).astype(jnp.bfloat16)
+    for r0 in range(0, rows, B):
+        flat = jnp.concatenate(
+            [data[r0 + i][None, :] for i in range(B)], axis=1
+        )  # (1, B*128) lane-major row block
+        oh = (bins_b == flat).astype(jnp.bfloat16)
         got = lax.dot_general(
             table, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        his.append(got[0:1, :])
-        los.append(got[1:2, :])
-        lns.append(got[2:3, :])
+        )  # (8, B*128)
+        for i in range(B):
+            his.append(got[0:1, i * LANES : (i + 1) * LANES])
+            los.append(got[1:2, i * LANES : (i + 1) * LANES])
+            lns.append(got[2:3, i * LANES : (i + 1) * LANES])
     hi = jnp.concatenate(his, axis=0).astype(_I32)
     lo = jnp.concatenate(los, axis=0).astype(_I32)
     lens = jnp.concatenate(lns, axis=0).astype(_I32)
