@@ -191,16 +191,18 @@ def test_huffman_pack_pairing_bit_identical(monkeypatch):
     table = HuffmanTable.from_counts(np.maximum(hist, 1), max_len=16)
 
     outs = {}
-    for flag in ("0", "1"):
-        monkeypatch.setenv("TDC_PACK_PAIR", flag)
+    for flag in ("0", "1", "quad"):
+        monkeypatch.setenv("TDC_PACK_PAIR", "1" if flag == "1" else "0")
+        monkeypatch.setenv("TDC_PACK_QUAD", "1" if flag == "quad" else "0")
         words, bits = huffman_pack_segments(
             jnp.asarray(data), jnp.asarray(counts),
             jnp.asarray(table.sym_code.astype(np.uint32)),
             jnp.asarray(table.sym_len.astype(np.int32)),
         )
         outs[flag] = (np.asarray(words), np.asarray(bits))
-    np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
-    np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+    for flag in ("1", "quad"):
+        np.testing.assert_array_equal(outs["0"][1], outs[flag][1])
+        np.testing.assert_array_equal(outs["0"][0], outs[flag][0])
 
     monkeypatch.setenv("TDC_PACK_PAIR", "1")
     codec = BlockCodec()
@@ -239,11 +241,13 @@ def test_rle_pack_pairing_bit_identical(monkeypatch):
 
     for offset in (0, 1, 125):
         outs = {}
-        for flag in ("0", "1"):
-            monkeypatch.setenv("TDC_PACK_PAIR", flag)
+        for flag in ("0", "1", "quad"):
+            monkeypatch.setenv("TDC_PACK_PAIR", "1" if flag == "1" else "0")
+            monkeypatch.setenv("TDC_PACK_QUAD", "1" if flag == "quad" else "0")
             words, nbytes = rle_pack_segments(
                 jnp.asarray(data), jnp.asarray(lens), offset=offset
             )
             outs[flag] = (np.asarray(words), np.asarray(nbytes))
-        np.testing.assert_array_equal(outs["0"][1], outs["1"][1])
-        np.testing.assert_array_equal(outs["0"][0], outs["1"][0])
+        for flag in ("1", "quad"):
+            np.testing.assert_array_equal(outs["0"][1], outs[flag][1])
+            np.testing.assert_array_equal(outs["0"][0], outs[flag][0])

@@ -90,7 +90,7 @@ def _window() -> int:
 
 
 def _pair() -> bool:
-    """TDC_PACK_PAIR=0 disables paired placement (huffman stage only).
+    """TDC_PACK_PAIR=1 enables paired placement.
 
     Pairing fuses lane-adjacent codes (<= 16 bits each, so a pair is
     <= 32 bits — the same part1+spill shape as a single token) and
@@ -101,6 +101,19 @@ def _pair() -> bool:
     import os
 
     return os.environ.get("TDC_PACK_PAIR", "0") == "1" and _window() == WINDOW
+
+
+def _quad() -> bool:
+    """TDC_PACK_QUAD=1 fuses FOUR lane-adjacent tokens per placement
+    unit (<= 64 bits, carried as a word-aligned A/B value pair that
+    shares one one-hot: A at the unit's word, B exactly one word later)
+    and merges four rows, quartering the placement loop at a 384-word
+    window (4 rows emit <= 256 words past a <= 127-word base). Takes
+    precedence over TDC_PACK_PAIR; both produce bit-identical streams.
+    """
+    import os
+
+    return os.environ.get("TDC_PACK_QUAD", "0") == "1" and _window() == WINDOW
 
 # Accumulator/out widths: max stream words + one window of slack above
 # the last row's aligned base (aligned <= (max_bits >> 12) * 128).
@@ -198,6 +211,156 @@ def _pair_merge(values, lens, offs):
     ml = jnp.where(even_lane, plen, pltpu.roll(up(plen), 1, 1))
     mo = jnp.where(even_lane, offs, pltpu.roll(up(offs), 1, 1))
     return mv, ml, mo
+
+
+def _quad_merge(values, lens, offs):
+    """Fuse four lane-adjacent tokens (<= 16 bits each) into one unit
+    and merge row quads. Returns ``(vA, lA, vB, lB, offs_m)`` whose rows
+    with ``r % 4 == 0`` hold one unit per lane: lane ``4i+k`` carries
+    the quad of original row ``r+k`` at lanes ``[4i, 4i+4)``. A unit's
+    bits are the four tokens' MSB-first concatenation (<= 64 bits)
+    split word-aligned: A = the first ``min(32, total)`` bits at the
+    unit's offset, B = the rest at offset+32, so B's word is exactly
+    A's + 1 and its in-word bit position equals A's.
+    """
+    rows = values.shape[0]
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    # lane pairing (pairs at even lanes; token lens <= 16)
+    l_o = pltpu.roll(lens, LANES - 1, 1)
+    v_o = pltpu.roll(values, LANES - 1, 1)
+    pv = ((values & ((_I32(1) << lens) - 1)) << l_o) | (
+        v_o & ((_I32(1) << l_o) - 1)
+    )
+    pl_ = lens + l_o  # <= 32
+    # pair-of-pairs: quads at lanes % 4 == 0
+    p2v = pltpu.roll(pv, LANES - 2, 1)
+    p2l = pltpu.roll(pl_, LANES - 2, 1)
+    qlen = pl_ + p2l  # <= 64
+    la = jnp.minimum(qlen, 32)
+    lb = qlen - la
+    fits = qlen <= 32
+    # fits: A = pv ++ p2v right-aligned. p2l = 32 forces pl_ = 0.
+    va_f = _shl32(pv, p2l) | (p2v & _mask32(p2l))
+    # else: A = pv's pl_ bits then p2v's top 32-pl_ bits (pl_ >= 1
+    # here, since p2l <= 32 alone cannot exceed 32)
+    va_s = _shl32(pv, 32 - pl_) | _shr32(p2v, qlen - 32)
+    va = jnp.where(fits, va_f, va_s)
+    vb = jnp.where(fits, _I32(0), p2v & _mask32(lb))
+
+    def upk(x, k):
+        return jnp.concatenate(
+            [x[k:], jnp.zeros((k, LANES), x.dtype)], axis=0
+        )
+
+    lm = lane & 3
+    outs = []
+    for x in (va, la, vb, lb, offs):
+        m = x
+        for k in (1, 2, 3):
+            m = jnp.where(lm == k, pltpu.roll(upk(x, k), k, 1), m)
+        outs.append(m)
+    return tuple(outs)
+
+
+def _mask32(l):
+    """(1 << l) - 1 for l in [0, 32] without shift UB."""
+    return jnp.where(
+        l >= 32, _I32(-1), (_I32(1) << jnp.clip(l, 0, 31)) - 1
+    )
+
+
+def _shl32(x, n):
+    return jnp.where(n >= 32, _I32(0), x << jnp.clip(n, 0, 31))
+
+
+def _shr32(x, n):
+    return jnp.where(n >= 32, _I32(0), _srl(x, jnp.clip(n, 0, 31)))
+
+
+def _parts(values, lens, bitpos):
+    """part1 (bits landing in the token's word) and spill (bits landing
+    one word later) for tokens of lens in [0, 32] at bit position
+    ``bitpos`` — the single-token placement math, factored out."""
+    v = values & _mask32(lens)
+    sh = 32 - bitpos - lens
+    lsh = jnp.clip(sh, 0, 31)
+    rsh = jnp.clip(-sh, 0, 31)
+    part1 = jnp.where(sh >= 0, v << lsh, _srl(v, rsh))
+    spill = jnp.where(
+        sh < 0,
+        (v & ((_I32(1) << rsh) - 1)) << ((32 - rsh) & 31),
+        _I32(0),
+    )
+    return part1, spill
+
+
+def _place_quad(va, la, vb, lb, offs, row_base, acc_ref, out_ref,
+                bits_ref, *, rows_per_seg: int, wt: int, g: int):
+    """Quad placement: one one-hot per unit covers three word slots —
+    set0 = A's part1 at w0, set1 = A's spill | B's part1 at w0+1 (bit-
+    disjoint: B nonempty forces lA = 32, so A's spill is [0, bitpos)
+    and B's part1 is [bitpos, ..)), set2 = B's spill at w0+2. 12 byte
+    planes per unit row; final words = set0 | roll(set1,1) | roll(set2,2).
+    """
+    rows = va.shape[0]
+    window = 3 * LANES
+    bitpos = offs & 31
+    p1a, spa = _parts(va, la, bitpos)
+    p1b, spb = _parts(vb, lb, bitpos)
+    mid = spa | p1b
+    w0 = _srl(offs, 5)
+
+    acc_ref[:, :] = jnp.zeros((g * 12, wt), jnp.float32)
+    a_planes = _byte_planes_bf16(p1a)
+    m_planes = _byte_planes_bf16(mid)
+    b_planes = _byte_planes_bf16(spb)
+    win_iota = lax.broadcasted_iota(_I32, (window, LANES), 0)
+    for r in range(0, rows, 4):
+        grp = r // rows_per_seg
+        base = jnp.max(row_base[r : r + 1, :])
+        planes = jnp.stack(
+            [p[r] for p in a_planes]
+            + [p[r] for p in m_planes]
+            + [p[r] for p in b_planes],
+            axis=0,
+        )  # (12, 128)
+        aligned = (base >> 12) * 128
+        w0_local = w0[r][None, :] - aligned
+        oh = (win_iota == w0_local).astype(jnp.bfloat16)
+        acc_ref[
+            grp * 12 : (grp + 1) * 12,
+            pl.ds(pl.multiple_of(aligned, LANES), window),
+        ] += lax.dot_general(
+            planes, oh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = acc_ref[:, :].astype(_I32).reshape(g, 12, wt)
+
+    def words(k):
+        return (
+            (acc[:, k, :] << 24) | (acc[:, k + 1, :] << 16)
+            | (acc[:, k + 2, :] << 8) | acc[:, k + 3, :]
+        )
+
+    lane_iota = lax.broadcasted_iota(_I32, (g, wt), 1)
+    w_m = jnp.where(
+        lane_iota == 0, _I32(0), pltpu.roll(words(4), 1, 1)
+    )
+    w_b = jnp.where(
+        lane_iota < 2, _I32(0), pltpu.roll(words(8), 2, 1)
+    )
+    out_ref[:, :] = words(0) | w_m | w_b
+
+    lens_sum_rows = jnp.sum(la + lb, axis=1, keepdims=True)
+    totals = []
+    for gi in range(g):
+        r_last = (gi + 1) * rows_per_seg - 4
+        base = row_base[r_last, :1]
+        last = lens_sum_rows[r_last, :1]
+        totals.append((base + last)[None, :])
+    bits = jnp.concatenate(totals, axis=0)  # (g, 1)
+    bits_ref[:, :] = jnp.broadcast_to(bits, (g, LANES))
 
 
 def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
@@ -301,7 +464,8 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
 
 
 def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
-                    acc_ref, *, wt: int, g: int = G, pair: bool = False):
+                    acc_ref, *, wt: int, g: int = G, pair: bool = False,
+                    quad: bool = False):
     c = pl.program_id(0)
     data = data_ref[...]  # (g*HUF_ROWS, 128) i32 bytes
     table = table_ref[:, :]  # (8, 256) bf16
@@ -340,6 +504,13 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
         cnt = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], cnt)
     lens = jnp.where(pos_in_seg < cnt, lens, 0)
     offs, row_base = _seg_excl_offsets(lens, HUF_ROWS)
+    if quad:
+        va, la, vb, lb, offs_m = _quad_merge(values, lens, offs)
+        _place_quad(
+            va, la, vb, lb, offs_m, row_base, acc_ref, words_ref,
+            bits_ref, rows_per_seg=HUF_ROWS, wt=wt, g=g,
+        )
+        return
     stride = 1
     if pair:
         values, lens, offs = _pair_merge(values, lens, offs)
@@ -351,7 +522,8 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
 
 
 def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
-                *, offset: int, wt: int, g: int = G, pair: bool = False):
+                *, offset: int, wt: int, g: int = G, pair: bool = False,
+                quad: bool = False):
     c = pl.program_id(0)
     data = data_ref[...]  # (g*RLE_ROWS, 128) i32 bytes
     rows = g * RLE_ROWS
@@ -426,7 +598,7 @@ def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
     vb_bits = jnp.where(two, 16, 8)
     cc = (data << 8) | data
     stride = 1
-    if pair:
+    if pair or quad:
         # Split each run token across the run's last two positions —
         # the char pair (16 bits) at the penult, the vbyte (8/16 bits)
         # at the end — so every emission is <= 16 bits. The bitstream
@@ -460,6 +632,13 @@ def _rle_kernel(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
         lens = jnp.where(is_end, jnp.where(is_run, 16 + vb_bits, 8), 0)
 
     offs, row_base = _seg_excl_offsets(lens, RLE_ROWS)
+    if quad:
+        va, la, vb, lb, offs_m = _quad_merge(values, lens, offs)
+        _place_quad(
+            va, la, vb, lb, offs_m, row_base, acc_ref, words_ref,
+            bits_ref, rows_per_seg=RLE_ROWS, wt=wt, g=g,
+        )
+        return
     if pair:
         values, lens, offs = _pair_merge(values, lens, offs)
         stride = 2
@@ -482,20 +661,20 @@ def rle_pack_segments(data, lengths, *, offset: int = 0,
     nc = data.shape[0]
     return _rle_pack_jit(
         data, lengths, offset=offset, interpret=interpret,
-        g=_group(nc, interpret), pair=_pair(),
+        g=_group(nc, interpret), pair=_pair(), quad=_quad(),
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offset", "interpret", "g", "pair")
+    jax.jit, static_argnames=("offset", "interpret", "g", "pair", "quad")
 )
 def _rle_pack_jit(data, lengths, *, offset: int, interpret: bool,
-                  g: int, pair: bool = False):
+                  g: int, pair: bool = False, quad: bool = False):
     nc, n = data.shape
     assert n == SEG_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * RLE_ROWS, LANES)
     kernel = functools.partial(
-        _rle_kernel, offset=offset, wt=RLE_WT, g=g, pair=pair
+        _rle_kernel, offset=offset, wt=RLE_WT, g=g, pair=pair, quad=quad
     )
     words, bits = pl.pallas_call(
         kernel,
@@ -515,7 +694,9 @@ def _rle_pack_jit(data, lengths, *, offset: int, interpret: bool,
             jax.ShapeDtypeStruct((nc, RLE_WT), jnp.int32),
             jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((g * 8, RLE_WT), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((g * (12 if quad else 8), RLE_WT), jnp.float32)
+        ],
         interpret=interpret,
     )(lengths.astype(_I32), data_i)
     return (
@@ -534,13 +715,16 @@ def huffman_pack_segments(data, counts, sym_code, sym_len, *,
     nc = data.shape[0]
     return _huffman_pack_jit(
         data, counts, sym_code, sym_len, interpret=interpret,
-        g=_group(nc, interpret), pair=_pair(),
+        g=_group(nc, interpret), pair=_pair(), quad=_quad(),
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "g", "pair"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "g", "pair", "quad")
+)
 def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
-                      interpret: bool, g: int, pair: bool = False):
+                      interpret: bool, g: int, pair: bool = False,
+                      quad: bool = False):
     nc, n = data.shape
     assert n == CAP_BYTES and nc % g == 0
     data_i = data.astype(_I32).reshape(nc * HUF_ROWS, LANES)
@@ -554,7 +738,9 @@ def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
         + [jnp.zeros(256, jnp.float32)] * 5,
         axis=0,
     ).astype(jnp.bfloat16)
-    kernel = functools.partial(_huffman_kernel, wt=HUF_WT, g=g, pair=pair)
+    kernel = functools.partial(
+        _huffman_kernel, wt=HUF_WT, g=g, pair=pair, quad=quad
+    )
     words, bits = pl.pallas_call(
         kernel,
         grid=(nc // g,),
@@ -574,7 +760,9 @@ def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
             jax.ShapeDtypeStruct((nc, HUF_WT), jnp.int32),
             jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((g * 8, HUF_WT), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((g * (12 if quad else 8), HUF_WT), jnp.float32)
+        ],
         interpret=interpret,
     )(counts.astype(_I32), data_i, table)
     return lax.bitcast_convert_type(words, jnp.uint32), bits[:, 0]
