@@ -10,6 +10,8 @@ for v in \
     "TDC_PACK_PAIR=0" \
     "TDC_PACK_PAIR=1" \
     "TDC_PACK_PAIR=1 TDC_PACK_GROUP=16" \
+    "TDC_PACK_QUAD=1" \
+    "TDC_PACK_QUAD=1 TDC_PACK_GROUP=16" \
     "TDC_PACK_PAIR=0 TDC_PACK_WINDOW=128" \
     ; do
     echo "=== $v (corpus ${MB}MiB) ==="
