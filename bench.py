@@ -149,7 +149,8 @@ def main() -> None:
     # Segments are sorted by payload so each batch runs the shortest
     # static step bucket that fits it (decode cost is linear in steps).
     DEC_LANES = min(32768, -(-nseg_total // 8192) * 8192)
-    need = needed_steps(pbytes, counts)
+    dec_d = t.get("d", 11)
+    need = needed_steps(pbytes, counts, dec_d)
     order = np.argsort(need, kind="stable")
     for lo in range(0, nseg_total, DEC_LANES):
         idx = order[lo : lo + DEC_LANES]
@@ -167,7 +168,7 @@ def main() -> None:
     def decode_device_kernels():
         outs = [
             decode_segments_pallas(
-                f, c, h, r, thresh, offs, masks, offset=0
+                f, c, h, r, thresh, offs, masks, offset=0, d=dec_d
             )
             for f, c, h, r in feeds
         ]

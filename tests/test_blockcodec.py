@@ -251,3 +251,31 @@ def test_rle_pack_pairing_bit_identical(monkeypatch):
         for flag in ("1", "quad"):
             np.testing.assert_array_equal(outs["0"][1], outs[flag][1])
             np.testing.assert_array_equal(outs["0"][0], outs[flag][0])
+
+
+def test_min_code_len_4_schedule(monkeypatch):
+    """TDC_MIN_CODE_LEN=4 builds a table whose shortest code is 4 bits;
+    decoder_tables then selects the 8-slot schedule and both device
+    decoders roundtrip with it."""
+    from tudocomp_tpu.ops.hufdec_jax import decoder_tables
+
+    monkeypatch.setenv("TDC_MIN_CODE_LEN", "4")
+    codec = BlockCodec()
+    rng = np.random.default_rng(9)
+    data = (
+        b"".join(CORPUS)[: 3 * 2048 + 100]
+        + np.repeat(rng.integers(0, 200, 40, dtype=np.uint8), 150).tobytes()
+        + bytes(rng.integers(0, 256, 2048, dtype=np.uint8))
+    )
+    comp = codec.compress(data)
+    from tudocomp_tpu.ops.hufdec_jax import slots_for
+
+    tbl = codec._parse(comp)[0]
+    mn = int(tbl.lengths.min())
+    assert mn >= 4
+    d = decoder_tables(tbl)["d"]
+    assert d == slots_for(mn) and d <= 8
+    assert codec.decompress(comp) == data  # host/native path
+    for kernel in ("scan", "pallas"):
+        monkeypatch.setenv("TDC_DEC_KERNEL", kernel)
+        assert codec.decompress_device(comp) == data, kernel

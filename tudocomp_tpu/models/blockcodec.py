@@ -49,6 +49,7 @@ from tudocomp_tpu.ops.segpack_pallas import (
 )
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
 from tudocomp_tpu.ops.hufdec_jax import (
+    D as DEC_D,
     DEC_STEPS,
     SEG,
     SEG_CAP,
@@ -228,8 +229,15 @@ class BlockCodec:
             return None
         # 16-bit cap: packer tokens. min 3: the TPU decoder drains
         # D=11 slots * 3 bits >= 32 bits per feed word (hufdec_jax.py);
-        # forcing 3 over 2 costs <0.2% ratio post-RLE and cuts slots 31%
-        return HuffmanTable.from_counts(hist, max_len=16, min_len=3)
+        # forcing 3 over 2 costs <0.2% ratio post-RLE and cuts slots 31%.
+        # TDC_MIN_CODE_LEN=4 trades ~1.5% payload for an 8-slot decode
+        # schedule (decoder_tables derives slots from the table itself).
+        import os
+
+        mn = int(os.environ.get("TDC_MIN_CODE_LEN", "3"))
+        return HuffmanTable.from_counts(
+            hist, max_len=16, min_len=min(max(mn, 3), 8)
+        )
 
     @staticmethod
     def _device_table(table):
@@ -424,6 +432,7 @@ class BlockCodec:
                 "offs": np.zeros(16, np.int32),
                 "masks": np.zeros((8, 8), np.int32),
             }
+        d = t.get("d", DEC_D)
         thresh = jnp.asarray(t["thresh"])
         offs = jnp.asarray(t["offs"])
         masks = jnp.asarray(t["masks"])
@@ -444,7 +453,7 @@ class BlockCodec:
                 unpack_records,
             )
 
-        need = needed_steps(pbytes, counts)
+        need = needed_steps(pbytes, counts, d)
         order = np.argsort(need, kind="stable")
         all_out_lens = np.minimum(
             np.full(nseg, SEG, np.int64),
@@ -467,13 +476,14 @@ class BlockCodec:
             if kernel == "pallas":
                 packed = decode_segments_pallas(
                     feed, bc, hrw, rrw, thresh, offs, masks,
-                    offset=offset,
+                    offset=offset, d=d,
                 )
                 chars, ends = unpack_records(np.asarray(packed))
             else:
                 chars, ends = decode_segments(
                     jnp.asarray(feed), jnp.asarray(bc), jnp.asarray(hrw),
                     jnp.asarray(rrw), thresh, offs, masks, offset=offset,
+                    d=d,
                 )
             out_lens = np.zeros(b, np.int64)
             out_lens[: idx.size] = all_out_lens[idx]

@@ -73,7 +73,7 @@ def _srl(x, n):
 
 def _decode_kernel(thresh_ref, offs_ref, masks_ref, feed_ref, counts_ref,
                    raw_ref, rleraw_ref, out_ref, state_ref, *,
-                   offset: int, steps: int):
+                   offset: int, steps: int, d: int = D):
     c = pl.program_id(1)
 
     @pl.when(c == 0)
@@ -109,7 +109,7 @@ def _decode_kernel(thresh_ref, offs_ref, masks_ref, feed_ref, counts_ref,
         )
         bits = bits + jnp.where(refill, 32, 0)
 
-        for d in range(D):
+        for slot_i in range(d):
             win = _srl(hi, 16)
             ln = jnp.ones((SUB, LANES), _I32)
             for l in range(16):
@@ -172,7 +172,7 @@ def _decode_kernel(thresh_ref, offs_ref, masks_ref, feed_ref, counts_ref,
             )
             armed = jnp.where(valid & ~is_vb, byte, armed)
             out_end = jnp.minimum(out_end + delta, SEG)
-            out_ref[0, pl.ds((t * D + d) * SUB, SUB), :] = (
+            out_ref[0, pl.ds((t * d + slot_i) * SUB, SUB), :] = (
                 (char << 16) | out_end
             )
         return (hi, lo, bits, done, armed, vb_pend, vb_char, vb_acc,
@@ -185,14 +185,15 @@ def _decode_kernel(thresh_ref, offs_ref, masks_ref, feed_ref, counts_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("offset", "steps", "interpret")
+    jax.jit, static_argnames=("offset", "steps", "interpret", "d")
 )
 def _decode_pallas_jit(feed, counts, raw, rleraw, thresh, offs, masks,
-                       *, offset: int, steps: int, interpret: bool):
+                       *, offset: int, steps: int, interpret: bool,
+                       d: int = D):
     b = feed.shape[0]
     assert steps % CH == 0 and feed.shape[1] == steps * SUB
     kernel = functools.partial(
-        _decode_kernel, offset=offset, steps=steps
+        _decode_kernel, offset=offset, steps=steps, d=d
     )
     out = pl.pallas_call(
         kernel,
@@ -210,9 +211,9 @@ def _decode_pallas_jit(feed, counts, raw, rleraw, thresh, offs, masks,
             pl.BlockSpec((1, SUB, LANES), lambda i, c: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, CH * D * SUB, LANES), lambda i, c: (i, c, 0)
+            (1, CH * d * SUB, LANES), lambda i, c: (i, c, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, steps * D * SUB, LANES), _I32),
+        out_shape=jax.ShapeDtypeStruct((b, steps * d * SUB, LANES), _I32),
         scratch_shapes=[pltpu.VMEM((9 * SUB, LANES), _I32)],
         interpret=interpret,
     )(thresh, offs, masks, feed, counts, raw, rleraw)
@@ -221,9 +222,9 @@ def _decode_pallas_jit(feed, counts, raw, rleraw, thresh, offs, masks,
 
 def decode_segments_pallas(feed, counts, raw_flags, rle_raw_flags,
                            thresh, offs, masks, *, offset: int = 0,
-                           interpret: bool | None = None):
+                           interpret: bool | None = None, d: int = D):
     """Drop-in decoder: feed u32[nseg, steps] (steps in P_BUCKETS,
-    nseg % 1024 == 0) -> packed records i32[B, steps*D*8, 128] on
+    nseg % 1024 == 0) -> packed records i32[B, steps*d*8, 128] on
     device. Unpack on the host with :func:`unpack_records`."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -245,7 +246,7 @@ def decode_segments_pallas(feed, counts, raw_flags, rle_raw_flags,
         feed_p, tile(counts), tile(raw_flags), tile(rle_raw_flags),
         jnp.asarray(thresh, _I32), jnp.asarray(offs, _I32),
         jnp.asarray(masks, _I32).reshape(64),
-        offset=offset, steps=steps, interpret=interpret,
+        offset=offset, steps=steps, interpret=interpret, d=d,
     )
 
 

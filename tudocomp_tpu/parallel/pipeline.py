@@ -90,7 +90,7 @@ def sharded_huff_stage(mesh: Mesh, rows, counts, sym_code, sym_len):
 
 
 def sharded_decode_stage(mesh: Mesh, feed, counts, hraw, rleraw, thresh,
-                         offs, masks, *, offset: int):
+                         offs, masks, *, offset: int, d: int = 11):
     """Lockstep segment decode sharded over the mesh (XLA scan decoder;
     every segment is independently framed, so decode needs **zero**
     cross-chip communication — the tables are replicated arguments)."""
@@ -110,7 +110,7 @@ def sharded_decode_stage(mesh: Mesh, feed, counts, hraw, rleraw, thresh,
 
         return decode_segments(
             feed, counts, hraw, rleraw, thresh, offs, masks,
-            offset=offset,
+            offset=offset, d=d,
         )
 
     return jax.jit(fn)(feed, counts, hraw, rleraw, thresh, offs, masks)
@@ -146,7 +146,8 @@ def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
         }
     nseg = counts.shape[0]
     pad_to = -(-nseg // mesh.size) * mesh.size
-    steps = snap_steps(int(needed_steps(pbytes, counts).max()))
+    d = t.get("d", 11)
+    steps = snap_steps(int(needed_steps(pbytes, counts, d).max()))
     flat = np.frombuffer(data, np.uint8)
     feed, bc, hrw, rrw = build_feed(
         flat, np.arange(nseg), counts, flags, poff, pbytes, steps,
@@ -160,7 +161,7 @@ def decompress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
         jax.device_put(jnp.asarray(hrw), s),
         jax.device_put(jnp.asarray(rrw), s),
         jnp.asarray(t["thresh"]), jnp.asarray(t["offs"]),
-        jnp.asarray(t["masks"]), offset=offset,
+        jnp.asarray(t["masks"]), offset=offset, d=d,
     )
     out_lens = np.minimum(
         np.full(pad_to, SEG, np.int64),
