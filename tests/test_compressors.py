@@ -57,8 +57,10 @@ def test_bwt_known():
     assert comp.decompress(b"annb\x00aa") == b"banana\x00"
 
 
-@pytest.mark.parametrize("coder", NON_CONSUMING)
+@pytest.mark.parametrize("coder", UNIVERSAL)
 def test_lzss_window(coder):
+    # the reference registers lzss with universal coders only
+    # (registry_config.py:236)
     assert_roundtrip_batch(f"lzss({coder})")
 
 
@@ -67,13 +69,16 @@ def test_lzss_options():
     assert_roundtrip_batch("lzss(bit, window=64)")
 
 
-@pytest.mark.parametrize("coder", NON_CONSUMING + ["sle"])
+@pytest.mark.parametrize("coder", NON_CONSUMING)
 def test_lzss_lcp(coder):
+    # non-consuming coders only, like the reference
+    # (registry_config.py:235)
     assert_roundtrip_batch(f"lzss_lcp({coder})")
 
 
-@pytest.mark.parametrize("coder", ["bit", "gamma", "huff"])
+@pytest.mark.parametrize("coder", ["bit", "gamma", "ternary"])
 def test_lz78(coder):
+    # universal coders only, like the reference (registry_config.py:232)
     assert_roundtrip_batch(f"lz78(coder={coder})")
 
 

@@ -56,7 +56,7 @@ def test_comp_strategy_equivalence():
     data = _data()
     sizes = {}
     for comp in ("heap", "max_lcp", "arrays"):
-        algo = f"lcpcomp(coder=bit,comp={comp})"
+        algo = f"lcpcomp(coder=huff,comp={comp})"
         blob = cli.compress(algo, data, raw=True)
         assert cli.decompress(blob, algo) == data
         sizes[comp] = len(blob)
@@ -81,7 +81,7 @@ def test_strategy_equivalence_claims():
     for data in corpora:
         outs = {}
         for comp in ("arrays", "heap", "max_lcp", "plcp", "plcppeaks"):
-            spec = f"lcpcomp(coder=bit,threshold=5,comp={comp})"
+            spec = f"lcpcomp(coder=huff,threshold=5,comp={comp})"
             c = REGISTRY.instantiate(spec)
             enc = c.compress(data)
             assert REGISTRY.instantiate(spec).decompress(enc) == data

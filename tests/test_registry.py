@@ -144,3 +144,25 @@ def test_create_algo(reg):
 def test_doc_listing(reg):
     listing = reg.doc_listing()
     assert "dc" in listing and "coder: coder" in listing
+
+
+def test_accepts_enforced_at_instantiation():
+    """Combinations outside a submeta's ``accepts`` list do not exist in
+    the reference's static registry (e.g. the consuming arithmetic coder
+    inside lcpcomp, registry_config.py:138-142) and must be rejected up
+    front, not fail later with a misaligned stream."""
+    from tudocomp_tpu.compressors import REGISTRY
+
+    for spec in (
+        "lcpcomp(coder=arithmetic)",
+        "lz78(coder=huff)",
+        "lzw(coder=arithmetic)",
+        "lzss(coder=sle)",
+        "lzss_lcp(coder=arithmetic)",
+        "repair(coder=sle)",
+    ):
+        with pytest.raises(ValueError, match="not accepted"):
+            REGISTRY.instantiate(spec)
+    # the legal neighbours still instantiate
+    REGISTRY.instantiate("lcpcomp(coder=sle)")
+    REGISTRY.instantiate("lzss_lcp(coder=huff)")

@@ -101,6 +101,18 @@ class Registry:
                         f"{node.name}: option {decl.name!r} needs an "
                         f"algorithm of type {decl.accepted_type!r}"
                     )
+                # the reference's static registry simply does not contain
+                # combinations outside the declared sub-lists (e.g. the
+                # consuming arithmetic coder inside lcpcomp,
+                # registry_config.py:138-142); reject them here instead of
+                # failing later with a misaligned stream
+                if decl.accepts is not None and val.name not in decl.accepts:
+                    raise ValueError(
+                        f"{node.name}: {decl.accepted_type} "
+                        f"{val.name!r} is not accepted for option "
+                        f"{decl.name!r} (accepted: "
+                        f"{', '.join(decl.accepts)})"
+                    )
                 sub_env = self._eval_node(val, decl.accepted_type)
                 options[decl.name] = OptionValue(
                     algo_cls=sub_env.cls, sub_env=sub_env
