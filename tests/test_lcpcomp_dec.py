@@ -7,7 +7,9 @@ import pytest
 from tudocomp_tpu import cli
 from tudocomp_tpu.registry import REGISTRY, create_algo
 import tudocomp_tpu.compressors  # noqa: F401
-from tudocomp_tpu.compressors.lcpcomp import CompactDec, ScanDec
+from tudocomp_tpu.compressors.lcpcomp import (
+    CompactDec, MultimapListBuffer, QueueListBuffer, ScanDec,
+)
 
 
 def _data():
@@ -21,7 +23,9 @@ def _data():
 
 def test_scan_and_compact_agree():
     data = _data()
-    for dec in ("scan", "scan(rounds=1)", "scan(rounds=2)", "compact"):
+    for dec in ("scan", "scan(rounds=1)", "scan(rounds=2)", "compact",
+                "MultimapListBuffer", "MultimapListBuffer(lazy=2)",
+                "QueueListBuffer"):
         algo = f"lcpcomp(coder=huff,dec={dec})"
         blob = cli.compress(algo, data, raw=True)
         assert cli.decompress(blob, algo) == data, dec
@@ -33,10 +37,31 @@ def test_compact_resolve_forward_chain():
     lits = np.frombuffer(b"abcd", np.uint8)
     lit_pos = np.arange(4)
     factors = [(4, 8, 4), (8, 0, 4)]
-    for strat_cls in (ScanDec, CompactDec):
+    for strat_cls in (ScanDec, CompactDec, MultimapListBuffer,
+                      QueueListBuffer):
         strat = create_algo(strat_cls)
         out = strat.resolve(12, lits, lit_pos, factors)
         assert out == b"abcdabcdabcd", strat_cls.__name__
+
+
+def test_multimap_lazy_rounds_and_chase():
+    # depth-3 forward chain: lazy=1 resolves one level per sweep, the
+    # rest must go through the eager waiter chase
+    lits = np.frombuffer(b"ab", np.uint8)
+    lit_pos = np.arange(2)
+    factors = [(2, 6, 2), (4, 8, 2), (6, 0, 2), (8, 0, 2)]
+    for spec in ("lazy=0", "lazy=1", "lazy=5"):
+        strat = create_algo(MultimapListBuffer, spec)
+        assert strat.resolve(10, lits, lit_pos, factors) == b"ab" * 5, spec
+
+
+def test_queuelist_rejects_cycle():
+    lits = np.frombuffer(b"a", np.uint8)
+    lit_pos = np.array([0])
+    factors = [(1, 2, 1), (2, 1, 1)]  # 1 <-> 2 cycle
+    strat = create_algo(QueueListBuffer)
+    with pytest.raises(ValueError):
+        strat.resolve(3, lits, lit_pos, factors)
 
 
 def test_scan_rounds_chase_path():

@@ -15,8 +15,11 @@ Compression strategies (``comp=``):
 - ``naive``: rescan for the max each round (reference
   ``compress/NaiveStrategy.hpp``)
 
-Decompression strategies (``dec=``): ``scan`` (default) and ``compact``.
-Both use the TPU-native re-derivation of the reference's chain-chasing
+Decompression strategies (``dec=``): ``scan`` (default), ``compact``,
+``MultimapListBuffer(lazy)`` (lazy sweep rounds + eager chase) and
+``QueueListBuffer`` (breadth-parallel eager fixpoint) — the reference's
+full registered set (``etc/registry_config.py:160-163``).  scan/compact
+use the TPU-native re-derivation of the reference's chain-chasing
 (``decompress/ScanDec.hpp:61-120``): every factor-covered position maps
 to its source position, and the mapping is resolved to literal roots by
 **pointer doubling** — O(log chain) vectorized rounds instead of the
@@ -382,6 +385,93 @@ class CompactDec(Algorithm):
         return buf.tobytes()
 
 
+def _waiter_chase(buf, known, mapping, pending) -> None:
+    """Eager waiter-bucket chase: every unresolved position waits on its
+    source; arriving bytes propagate depth-first (the recursion in the
+    reference's ``decode_literal_at``).  Mutates ``buf``/``known``."""
+    waiters: dict[int, list[int]] = {}
+    for t in pending.tolist():
+        waiters.setdefault(int(mapping[t]), []).append(int(t))
+    stack = [s for s in waiters if known[s]]
+    while stack:
+        q = stack.pop()
+        for t in waiters.pop(q, ()):
+            if not known[t]:
+                buf[t] = buf[q]
+                known[t] = True
+                if t in waiters:
+                    stack.append(t)
+    if not known.all():
+        raise ValueError("unresolvable factor chain")
+
+
+class MultimapListBuffer(Algorithm):
+    """Lazy-round forward-waiter resolution (reference
+    ``decompress/MultiMapBuffer.hpp:65-150``): ``lazy`` propagation
+    passes copy every byte whose source is already decoded (the
+    reference's ``decode_lazy_`` factor sweep, vectorized here), then
+    the remaining deep chains resolve through the eager chase the
+    reference implements with a src->target ``unordered_multimap``."""
+
+    @classmethod
+    def meta(cls):
+        m = Meta("lcpcomp_dec", "MultimapListBuffer",
+                 "Lazy multimap-buffered decoding")
+        m.option_dynamic("lazy", 0)
+        return m
+
+    def resolve(self, n, literals, lit_positions, factors) -> bytes:
+        lazy = max(0, self.env.option("lazy").as_int())
+        buf = np.zeros(n, np.uint8)
+        known = np.zeros(n, bool)
+        buf[lit_positions] = literals
+        known[lit_positions] = True
+        mapping = _factor_mapping(n, factors)
+        pending = np.flatnonzero(mapping >= 0)
+        for _ in range(lazy):
+            if not pending.size:
+                break
+            ready = known[mapping[pending]]
+            hit = pending[ready]
+            buf[hit] = buf[mapping[hit]]
+            known[hit] = True
+            pending = pending[~ready]
+        if pending.size:
+            _waiter_chase(buf, known, mapping, pending)
+        return buf.tobytes()
+
+
+class QueueListBuffer(Algorithm):
+    """Fully-eager forward-list resolution (reference
+    ``decompress/DecodeQueueListBuffer.hpp:35-76``): breadth-parallel
+    value propagation — each round copies every byte whose source
+    became known, iterated to the fixpoint; the reference walks the
+    same dependency DAG depth-first through per-position forward
+    lists."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("lcpcomp_dec", "QueueListBuffer",
+                    "Forward-pointing factors stored in lists")
+
+    def resolve(self, n, literals, lit_positions, factors) -> bytes:
+        buf = np.zeros(n, np.uint8)
+        known = np.zeros(n, bool)
+        buf[lit_positions] = literals
+        known[lit_positions] = True
+        mapping = _factor_mapping(n, factors)
+        pending = np.flatnonzero(mapping >= 0)
+        while pending.size:
+            ready = known[mapping[pending]]
+            if not ready.any():
+                raise ValueError("unresolvable factor chain")
+            hit = pending[ready]
+            buf[hit] = buf[mapping[hit]]
+            known[hit] = True
+            pending = pending[~ready]
+        return buf.tobytes()
+
+
 def resolve_factors(n: int, literals, lit_positions, factors,
                     strategy=None) -> bytes:
     """Resolve possibly-forward factor references via the configured
@@ -493,5 +583,6 @@ class LCPCompressor(Compressor):
 
 for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, MaxLCPStrategy,
              PLCPStrategy, PLCPPeaksStrategy, BulldozerStrategy, ScanDec,
-             CompactDec, LCPCompressor):
+             CompactDec, MultimapListBuffer, QueueListBuffer,
+             LCPCompressor):
     REGISTRY.register(_cls)
