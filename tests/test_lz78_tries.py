@@ -119,3 +119,33 @@ def test_hasher_reference_values():
     assert h.hash(0x9E3779B97F4A7C15) == 0xE220A8397B1DCDAF
     arr = np.array([0x9E3779B97F4A7C15], np.uint64)
     assert int(h.hash_arr(arr)[0]) == 0xE220A8397B1DCDAF
+
+
+def test_trie_hash_suboptions():
+    """The reference's pluggable hash sub-algorithms
+    (``registry_config.py:80-118``) are selectable per trie and leave
+    the canonical parse unchanged."""
+    data = _corpus()[1]
+    base = REGISTRY.instantiate("lz78(coder=bit,lz78trie=ternary)")
+    want = base.compress(data)
+    for spec in (
+        "hash(hash_function=vigna,hash_prober=quadratic,"
+        "hash_manager=prime)",
+        "hash(hash_function=knuth,hash_prober=gauss)",
+        "hash(hash_function=noop,hash_prober=double,hash_manager=direct)",
+        "hash_plus(hash_function=vigna)",
+        "rolling(hash_roll=wordpack)",
+        "rolling(hash_roll=karp_rabin,hash_prober=quadratic)",
+        "rolling_plus(hash_roll=wordpack,hash_function=knuth)",
+    ):
+        try:
+            native._lib = None
+            native._tried = True  # force the Python structures
+            c = REGISTRY.instantiate(f"lz78(coder=bit,lz78trie={spec})")
+            enc = c.compress(data)
+        finally:
+            native._tried = False
+            native._lib = None
+        assert enc == want, spec
+        d = REGISTRY.instantiate(f"lz78(coder=bit,lz78trie={spec})")
+        assert d.decompress(enc) == data, spec

@@ -205,7 +205,12 @@ class DMonotonSubseq(Algorithm):
     def meta(cls):
         m = Meta("d_coding", "succinct", "Monotone-subsequence coding")
         m.option_submeta("subseq", "subseq", default="optimal")
-        m.option_submeta("dx_coder", "d_coding", default="wavelet_tree")
+        # the reference's inner coder set is slp_d_coder_2 = {DPlain,
+        # DHuffman, DWaveletTree} (registry_config.py:183-187)
+        m.option_submeta(
+            "dx_coder", "d_coding", default="wavelet_tree",
+            accepts=("plain", "huffman", "wavelet_tree"),
+        )
         return m
 
     def encode(self, rhs: np.ndarray, out: BitWriter, width: int) -> None:

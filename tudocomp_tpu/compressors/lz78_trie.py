@@ -41,6 +41,7 @@ from __future__ import annotations
 from bisect import bisect_left
 
 from tudocomp_tpu.meta import Algorithm, Meta
+import tudocomp_tpu.utils.hash  # noqa: F401 — registers the hash framework
 
 
 class LZ78Trie(Algorithm):
@@ -100,26 +101,25 @@ class HashTrie(LZ78Trie):
     (reference ``lz78/HashTrie.hpp:13-60`` + ``squeeze_node.hpp``)."""
 
     native_kind = "hash"
-    _manager = "pow"
     _load = 0.5
 
     @classmethod
     def meta(cls):
-        return Meta("lz78trie", "hash", "(parent,char)->id hash trie")
+        m = Meta("lz78trie", "hash", "(parent,char)->id hash trie")
+        m.option_submeta("hash_function", "hash_function", default="mixer")
+        m.option_submeta("hash_prober", "hash_prober", default="linear")
+        m.option_submeta("hash_manager", "hash_manager", default="pow")
+        return m
 
     def __init__(self, env):
         super().__init__(env)
-        from tudocomp_tpu.registry import create_algo
-        from tudocomp_tpu.utils.hash import (
-            HashMap, MixHasher, SizeManagerDirect, SizeManagerPow2,
-        )
+        from tudocomp_tpu.utils.hash import HashMap
 
-        mgr = (
-            SizeManagerPow2 if self._manager == "pow"
-            else SizeManagerDirect
-        )
         self.table = HashMap(
-            hasher=create_algo(MixHasher), manager=create_algo(mgr),
+            hasher=env.instantiate("hash_function"),
+            prober=(env.instantiate("hash_prober")
+                    if env.has_option("hash_prober") else None),
+            manager=env.instantiate("hash_manager"),
             load_factor=self._load,
         )
 
@@ -139,14 +139,17 @@ class HashTrie(LZ78Trie):
 
 
 class HashTriePlus(HashTrie):
-    """Denser table, direct sizing (reference ``lz78/HashTriePlus.hpp``)."""
+    """Denser table, direct sizing (reference ``lz78/HashTriePlus.hpp``;
+    no prober sub-option, matching ``registry_config.py:116``)."""
 
-    _manager = "direct"
     _load = 0.8
 
     @classmethod
     def meta(cls):
-        return Meta("lz78trie", "hash_plus", "Dense hash trie (x2 sizes)")
+        m = Meta("lz78trie", "hash_plus", "Dense hash trie (x2 sizes)")
+        m.option_submeta("hash_function", "hash_function", default="mixer")
+        m.option_submeta("hash_manager", "hash_manager", default="direct")
+        return m
 
 
 class RollingTrie(HashTrie):
@@ -159,13 +162,16 @@ class RollingTrie(HashTrie):
 
     @classmethod
     def meta(cls):
-        return Meta("lz78trie", "rolling", "Karp-Rabin rolling-hash trie")
+        m = Meta("lz78trie", "rolling", "Karp-Rabin rolling-hash trie")
+        m.option_submeta("hash_roll", "hash_roll", default="karp_rabin")
+        m.option_submeta("hash_prober", "hash_prober", default="linear")
+        m.option_submeta("hash_manager", "hash_manager", default="pow")
+        m.option_submeta("hash_function", "hash_function", default="mixer")
+        return m
 
     def __init__(self, env):
         super().__init__(env)
-        from tudocomp_tpu.utils.hash import KarpRabinHash
-
-        self._kr = KarpRabinHash
+        self._kr = env.instantiate("hash_roll").make
         self.fp: list = []  # node id -> KarpRabinHash of its string
         self.in_edge: list[tuple[int, int]] = []  # id -> (parent, char)
         self.table2: dict[tuple[int, int], int] = {}  # collision fallback
@@ -205,12 +211,17 @@ class RollingTrie(HashTrie):
 
 
 class RollingTriePlus(RollingTrie):
-    _manager = "direct"
+    """No prober sub-option (reference ``registry_config.py:118``)."""
+
     _load = 0.8
 
     @classmethod
     def meta(cls):
-        return Meta("lz78trie", "rolling_plus", "Dense rolling-hash trie")
+        m = Meta("lz78trie", "rolling_plus", "Dense rolling-hash trie")
+        m.option_submeta("hash_roll", "hash_roll", default="karp_rabin")
+        m.option_submeta("hash_manager", "hash_manager", default="direct")
+        m.option_submeta("hash_function", "hash_function", default="mixer")
+        return m
 
 
 class TernaryTrie(LZ78Trie):

@@ -159,6 +159,9 @@ class Env:
                 f"algorithm {self.cls.__name__} has no option {name!r}"
             ) from None
 
+    def has_option(self, name: str) -> bool:
+        return name in self._options
+
     def env_for_option(self, name: str) -> "Env":
         ov = self.option(name)
         if not ov.is_algorithm:

@@ -214,9 +214,15 @@ class WordpackRollingHash:
     ``util/Hash.hpp:307-330`` WordpackRollingHash: ``(val + len)`` keyed
     word packing)."""
 
-    def __init__(self):
-        self.val = 0
+    def __init__(self, seed: int = 0):
+        self.val = seed & _M64
         self.length = 0
+
+    def extended(self, c: int) -> "WordpackRollingHash":
+        h = WordpackRollingHash()
+        h.val = ((self.val << 8) | (c & 0xFF)) & _M64
+        h.length = self.length + 1
+        return h
 
     def advance(self, c: int) -> None:
         self.val = ((self.val << 8) | (c & 0xFF)) & _M64
@@ -243,6 +249,31 @@ class KarpRabinHash:
 
     def key(self) -> int:
         return self.val
+
+
+class WordpackRolling(Algorithm):
+    """Selectable rolling-hash family member (reference
+    ``util/Hash.hpp:307-330``, registered as ``hash_roll`` in
+    ``etc/registry_config.py:92-99``)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("hash_roll", "wordpack", "Shift-and-add word packing")
+
+    def make(self, seed: int = 0):
+        return WordpackRollingHash(seed)
+
+
+class KarpRabinRolling(Algorithm):
+    """Karp-Rabin polynomial rolling hash (reference vendored
+    ``util/hash/rabinkarphash.h``)."""
+
+    @classmethod
+    def meta(cls):
+        return Meta("hash_roll", "karp_rabin", "Karp-Rabin fingerprints")
+
+    def make(self, seed: int = 0):
+        return KarpRabinHash(seed)
 
 
 class HashMap:
@@ -325,5 +356,5 @@ class HashMap:
 for _cls in (VignaHasher, KnuthHasher, MixHasher, NoopHasher,
              SizeManagerPow2, SizeManagerPrime, SizeManagerDirect,
              LinearProber, QuadraticProber, GaussProber,
-             DoubleHashingProber):
+             DoubleHashingProber, WordpackRolling, KarpRabinRolling):
     REGISTRY.register(_cls)
