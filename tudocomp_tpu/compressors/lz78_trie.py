@@ -24,10 +24,12 @@ exactly as in the reference:
                        string as the key (``lz78/RollingTrie.hpp``)
 - ``rolling_plus``   — rolling fingerprints over the denser hash_plus
                        table (``lz78/RollingTriePlus.hpp``)
-- ``compact_sparse_hash`` — bucketized quotient layout: the table
-                       stores 8-bit quotients + values in sparse
+- ``compact_sparse_hash`` — Cleary compact hashing: only hash
+                       quotients stored, initial addresses recovered
+                       via v/c displacement bitvectors, 64-slot sparse
                        buckets (``lz78/CompactSparseHashTrie.hpp``,
-                       simplified Cleary scheme)
+                       ``util/compact_sparse_hash.hpp``; see
+                       ``utils/compact_hash.py``)
 
 The native C parsers (``native/tdc_native.cpp``) implement the three
 structural classes — hash table, ternary search trie, and child-list
@@ -483,11 +485,12 @@ class CedarTrie(LZ78Trie):
 
 
 class CompactSparseHashTrie(LZ78Trie):
-    """Bucketized quotient table (reference
-    ``lz78/CompactSparseHashTrie.hpp``, simplified Cleary scheme):
-    the hash splits into a bucket index and an 8-bit quotient; buckets
-    store (quotient, full key, value) compactly and grow by doubling
-    the bucket count."""
+    """Cleary compact sparse hash table as the trie map (reference
+    ``lz78/CompactSparseHashTrie.hpp`` over
+    ``util/compact_sparse_hash.hpp``): slots store only hash
+    *quotients* — the initial address is implied by table position and
+    recovered through the v/c displacement bitvectors — in 64-slot
+    sparse buckets.  See ``utils/compact_hash.py``."""
 
     native_kind = "hash"
 
@@ -500,52 +503,23 @@ class CompactSparseHashTrie(LZ78Trie):
 
     def __init__(self, env):
         super().__init__(env)
-        from tudocomp_tpu.registry import create_algo
-        from tudocomp_tpu.utils.hash import VignaHasher
+        from tudocomp_tpu.utils.compact_hash import CompactSparseHash
 
-        self.hasher = create_algo(VignaHasher)
-        self._init_buckets(64)
-
-    def _init_buckets(self, nb: int):
-        self.nb = nb
-        self.bq: list[list[int]] = [[] for _ in range(nb)]  # quotients
-        self.bk: list[list[int]] = [[] for _ in range(nb)]  # full keys
-        self.bv: list[list[int]] = [[] for _ in range(nb)]  # values
+        self.table = CompactSparseHash(key_width=9)
 
     def clear(self) -> None:
-        self._init_buckets(64)
+        self.table.clear()
         self.size = 0
-
-    def _locate(self, key: int):
-        h = self.hasher.hash(key)
-        return h % self.nb, (h >> 32) & 0xFF
-
-    def _rehash(self):
-        old = list(zip(self.bk, self.bv))
-        self._init_buckets(self.nb * 2)
-        for ks, vs in old:
-            for k, v in zip(ks, vs):
-                b, q = self._locate(k)
-                self.bq[b].append(q)
-                self.bk[b].append(k)
-                self.bv[b].append(v)
 
     def find_or_insert(self, node: int, char: int):
         key = (node << 8) | char
-        b, q = self._locate(key)
-        qs = self.bq[b]
-        for i, qq in enumerate(qs):
-            if qq == q and self.bk[b][i] == key:
-                return self.bv[b][i], False
-        child = self.size
-        if self.size + 1 > self.nb * 4:  # avg bucket occupancy cap
-            self._rehash()
-            b, q = self._locate(key)
-        self.bq[b].append(q)
-        self.bk[b].append(key)
-        self.bv[b].append(child)
-        self.size += 1
-        return child, True
+        child = self.table.get(key)
+        if child is None:
+            child = self.size
+            self.table.insert(key, child)
+            self.size += 1
+            return child, True
+        return child, False
 
 
 ALL_TRIES = [
