@@ -55,7 +55,24 @@ def make_corpus(total_bytes: int) -> np.ndarray:
 
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
+
+    # Watchdog: a wedged device tunnel can hang backend init forever
+    # (jax.devices() never returns). Fail loudly instead so the caller
+    # sees a diagnosable error, not a silent stall.
+    import signal
+
+    def _wedged(signum, frame):
+        raise SystemExit(
+            "bench: device backend init exceeded TDC_BENCH_INIT_TIMEOUT "
+            "(tunnel wedged?) — no measurement taken"
+        )
+
+    signal.signal(signal.SIGALRM, _wedged)
+    signal.alarm(int(os.environ.get("TDC_BENCH_INIT_TIMEOUT", "900")))
     import jax
+
+    jax.devices()  # force backend init under the watchdog
+    signal.alarm(0)
 
     jax.config.update(
         "jax_compilation_cache_dir",
