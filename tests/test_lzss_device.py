@@ -4,15 +4,62 @@ import numpy as np
 import pytest
 
 from tudocomp_tpu import cli
-from tudocomp_tpu.ops.lzss_jax import _match_device, factorize_device
+from tudocomp_tpu.ops.lzss_jax import (
+    _match_device, _match_exact_device, _psv_indices, factorize_device,
+)
 
 import jax.numpy as jnp
 
 
 def test_match_tiny():
     text = np.frombuffer(b"abcdefgh_abcdefgh_abcdefgh\x00", np.uint8)
-    p, s, l = factorize_device(text, 3)
-    assert list(zip(p, s, l)) == [(9, 0, 17)]
+    for exact in (True, False):
+        p, s, l = factorize_device(text, 3, exact=exact)
+        assert list(zip(p, s, l)) == [(9, 0, 17)], exact
+
+
+def test_psv_indices():
+    rng = np.random.default_rng(11)
+    for m in (1, 2, 7, 500):
+        a = rng.permutation(m).astype(np.int32)
+        got = np.asarray(_psv_indices(jnp.asarray(a)))
+        for j in range(m):
+            want = -1
+            for k in range(j - 1, -1, -1):
+                if a[k] < a[j]:
+                    want = k
+                    break
+            assert got[j] == want, (m, j)
+
+
+def test_exact_match_is_longest_previous():
+    """The exact matcher's per-position lengths equal the brute-force
+    longest previous factor (the reference PSV/NSV answer)."""
+    rng = np.random.default_rng(5)
+    text = np.concatenate([
+        rng.integers(97, 101, 300, dtype=np.uint8),
+        np.frombuffer(b"Z" * 90, np.uint8),
+        rng.integers(97, 101, 100, dtype=np.uint8),
+        np.zeros(1, np.uint8),
+    ])
+    cand, ln = _match_exact_device(jnp.asarray(text), max_len=256)
+    cand = np.asarray(cand)
+    ln = np.asarray(ln)
+    n = text.size
+    for i in range(1, n - 1):
+        best = 0
+        for c in range(i):
+            L = 0
+            while (i + L < n - 1 and L < 256
+                   and text[c + L] == text[i + L]):
+                L += 1
+            best = max(best, L)
+        assert int(ln[i]) == best, i
+        if ln[i] > 0:
+            c = int(cand[i])
+            assert 0 <= c < i
+            L = int(ln[i])
+            assert np.array_equal(text[i:i + L], text[c:c + L]), i
 
 
 def test_match_exactness():

@@ -586,9 +586,12 @@ class LZSSLCPCompressor(Compressor):
         )
         m.option_dynamic("threshold", 3)
         m.option_dynamic("ds", "plain")
-        # comp=psv: reference PSV/NSV scan over SA/LCP (exact).
-        # comp=device: sort-based TPU matcher (ops/lzss_jax.py) — an
-        # alternative valid parse, same wire format.
+        # comp=psv: reference PSV/NSV scan over SA/LCP (exact, host).
+        # comp=device: exact longest-previous-factor on the device
+        #   (SA + all-nearest-smaller-values + binary-lifted LCP,
+        #   ops/lzss_jax.py) — same per-position answers as psv.
+        # comp=device_fast: q-gram class heuristic matcher (cheaper,
+        #   slightly worse ratio) — an alternative valid parse.
         m.option_dynamic("comp", "psv")
         m.needs_sentinel_terminator()
         return m
@@ -598,11 +601,14 @@ class LZSSLCPCompressor(Compressor):
             raise ValueError("lzss_lcp requires a sentineled input")
         threshold = self.env.option("threshold").as_int()
         text = np.frombuffer(data, np.uint8)
-        if self.env.option("comp").as_string() == "device":
+        comp = self.env.option("comp").as_string()
+        if comp in ("device", "device_fast"):
             from tudocomp_tpu.ops.lzss_jax import factorize_device
 
             factors = FactorBuffer()
-            factors.extend_arrays(*factorize_device(text, threshold))
+            factors.extend_arrays(*factorize_device(
+                text, threshold, exact=(comp == "device")
+            ))
         else:
             factors = factorize_lcp(
                 text, threshold,
