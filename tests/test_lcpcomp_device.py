@@ -1,0 +1,67 @@
+"""Device lcpcomp factorization (ops/lcpcomp_jax.py): factor validity,
+chain resolvability through every dec strategy, and quality parity."""
+
+import numpy as np
+import pytest
+
+from tudocomp_tpu.ops.lcpcomp_jax import factorize_device
+from tudocomp_tpu.registry import REGISTRY
+import tudocomp_tpu.compressors  # noqa: F401
+
+
+def _corpora():
+    rng = np.random.default_rng(17)
+    return [
+        b"in the beginning was the word and the word " * 30 + b"\x00",
+        (b"abcabcabcabcxyz" * 150) + b"\x00",
+        bytes(rng.integers(0, 6, 4096, dtype=np.uint8)) + b"\x00",
+        b"a" * 3000 + b"\x00",
+        rng.choice(np.frombuffer(b"acgt", np.uint8), 5000)
+        .astype(np.uint8).tobytes() + b"\x00",
+    ]
+
+
+def test_factor_validity():
+    """Targets are disjoint, sources match their targets in the
+    original text (the lcpcomp invariants)."""
+    for data in _corpora():
+        text = np.frombuffer(data, np.uint8)
+        pos, src, ln = factorize_device(text, 5)
+        assert (ln >= 5).all()
+        assert (src >= 0).all() and (src != pos).all()
+        assert ((pos + ln) <= text.size).all()
+        order = np.argsort(pos)
+        p, l = pos[order], ln[order]
+        assert (p[1:] >= p[:-1] + l[:-1]).all(), "overlapping targets"
+        for a, b, k in zip(pos.tolist(), src.tolist(), ln.tolist()):
+            assert np.array_equal(text[a:a + k], text[b:b + k])
+
+
+@pytest.mark.parametrize(
+    "dec", ["scan", "compact", "MultimapListBuffer", "QueueListBuffer"]
+)
+def test_device_roundtrip_all_decoders(dec):
+    """Chains emitted by the parallel schedule resolve through every
+    decoder (cycle-free; the resolvers raise on cycles)."""
+    for data in _corpora():
+        spec = f"lcpcomp(coder=huff,comp=device,dec={dec})"
+        c = REGISTRY.instantiate(spec)
+        enc = c.compress(data)
+        assert REGISTRY.instantiate(spec).decompress(enc) == data
+
+
+def test_quality_parity_with_arrays():
+    rng = np.random.default_rng(23)
+    data = (
+        b"the quick brown fox jumps over the lazy dog " * 120
+        + bytes(rng.integers(0, 16, 2048, dtype=np.uint8)) + b"\x00"
+    )
+    sizes = {}
+    for comp in ("arrays", "device"):
+        spec = f"lcpcomp(coder=huff,threshold=5,comp={comp})"
+        enc = REGISTRY.instantiate(spec).compress(data)
+        assert REGISTRY.instantiate(spec).decompress(enc) == data
+        sizes[comp] = len(enc)
+    # the parallel schedule is the same greedy class: same size class
+    # (measured: device <= arrays on english/dna/repetitive.1MB)
+    assert sizes["device"] <= 1.1 * sizes["arrays"], sizes

@@ -14,6 +14,10 @@ Compression strategies (``comp=``):
   ``compress/MaxHeapStrategy.hpp``-equivalent behavior)
 - ``naive``: rescan for the max each round (reference
   ``compress/NaiveStrategy.hpp``)
+- ``device``: the same greedy as a TPU array program — parallel rounds
+  of disjoint max-class selections, truncation recomputed from the
+  covered set (``ops/lcpcomp_jax.py``); ratio <= arrays on the 1 MB
+  suite corpora (english 28.9% vs 29.1%)
 
 Decompression strategies (``dec=``): ``scan`` (default), ``compact``,
 ``MultimapListBuffer(lazy)`` (lazy sweep rounds + eager chase) and
@@ -116,6 +120,28 @@ class ArraysComp(Algorithm):
                     continue
                 _emit_factor(factors, sa, isa, lcp, index, threshold)
             col.clear()
+
+
+class DeviceComp(Algorithm):
+    """Greedy longest-first factorization as a device array program
+    (``ops/lcpcomp_jax.py``): the reference's truncation rules
+    reformulated as a pure function of the covered set, and per-round
+    simultaneous selection of disjoint max-length-class candidates —
+    a legal parallel schedule of the arrays strategy (equal-length
+    disjoint targets never truncate each other).  Factor lengths cap at
+    4096; outputs roundtrip through every ``dec=`` strategy."""
+
+    @classmethod
+    def meta(cls):
+        return Meta(
+            "lcpcomp_comp", "device",
+            "Parallel-rounds device factorization",
+        )
+
+    def factorize(self, text, threshold, factors):
+        from tudocomp_tpu.ops.lcpcomp_jax import factorize_device
+
+        factors.extend_arrays(*factorize_device(text.text, threshold))
 
 
 class MaxHeapStrategy(Algorithm):
@@ -581,7 +607,8 @@ class LCPCompressor(Compressor):
         )
 
 
-for _cls in (ArraysComp, MaxHeapStrategy, NaiveStrategy, MaxLCPStrategy,
+for _cls in (ArraysComp, DeviceComp, MaxHeapStrategy, NaiveStrategy,
+             MaxLCPStrategy,
              PLCPStrategy, PLCPPeaksStrategy, BulldozerStrategy, ScanDec,
              CompactDec, MultimapListBuffer, QueueListBuffer,
              LCPCompressor):
