@@ -65,3 +65,29 @@ def test_sais_matches_radix():
         a = native.suffix_array(t, algo="sais")
         b = native.suffix_array(t, algo="radix")
         assert np.array_equal(a, b), len(d)
+
+
+def test_unbwt_device_matches_host():
+    """Orbit-doubling inverse BWT is bit-identical to the host LF walk."""
+    import numpy as np
+
+    from tudocomp_tpu.ds.bwt import bwt_decode, bwt_forward
+    from tudocomp_tpu.ds.suffix import suffix_array
+    from tudocomp_tpu.ops.suffix_jax import unbwt_device
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(29)
+    cases = [
+        b"banana\x00",
+        b"mississippi river mississippi delta\x00",
+        bytes(rng.integers(1, 255, 3000, dtype=np.uint8)) + b"\x00",
+        b"a" * 700 + b"b" * 700 + b"\x00",
+        b"x\x00",
+    ]
+    for data in cases:
+        t = np.frombuffer(data, np.uint8)
+        bwt = bwt_forward(t, suffix_array(t))
+        want = bwt_decode(bwt.tobytes())
+        got = np.asarray(unbwt_device(jnp.asarray(bwt))).tobytes()
+        assert got == want, len(data)

@@ -63,6 +63,18 @@ class BWTCompressor(Compressor):
         return bwt_forward(t, sa).tobytes()
 
     def decompress(self, data: bytes) -> bytes:
+        import os
+
+        if (
+            os.environ.get("TDC_DEVICE_BWT") == "1"
+            and len(data) >= self.DEVICE_MIN and _on_tpu()
+        ):
+            import jax.numpy as jnp
+
+            from tudocomp_tpu.ops.suffix_jax import unbwt_device
+
+            out = unbwt_device(jnp.asarray(np.frombuffer(data, np.uint8)))
+            return np.asarray(out).tobytes() + b"\x00"
         from tudocomp_tpu import native
 
         return native.bwt_decode(data) + b"\x00"

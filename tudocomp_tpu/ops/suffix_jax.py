@@ -103,3 +103,35 @@ def bwt_device(text: jnp.ndarray, isa: jnp.ndarray) -> jnp.ndarray:
         is_stable=True,
     )
     return bwt.astype(jnp.uint8)
+
+
+@jax.jit
+def unbwt_device(bwt: jnp.ndarray) -> jnp.ndarray:
+    """Inverse BWT of a 0-sentineled text's transform (u8[n] ->
+    u8[n-1], sentinel stripped) — the reference's sequential LF walk
+    (``ds/bwt.hpp:77-98``, host spec ``ds/bwt.py``) replaced by **orbit
+    doubling**: LF is the inverse of the stable argsort of the BWT (two
+    co-sorts, no scatter); the walk's full orbit ``t_k = LF^k(0)``
+    materializes in ceil(log2 n) rounds via ``t[k+m] = LF^m(t[k])``
+    while squaring ``LF^m`` — O(n log n) gathers, no sequential chase.
+    Bit-identical to the host decode."""
+    n = bwt.shape[0]
+    idx = jnp.arange(n, dtype=_I32)
+    _, order = lax.sort(
+        (bwt.astype(_I32), idx), dimension=0, num_keys=1, is_stable=True
+    )
+    _, lf = lax.sort(
+        (order, idx), dimension=0, num_keys=1, is_stable=True
+    )
+    orbit = jnp.zeros(n, _I32)  # t_0 = 0
+    power = lf  # lf^m
+    m = 1
+    while m < n - 1:
+        take = min(m, n - 1 - m)
+        nxt = power[lax.dynamic_slice(orbit, (0,), (take,))]
+        orbit = lax.dynamic_update_slice(orbit, nxt, (m,))
+        m *= 2
+        if m < n - 1:
+            power = power[power]
+    # host walk: out[n-1-j] = bwt[t_{j-1}] for j = 1..n-1
+    return bwt[orbit[: n - 1]][::-1]
