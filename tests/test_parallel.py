@@ -61,3 +61,28 @@ def test_graft_entry():
     out = jax.jit(fn)(*args)
     assert len(out) == 3
     ge.dryrun_multichip(8)
+
+
+def test_factorize_blocks_sharded_matches_single():
+    """Block-parallel exact device LZ77 over the mesh equals the
+    single-device matcher per block (dp-sharded, zero communication)."""
+    import numpy as np
+
+    from tudocomp_tpu.ops.lzss_jax import factorize_device
+    from tudocomp_tpu.parallel.mesh import make_mesh
+    from tudocomp_tpu.parallel.pipeline import factorize_blocks_sharded
+
+    mesh = make_mesh(8, sp=2)
+    blocks = np.stack([
+        np.frombuffer(
+            ((b"shard %d lorem ipsum " % i) * 32)[:383] + b"\x00",
+            np.uint8,
+        )
+        for i in range(16)
+    ])
+    got = factorize_blocks_sharded(mesh, blocks, threshold=4)
+    for i in range(16):
+        want = factorize_device(blocks[i], 4, max_len=383, exact=True)
+        assert all(
+            np.array_equal(a, b) for a, b in zip(got[i], want)
+        ), i

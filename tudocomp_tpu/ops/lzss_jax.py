@@ -290,13 +290,19 @@ def factorize_device(text: np.ndarray, threshold: int,
     max_len = min(max_len, max(4, n - 1))
     match = _match_exact_device if exact else _match_device
     cand, length = match(jnp.asarray(text), max_len=max_len)
-    cand = np.asarray(cand, np.int64)
-    length = np.asarray(length, np.int64)
+    return commit_walk(
+        np.asarray(cand, np.int64), np.asarray(length, np.int64),
+        threshold,
+    )
+
+
+def commit_walk(cand: np.ndarray, length: np.ndarray, threshold: int):
+    """Host commit walk over factor starts only: jump to the next
+    position with a usable match after each commit; one-step lazy
+    matching (defer when the next position matches strictly longer,
+    zstd-style) recovers most of the greedy/optimal gap for free."""
+    n = int(length.size)
     length = np.where(length >= threshold, length, 0)
-    # host commit walk over factor starts only: jump to the next
-    # position with a usable match after each commit; one-step lazy
-    # matching (defer when the next position matches strictly longer,
-    # zstd-style) recovers most of the greedy/optimal gap for free
     starts = np.flatnonzero(length > 0)
     out_pos, out_src, out_len = [], [], []
     i = 0

@@ -208,3 +208,34 @@ def compress_sharded(codec, mesh: Mesh, data: bytes) -> bytes:
         np.asarray(words)[:nseg],
         np.asarray(bits)[:nseg],
     )
+
+
+def factorize_blocks_sharded(mesh: Mesh, blocks: np.ndarray,
+                             threshold: int, max_len: int = 512):
+    """Exact device LZ77 matching for a batch of equal-length blocks,
+    data-parallel over the mesh (blocks are independent texts; zero
+    cross-chip communication — the dp axis shards the block dimension
+    and every collective-free matcher instance runs on its own chip).
+
+    ``blocks`` is u8[B, n] with B a multiple of the mesh size; returns
+    the per-block factor triples finished by the host commit walk."""
+    from tudocomp_tpu.ops.lzss_jax import _match_exact_device, commit_walk
+
+    b, n = blocks.shape
+    axes = _mesh_axes(mesh)
+    spec = P(axes, None)
+    arr = jax.device_put(
+        jnp.asarray(blocks), NamedSharding(mesh, spec)
+    )
+    ml = min(max_len, max(4, n - 1))
+
+    @functools.partial(jax.jit, out_shardings=NamedSharding(mesh, spec))
+    def matched(x):
+        return jax.vmap(
+            lambda t: jnp.stack(_match_exact_device(t, max_len=ml))
+        )(x)
+
+    got = np.asarray(matched(arr), np.int64)
+    return [
+        commit_walk(got[i, 0], got[i, 1], threshold) for i in range(b)
+    ]
