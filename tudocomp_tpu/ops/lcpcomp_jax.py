@@ -222,13 +222,18 @@ def factorize_device(text: np.ndarray, threshold: int,
     covered = jnp.zeros(n, bool)
     chosen = jnp.zeros(n, _I32)
     thr = jnp.asarray(threshold, _I32)
+    dispatches = 0
     while True:
         covered, chosen, cur_max = _rounds(
             covered, chosen, lcp0_p, thr,
             max_len=max_len, rounds_per_dispatch=16,
         )
+        dispatches += 1
         if int(cur_max) < threshold:
             break
+    from tudocomp_tpu.stats import StatPhase
+
+    StatPhase.log("device_round_dispatches", dispatches)
     chosen = np.asarray(chosen, np.int64)
     src = np.asarray(src_p, np.int64)
     starts = np.flatnonzero(chosen > 0)
