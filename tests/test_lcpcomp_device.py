@@ -65,3 +65,12 @@ def test_quality_parity_with_arrays():
     # the parallel schedule is the same greedy class: same size class
     # (measured: device <= arrays on english/dna/repetitive.1MB)
     assert sizes["device"] <= 1.1 * sizes["arrays"], sizes
+
+
+def test_edge_shapes():
+    for data in (b"", b"\x00", b"ab\x00", b"aaaa\x00"):
+        text = np.frombuffer(data, np.uint8)
+        pos, src, ln = factorize_device(text, 5)
+        assert pos.size == src.size == ln.size
+    text = np.frombuffer(b"abcabc\x00", np.uint8)
+    assert factorize_device(text, 100)[0].size == 0
