@@ -57,22 +57,30 @@ def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jaxcomp")
 
     # Watchdog: a wedged device tunnel can hang backend init forever
-    # (jax.devices() never returns). Fail loudly instead so the caller
-    # sees a diagnosable error, not a silent stall.
-    import signal
+    # (jax.devices() never returns), typically inside an uninterruptible
+    # native wait where a SIGALRM Python handler would never run — so a
+    # daemon timer thread hard-exits the process with a diagnosable
+    # message instead of stalling silently.
+    import sys
+    import threading
 
-    def _wedged(signum, frame):
-        raise SystemExit(
-            "bench: device backend init exceeded TDC_BENCH_INIT_TIMEOUT "
-            "(tunnel wedged?) — no measurement taken"
+    def _wedged():
+        sys.stderr.write(
+            "bench: device backend init exceeded TDC_BENCH_INIT_TIMEOUT"
+            " (tunnel wedged?) — no measurement taken\n"
         )
+        sys.stderr.flush()
+        os._exit(3)
 
-    signal.signal(signal.SIGALRM, _wedged)
-    signal.alarm(int(os.environ.get("TDC_BENCH_INIT_TIMEOUT", "900")))
+    watchdog = threading.Timer(
+        int(os.environ.get("TDC_BENCH_INIT_TIMEOUT", "900")), _wedged
+    )
+    watchdog.daemon = True
+    watchdog.start()
     import jax
 
     jax.devices()  # force backend init under the watchdog
-    signal.alarm(0)
+    watchdog.cancel()
 
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -70,3 +70,21 @@ def test_trie_uses_compact_hash():
     a, new_a = trie.find_or_insert(0, ord("x"))
     b, new_b = trie.find_or_insert(0, ord("x"))
     assert new_a and not new_b and a == b
+
+
+def test_invalid_load_factor_rejected():
+    import pytest
+
+    for lf in (0.0, 1.0, 1.5, -0.1):
+        with pytest.raises(ValueError):
+            CompactSparseHash(key_width=8, load_factor=lf)
+
+
+def test_overwrite_at_load_boundary_does_not_grow():
+    t = CompactSparseHash(key_width=8, initial_log2=3, load_factor=0.5)
+    while len(t) + 1 <= t.m * t.load_factor:
+        t.insert(len(t), len(t))
+    m_before = t.m
+    first_key = 0
+    t.insert(first_key, 999)  # overwrite exactly at the boundary
+    assert t.m == m_before and t.get(first_key) == 999

@@ -71,9 +71,15 @@ class BWTCompressor(Compressor):
         ):
             import jax.numpy as jnp
 
+            from tudocomp_tpu import debug
             from tudocomp_tpu.ops.suffix_jax import unbwt_device
 
-            out = unbwt_device(jnp.asarray(np.frombuffer(data, np.uint8)))
+            arr = np.frombuffer(data, np.uint8)
+            if debug.PARANOID:  # mirror the host path's LF invariant
+                from tudocomp_tpu.ds.bwt import compute_lf
+
+                debug.check_lf(compute_lf(arr), arr)
+            out = unbwt_device(jnp.asarray(arr))
             return np.asarray(out).tobytes() + b"\x00"
         from tudocomp_tpu import native
 

@@ -150,6 +150,7 @@ def _lcp_by_position(text, *, max_len: int):
     suffix-array predecessor (capped at max_len) and that predecessor's
     position — the reference's candidate set (pos=sa[i], src=sa[i-1],
     len=lcp[i]) indexed by text position."""
+    from tudocomp_tpu.ops.lzss_jax import lifted_lcp, rank_tables
     from tudocomp_tpu.ops.suffix_jax import isa_device, suffix_array_device
 
     n = text.shape[0]
@@ -158,54 +159,12 @@ def _lcp_by_position(text, *, max_len: int):
     isa = isa_device(sa)
     src = jnp.where(isa >= 1, sa[jnp.clip(isa - 1, 0, n - 1)], -1)
 
-    def shifted(r, k):
-        tail = -2 - pos[: min(k, n)]
-        return jnp.concatenate([r[k:], tail]) if k < n else -2 - pos
-
-    def dense_rank(hi, lo):
-        shi, slo, spos = lax.sort((hi, lo, pos), num_keys=2)
-        first = jnp.concatenate([
-            jnp.ones(1, jnp.bool_),
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-        ])
-        ranks_sorted = jnp.cumsum(first.astype(_I32)) - 1
-        _, r = lax.sort((spos, ranks_sorted), num_keys=1)
-        return r
-
     L = 4
     while L < max_len:
         L *= 2
-    r = text.astype(_I32)
-    r = dense_rank(r, shifted(r, 1))
-    r = dense_rank(r, shifted(r, 2))
-    ranks = {4: r}
-    q = 4
-    while q < L:
-        r = dense_rank(r, shifted(r, q))
-        ranks[2 * q] = r
-        q *= 2
-
+    ranks = rank_tables(text, L)
     limit = jnp.minimum(n - 1 - pos, max_len)
-    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
-    has = src >= 0
-    length = jnp.zeros(n, _I32)
-    q = L
-    while q >= 4:
-        rq = ranks[q]
-        a = pos + length
-        b = src + length
-        in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
-        ra = rq[jnp.clip(a, 0, n - 1)]
-        rb = rq[jnp.clip(b, 0, n - 1)]
-        ok = has & in_rng & (ra == rb) & (length + q <= limit)
-        length = jnp.where(ok, length + q, length)
-        q //= 2
-    for _ in range(3):
-        a = tb[jnp.clip(pos + length, 0, n)]
-        b = tb[jnp.clip(src + length, 0, n)]
-        ok = has & (length < limit) & (a == b) & (src + length < n)
-        length = jnp.where(ok, length + 1, length)
-    return jnp.where(has, length, 0), src
+    return lifted_lcp(ranks, L, text, src, limit), src
 
 
 def factorize_device(text: np.ndarray, threshold: int,

@@ -60,21 +60,16 @@ _I32 = jnp.int32
 LEVELS = (4, 8, 16, 32, 64)
 
 
-@functools.partial(jax.jit, static_argnames=("max_len",))
-def _match_device(text, *, max_len: int):
-    """text u8[n] -> (cand i32[n], length i32[n]).
-
-    cand[i] = nearest previous position whose q-byte prefix equals
-    text[i:i+q] for the largest q in LEVELS with any previous
-    occurrence (-1 if none); length[i] = exact common prefix length of
-    text[i:] and text[cand[i]:], capped at max_len and at n-1-i.
-    """
+def rank_tables(text, L: int):
+    """Exact q-gram dense ranks for q = 4, 8, ..., L by prefix
+    doubling: rank_q[i] identifies ``text[i:i+q]`` exactly; positions
+    whose gram is truncated by the end get unique negative ids so they
+    never compare equal.  Shared by the LZ77 matchers and the lcpcomp
+    device strategy."""
     n = text.shape[0]
     pos = jnp.arange(n, dtype=_I32)
 
     def shifted(r, k):
-        # r_q[i + k], with unique negative ids past the end so
-        # truncated grams never compare equal
         tail = -2 - pos[: min(k, n)]
         return jnp.concatenate([r[k:], tail]) if k < n else -2 - pos
 
@@ -88,13 +83,59 @@ def _match_device(text, *, max_len: int):
         _, r = lax.sort((spos, ranks_sorted), num_keys=1)
         return r
 
-    r = text.astype(_I32)                      # q = 1
-    r = dense_rank(r, shifted(r, 1))           # q = 2
-    r = dense_rank(r, shifted(r, 2))           # q = 4
+    r = text.astype(_I32)
+    r = dense_rank(r, shifted(r, 1))
+    r = dense_rank(r, shifted(r, 2))
     ranks = {4: r}
-    for q in (4, 8, 16, 32):
+    q = 4
+    while q < L:
         r = dense_rank(r, shifted(r, q))
         ranks[2 * q] = r
+        q *= 2
+    return ranks
+
+
+def lifted_lcp(ranks, L: int, text, cand, limit):
+    """Exact common-prefix length of ``text[i:]`` and ``text[cand[i]:]``
+    per position, capped at ``limit[i]``: one descending pass of
+    binary-lifted rank probes (each power of two accepted at most once)
+    plus a 3-byte settle.  ``cand < 0`` yields 0."""
+    n = text.shape[0]
+    pos = jnp.arange(n, dtype=_I32)
+    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
+    has = cand >= 0
+    length = jnp.zeros(n, _I32)
+    q = L
+    while q >= 4:
+        rq = ranks[q]
+        a = pos + length
+        b = cand + length
+        in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
+        ra = rq[jnp.clip(a, 0, n - 1)]
+        rb = rq[jnp.clip(b, 0, n - 1)]
+        ok = has & in_rng & (ra == rb) & (length + q <= limit)
+        length = jnp.where(ok, length + q, length)
+        q //= 2
+    for _ in range(3):
+        a = tb[jnp.clip(pos + length, 0, n)]
+        b = tb[jnp.clip(cand + length, 0, n)]
+        ok = has & (length < limit) & (a == b) & (cand + length < n)
+        length = jnp.where(ok, length + 1, length)
+    return jnp.where(has, length, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _match_device(text, *, max_len: int):
+    """text u8[n] -> (cand i32[n], length i32[n]).
+
+    cand[i] = nearest previous position whose q-byte prefix equals
+    text[i:i+q] for the largest q in LEVELS with any previous
+    occurrence (-1 if none); length[i] = exact common prefix length of
+    text[i:] and text[cand[i]:], capped at max_len and at n-1-i.
+    """
+    n = text.shape[0]
+    pos = jnp.arange(n, dtype=_I32)
+    ranks = rank_tables(text, LEVELS[-1])
 
     # unique negative ids for tails mean tail positions simply find no
     # equal-rank predecessor; no extra masking needed. Two candidates
@@ -212,60 +253,13 @@ def _match_exact_device(text, *, max_len: int):
     cand_up = cand_of(psv)
     cand_dn = cand_of(nsv)
 
-    # prefix-doubling ranks for q = 4 .. L (binary-lifted LCP probes)
-    def shifted(r, k):
-        tail = -2 - pos[: min(k, n)]
-        return jnp.concatenate([r[k:], tail]) if k < n else -2 - pos
-
-    def dense_rank(hi, lo):
-        shi, slo, spos = lax.sort((hi, lo, pos), num_keys=2)
-        first = jnp.concatenate([
-            jnp.ones(1, jnp.bool_),
-            (shi[1:] != shi[:-1]) | (slo[1:] != slo[:-1]),
-        ])
-        ranks_sorted = jnp.cumsum(first.astype(_I32)) - 1
-        _, r = lax.sort((spos, ranks_sorted), num_keys=1)
-        return r
-
     L = 4
     while L < max_len:
         L *= 2
-    r = text.astype(_I32)
-    r = dense_rank(r, shifted(r, 1))
-    r = dense_rank(r, shifted(r, 2))
-    ranks = {4: r}
-    q = 4
-    while q < L:
-        r = dense_rank(r, shifted(r, q))
-        ranks[2 * q] = r
-        q *= 2
-
+    ranks = rank_tables(text, L)
     limit = jnp.minimum(n - 1 - pos, max_len)
-    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
-
-    def match_len(cand):
-        has = cand >= 0
-        length = jnp.zeros(n, _I32)
-        q = L
-        while q >= 4:  # descending binary lifting: each power once
-            rq = ranks[q]
-            a = pos + length
-            b = cand + length
-            in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
-            ra = rq[jnp.clip(a, 0, n - 1)]
-            rb = rq[jnp.clip(b, 0, n - 1)]
-            ok = has & in_rng & (ra == rb) & (length + q <= limit)
-            length = jnp.where(ok, length + q, length)
-            q //= 2
-        for _ in range(3):  # settle the final 0-3 bytes
-            a = tb[jnp.clip(pos + length, 0, n)]
-            b = tb[jnp.clip(cand + length, 0, n)]
-            ok = has & (length < limit) & (a == b) & (cand + length < n)
-            length = jnp.where(ok, length + 1, length)
-        return jnp.where(has, length, 0)
-
-    l1 = match_len(cand_up)
-    l2 = match_len(cand_dn)
+    l1 = lifted_lcp(ranks, L, text, cand_up, limit)
+    l2 = lifted_lcp(ranks, L, text, cand_dn, limit)
     take2 = l2 > l1
     return (
         jnp.where(take2, cand_dn, cand_up),

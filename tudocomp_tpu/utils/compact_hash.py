@@ -59,6 +59,10 @@ class CompactSparseHash:
 
     def __init__(self, key_width: int = 16, initial_log2: int = 4,
                  load_factor: float = 0.5):
+        if not 0.0 < load_factor < 1.0:
+            # a full table would deadlock the cluster walks and break
+            # key recovery (there must always be an empty slot)
+            raise ValueError("load_factor must be in (0, 1)")
         self.load_factor = load_factor
         self._init(max(1, initial_log2), key_width)
 
@@ -169,6 +173,16 @@ class CompactSparseHash:
 
     def insert(self, key: int, value: int) -> None:
         """Insert or overwrite."""
+        # overwrite of an existing key needs no growth (and must not
+        # pay a full rebuild at the load boundary)
+        if key.bit_length() <= self.key_width:
+            ia, q = self._decompose(key)
+            if self._exists(ia) and self.v[ia]:
+                start, end, _ = self._search_group(ia)
+                pos = self._find_in_group(start, end, q)
+                if pos is not None:
+                    self._set_value(pos, value)
+                    return
         self._grow_if_needed(max(self.key_width, key.bit_length()))
         ia, q = self._decompose(key)
         mask = self.m - 1
