@@ -78,10 +78,58 @@ def main() -> None:
     print(f"kernels:    {tot*1e3:8.1f} ms  {mb/1024/tot:6.3f} GB/s",
           flush=True)
 
+    # decode side: pallas lockstep kernel over this variant's container
+    # (TDC_MIN_CODE_LEN changes d = slot count; measure both directions)
+    from tudocomp_tpu.ops.hufdec_jax import (
+        build_feed, decoder_tables, needed_steps,
+    )
+    from tudocomp_tpu.ops.hufdec_pallas import (
+        decode_segments_pallas, snap_steps_pallas,
+    )
+
+    container = codec.compress(data.tobytes())
+    (tbl, offset, orig_len, counts, flags, poff,
+     pbytes) = codec._parse(container)
+    t = decoder_tables(tbl)
+    thresh = jnp.asarray(t["thresh"])
+    offs = jnp.asarray(t["offs"])
+    masks = jnp.asarray(t["masks"])
+    dec_d = t.get("d", 11)
+    flat = np.frombuffer(container, np.uint8)
+    nseg_total = counts.shape[0]
+    DEC_LANES = min(32768, -(-nseg_total // 8192) * 8192)
+    need = needed_steps(pbytes, counts, dec_d)
+    order = np.argsort(need, kind="stable")
+    feeds = []
+    for lo in range(0, nseg_total, DEC_LANES):
+        idx = order[lo : lo + DEC_LANES]
+        steps = snap_steps_pallas(int(need[idx].max()))
+        feed, bc, hrw, rrw = build_feed(
+            flat, idx, counts, flags, poff, pbytes, steps, DEC_LANES
+        )
+        feeds.append((jnp.asarray(feed), jnp.asarray(bc),
+                      jnp.asarray(hrw), jnp.asarray(rrw)))
+
+    def dec_all():
+        outs = [
+            decode_segments_pallas(
+                f, c, h, r, thresh, offs, masks, offset=0, d=dec_d
+            )
+            for f, c, h, r in feeds
+        ]
+        np.asarray(outs[-1][0, -1, 0])
+        return outs
+
+    d_t, _ = t3(dec_all)
+    print(f"pallas_dec: {d_t*1e3:8.1f} ms  {mb/1024/d_t:6.3f} GB/s"
+          f"  (d={dec_d}, ratio {len(container)/data.size:.4f})",
+          flush=True)
+
     # quick correctness: container roundtrip on a small slice
     sample = data[: 1 << 22].tobytes()
     comp = codec.compress(sample)
     assert codec.decompress(comp) == sample
+    assert codec.decompress_device(comp) == sample
     print("roundtrip ok", flush=True)
 
 
