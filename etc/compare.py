@@ -62,6 +62,7 @@ DEFAULT_SUITE = [
     ),
     Tudocomp(name="sle", algorithm="encode(coder=sle)"),
     Tudocomp(name="huff", algorithm="encode(coder=huff)"),
+    Tudocomp(name="arith", algorithm="encode(coder=arithmetic)"),
     Tudocomp(name="lzw(ternary)", algorithm="lzw(coder=bit,lz78trie=ternary)"),
     Tudocomp(name="lz78(ternary)", algorithm="lz78(coder=bit,lz78trie=ternary)"),
     Tudocomp(name="esp", algorithm="esp"),

@@ -2379,3 +2379,98 @@ void tdc_suffix_array_sais(const uint8_t* text, int64_t n, int64_t* sa) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Arithmetic (integer range) coder fast paths — exact mirrors of
+// tudocomp_tpu/coders/arithmetic.py (flush-and-restart 64-bit blocks;
+// reference semantics coders/ArithmeticCoder.hpp:72-144). The literal-only
+// stream layout (everything after the codebook header) is a plain sequence
+// of 64-bit MSB-first code words, one per block, then final lower + ~0.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static inline uint64_t tdc_arith_offset(uint64_t range, uint64_t cum,
+                                        uint64_t total) {
+    if (range <= total)
+        return (uint64_t)((unsigned __int128)range * cum / total);
+    return range / total * cum;
+}
+
+// data[n] -> out_codes (64-bit block codes incl. the final lower + ~0
+// terminator). cum[256] = normalized cumulative counts. Returns the
+// number of code words, or -1 if cap is too small.
+int64_t tdc_arith_encode(const uint8_t* data, int64_t n,
+                         const uint64_t* cum, uint64_t total,
+                         uint64_t* out_codes, int64_t cap) {
+    const uint64_t UMAX = ~0ull;
+    if (n <= 0 || total == 0) return 0;
+    uint64_t lower = 0, upper = UMAX;
+    const uint64_t min_range = total;
+    int64_t m = 0;
+    for (int64_t i = 0; i < n; i++) {
+        unsigned v = data[i];
+        uint64_t rng = upper - lower;
+        if (rng < min_range) {
+            if (m >= cap) return -1;
+            out_codes[m++] = lower;
+            lower = 0;
+            upper = UMAX;
+            rng = UMAX;
+        }
+        upper = lower + tdc_arith_offset(rng, cum[v], total);
+        if (v != 0) lower = lower + tdc_arith_offset(rng, cum[v - 1], total);
+    }
+    if (m + 2 > cap) return -1;
+    out_codes[m++] = lower;
+    out_codes[m++] = UMAX;
+    return m;
+}
+
+// Decode `count` literals from the MSB-first bit stream starting at
+// start_bit. syms/cums are the codebook's sigma (symbol, cumulative)
+// pairs in symbol order. Returns 0, or -2 on a malformed stream.
+int64_t tdc_arith_decode(const uint8_t* payload, int64_t nbits,
+                         int64_t start_bit, const uint8_t* syms,
+                         const uint64_t* cums, int64_t sigma,
+                         uint64_t total, int64_t count, uint8_t* out) {
+    const uint64_t UMAX = ~0ull;
+    if (count <= 0) return 0;
+    if (total == 0 || sigma <= 0) return -2;
+    const uint64_t min_range = total;
+    int64_t counter = 0;
+    int64_t pos = start_bit;
+    while (counter < count) {
+        if (pos + 64 > nbits) return -2;
+        uint64_t code = 0;
+        for (int b = 0; b < 64; b++) {
+            code = (code << 1) |
+                   (uint64_t)((payload[(pos + b) >> 3] >>
+                               (7 - ((pos + b) & 7))) & 1);
+        }
+        pos += 64;
+        if (code == UMAX) return -2;  // premature terminator
+        uint64_t lower = 0, upper = UMAX;
+        uint64_t rng = UMAX;
+        while (min_range <= rng && counter < count) {
+            uint64_t interval_lower = lower;
+            int matched = 0;
+            for (int64_t j = 0; j < sigma; j++) {
+                upper = lower + tdc_arith_offset(rng, cums[j], total);
+                if (code < upper) {
+                    out[counter] = syms[j];
+                    lower = interval_lower;
+                    matched = 1;
+                    break;
+                }
+                interval_lower = upper;
+            }
+            if (!matched) return -2;  // code outside every interval
+            counter++;
+            rng = upper - lower;
+        }
+    }
+    return 0;
+}
+
+}  // extern "C"

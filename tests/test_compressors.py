@@ -239,3 +239,42 @@ def test_hashmap_double_prober_non_pow2_terminates():
         m.insert(k * 17 + 15, k)
     for k in range(40):
         assert m.get(k * 17 + 15) == k
+
+
+def test_arithmetic_native_matches_python():
+    """The native arithmetic block-code kernels emit/consume the exact
+    Python stream (flush-and-restart boundaries included)."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(13)
+    cases = [
+        b"abcd" * 300,
+        bytes(rng.integers(0, 256, 4096, dtype=np.uint8)),
+        bytes(rng.integers(65, 68, 2000, dtype=np.uint8)),
+        b"z", b"", b"\x00" * 64,
+    ]
+    for data in cases:
+        enc_nat = REGISTRY.instantiate(
+            "encode(coder=arithmetic)"
+        ).compress(data)
+        try:
+            native._lib = None
+            native._tried = True
+            enc_py = REGISTRY.instantiate(
+                "encode(coder=arithmetic)"
+            ).compress(data)
+            dec_py = REGISTRY.instantiate(
+                "encode(coder=arithmetic)"
+            ).decompress(enc_nat)
+        finally:
+            native._tried = False
+            native._lib = None
+        assert enc_nat == enc_py, len(data)
+        assert dec_py == data, len(data)
+        got = REGISTRY.instantiate(
+            "encode(coder=arithmetic)"
+        ).decompress(enc_nat)
+        assert got == data, len(data)

@@ -113,7 +113,21 @@ class ArithmeticCoder(Algorithm):
             if not isinstance(r, LiteralRange):
                 super().encode_array(values, r)
                 return
-            for v in np.asarray(values, np.uint8).tolist():
+            values = np.asarray(values, np.uint8)
+            if self.literal_counter == 0 and values.size == \
+                    self.literal_count and values.size:
+                # whole-stream fast path: the native kernel emits the
+                # identical 64-bit block-code sequence
+                from tudocomp_tpu import native
+
+                codes = native.arith_encode(
+                    values, self.cum.astype(np.uint64), self.total
+                )
+                if codes is not None:
+                    self.out.write_int_array(codes, 64)
+                    self.literal_counter = self.literal_count
+                    return
+            for v in values.tolist():
                 self.encode(v, r)
 
     class Decoder(base.Decoder):
@@ -176,3 +190,36 @@ class ArithmeticCoder(Algorithm):
             return np.array(
                 [self.decode(r) for _ in range(count)], np.uint64
             )
+
+        def decode_remaining_literals(self) -> bytes:
+            """Whole-stream literal decode via the native block-code
+            walk (mirrors the SLE fast path; the per-symbol Python
+            interval scan is the fallback)."""
+            from tudocomp_tpu import native
+            from tudocomp_tpu.ranges import literal_r
+
+            remaining = self.literal_count - self.literal_counter
+            rd = self.inp
+            if (
+                self.buffer[self.buf_pos:] or self.literal_counter
+                or remaining <= 0 or not native.available()
+            ):
+                out = bytearray()
+                while not self.eof():
+                    out.append(self.decode(literal_r))
+                return bytes(out)
+            payload = np.packbits(rd._bits)
+            got = native.arith_decode(
+                payload, rd.total, rd.pos,
+                np.asarray(self.symbols, np.uint8),
+                np.asarray(self.cums, np.uint64),
+                self.total, remaining,
+            )
+            if got is None:
+                out = bytearray()
+                while not self.eof():
+                    out.append(self.decode(literal_r))
+                return bytes(out)
+            rd.pos = rd.total
+            self.literal_counter = self.literal_count
+            return got.tobytes()

@@ -235,6 +235,16 @@ def _load():
             ctypes.c_int, u8p, ctypes.c_int64,
         ]
         lib.tdc_repair_decode.restype = ctypes.c_int64
+        lib.tdc_arith_encode.argtypes = [
+            u8p, ctypes.c_int64, u64p, ctypes.c_uint64,
+            u64p, ctypes.c_int64,
+        ]
+        lib.tdc_arith_encode.restype = ctypes.c_int64
+        lib.tdc_arith_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u64p,
+            ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64, u8p,
+        ]
+        lib.tdc_arith_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -982,3 +992,41 @@ def repair_decode(payload, nbits, start_bit, lut, out_hint: int):
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+
+
+def arith_encode(data: np.ndarray, cum: np.ndarray, total: int):
+    """64-bit block codes for the arithmetic coder's literal stream
+    (incl. final lower + terminator), or None without the runtime."""
+    lib = _load()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    cum = np.ascontiguousarray(cum, np.uint64)
+    cap = max(16, data.size // 4 + 16)
+    while True:
+        out = np.empty(cap, np.uint64)
+        got = lib.tdc_arith_encode(data, data.size, cum, total, out, cap)
+        if got >= 0:
+            return out[:got]
+        cap *= 4
+
+
+def arith_decode(payload: np.ndarray, nbits: int, start_bit: int,
+                 syms: np.ndarray, cums: np.ndarray, total: int,
+                 count: int):
+    """Decode ``count`` literals from the arithmetic block stream, or
+    None without the runtime. Raises on malformed input."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    syms = np.ascontiguousarray(syms, np.uint8)
+    cums = np.ascontiguousarray(cums, np.uint64)
+    out = np.empty(max(1, count), np.uint8)
+    got = lib.tdc_arith_decode(
+        payload, nbits, start_bit, syms, cums, syms.size, total,
+        count, out,
+    )
+    if got == -2:
+        raise ValueError("malformed arithmetic stream")
+    return out[:count]
