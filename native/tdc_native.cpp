@@ -2474,3 +2474,72 @@ int64_t tdc_arith_decode(const uint8_t* payload, int64_t nbits,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Whole-stream literal decode for the universal VLC coders — mirrors the
+// BitReader walks in tudocomp_tpu/io/bitio.py (read_elias_gamma/_delta/
+// read_ternary) for LiteralEncoder's decode-until-eof tail.
+// kind: 1 = gamma, 2 = delta, 3 = ternary. Returns the literal count,
+// -1 if cap is too small, -2 on a malformed / misaligned stream.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+static inline int tdc_vlc_bit(const uint8_t* p, int64_t pos) {
+    return (p[pos >> 3] >> (7 - (pos & 7))) & 1;
+}
+
+int64_t tdc_vlc_literals(const uint8_t* p, int64_t nbits, int64_t pos,
+                         int kind, uint8_t* out, int64_t cap) {
+    int64_t m = 0;
+    while (pos < nbits) {
+        uint64_t v = 0;
+        if (kind == 1 || kind == 2) {
+            // unary: zeros then a 1 (read_unary), giving the bit count
+            int64_t zeros = 0;
+            while (pos < nbits && !tdc_vlc_bit(p, pos)) { zeros++; pos++; }
+            if (pos >= nbits) return -2;  // unary ran past the end
+            pos++;                        // the terminating 1
+            int64_t width = zeros;
+            if (kind == 2) {              // delta: gamma gives the width
+                if (pos + width > nbits) return -2;
+                uint64_t g = 0;
+                for (int64_t b = 0; b < width; b++)
+                    g = (g << 1) | (uint64_t)tdc_vlc_bit(p, pos + b);
+                pos += width;
+                width = (int64_t)g;
+            }
+            if (width > 63 || pos + width > nbits) return -2;
+            for (int64_t b = 0; b < width; b++)
+                v = (v << 1) | (uint64_t)tdc_vlc_bit(p, pos + b);
+            pos += width;
+        } else if (kind == 3) {
+            // base-3 digits in 2-bit codes, terminator 0b11 (read_ternary)
+            if (pos + 2 > nbits) return -2;
+            unsigned mod = (unsigned)((tdc_vlc_bit(p, pos) << 1) |
+                                      tdc_vlc_bit(p, pos + 1));
+            pos += 2;
+            if (mod < 3) {
+                uint64_t b3 = 1;
+                for (;;) {
+                    v += mod * b3;
+                    b3 *= 3;
+                    if (pos + 2 > nbits) return -2;
+                    mod = (unsigned)((tdc_vlc_bit(p, pos) << 1) |
+                                     tdc_vlc_bit(p, pos + 1));
+                    pos += 2;
+                    if (mod == 3) break;
+                }
+                v += 1;
+            }
+        } else {
+            return -2;
+        }
+        if (v > 255) return -2;  // not a literal stream
+        if (m >= cap) return -1;
+        out[m++] = (uint8_t)v;
+    }
+    return m;
+}
+
+}  // extern "C"

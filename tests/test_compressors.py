@@ -278,3 +278,38 @@ def test_arithmetic_native_matches_python():
             "encode(coder=arithmetic)"
         ).decompress(enc_nat)
         assert got == data, len(data)
+
+
+def test_vlc_remaining_literals_match_python():
+    """The native whole-tail VLC walker (gamma/delta/ternary) and the
+    fixed-8 bulk read (bit/ascii) decode exactly what the per-symbol
+    Python loop does."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(21)
+    cases = [
+        b"banana band bandana " * 40,
+        bytes(rng.integers(0, 256, 3000, dtype=np.uint8)),
+        b"", b"\x00\xff" * 50,
+    ]
+    for coder in ("bit", "ascii", "gamma", "delta", "ternary"):
+        for data in cases:
+            enc = REGISTRY.instantiate(
+                f"encode(coder={coder})"
+            ).compress(data)
+            fast = REGISTRY.instantiate(
+                f"encode(coder={coder})"
+            ).decompress(enc)
+            try:
+                native._lib = None
+                native._tried = True
+                slow = REGISTRY.instantiate(
+                    f"encode(coder={coder})"
+                ).decompress(enc)
+            finally:
+                native._tried = False
+                native._lib = None
+            assert fast == slow == data, (coder, len(data))

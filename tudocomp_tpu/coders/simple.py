@@ -16,6 +16,41 @@ from tudocomp_tpu.meta import Algorithm, Meta
 from tudocomp_tpu.ranges import BitRange, LiteralRange, Range
 
 
+def _fixed8_remaining(decoder) -> bytes:
+    """Whole-tail literal decode for 8-bit-per-literal streams."""
+    rd = decoder.inp
+    rem = rd.total - rd.pos
+    if rem % 8:
+        return _loop_remaining(decoder)
+    return rd.read_int_array(8, rem // 8).astype(np.uint8).tobytes()
+
+
+def _loop_remaining(decoder) -> bytes:
+    from tudocomp_tpu.ranges import literal_r
+
+    out = bytearray()
+    while not decoder.eof():
+        out.append(decoder.decode(literal_r))
+    return bytes(out)
+
+
+def _vlc_remaining(decoder, kind: int) -> bytes:
+    """Whole-tail literal decode through the native VLC walker
+    (``tdc_vlc_literals``); falls back to the per-symbol loop."""
+    from tudocomp_tpu import native
+
+    rd = decoder.inp
+    got = None
+    if native.available():
+        got = native.vlc_literals(
+            np.packbits(rd._bits), rd.total, rd.pos, kind
+        )
+    if got is None:
+        return _loop_remaining(decoder)
+    rd.pos = rd.total
+    return got
+
+
 class BitCoder(Algorithm):
     @classmethod
     def meta(cls):
@@ -25,7 +60,8 @@ class BitCoder(Algorithm):
         pass
 
     class Decoder(base.Decoder):
-        pass
+        def decode_remaining_literals(self) -> bytes:
+            return _fixed8_remaining(self)
 
 
 class ASCIICoder(Algorithm):
@@ -68,6 +104,9 @@ class ASCIICoder(Algorithm):
                 digits.append(chr(c))
             return int("".join(digits)) if digits else 0
 
+        def decode_remaining_literals(self) -> bytes:
+            return _fixed8_remaining(self)
+
         def decode_array(self, r: Range, count: int) -> np.ndarray:
             if isinstance(r, LiteralRange):
                 return self.inp.read_int_array(8, count)
@@ -108,6 +147,9 @@ class EliasGammaCoder(Algorithm):
                 np.uint64,
             )
 
+        def decode_remaining_literals(self) -> bytes:
+            return _vlc_remaining(self, 1)
+
 
 class EliasDeltaCoder(Algorithm):
     @classmethod
@@ -141,6 +183,9 @@ class EliasDeltaCoder(Algorithm):
                 np.uint64,
             )
 
+        def decode_remaining_literals(self) -> bytes:
+            return _vlc_remaining(self, 2)
+
 
 class TernaryCoder(Algorithm):
     @classmethod
@@ -173,3 +218,6 @@ class TernaryCoder(Algorithm):
             return np.array(
                 [self.inp.read_ternary() for _ in range(count)], np.uint64
             )
+
+        def decode_remaining_literals(self) -> bytes:
+            return _vlc_remaining(self, 3)

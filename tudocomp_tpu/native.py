@@ -245,6 +245,11 @@ def _load():
             ctypes.c_int64, ctypes.c_uint64, ctypes.c_int64, u8p,
         ]
         lib.tdc_arith_decode.restype = ctypes.c_int64
+        lib.tdc_vlc_literals.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            u8p, ctypes.c_int64,
+        ]
+        lib.tdc_vlc_literals.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -1030,3 +1035,24 @@ def arith_decode(payload: np.ndarray, nbits: int, start_bit: int,
     if got == -2:
         raise ValueError("malformed arithmetic stream")
     return out[:count]
+
+
+def vlc_literals(payload: np.ndarray, nbits: int, start_bit: int,
+                 kind: int):
+    """Decode a whole gamma(1)/delta(2)/ternary(3) literal tail, or
+    None without the runtime / on a non-literal stream (caller falls
+    back to the per-symbol walk)."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    cap = max(64, nbits)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_vlc_literals(payload, nbits, start_bit, kind,
+                                   out, cap)
+        if got == -2:
+            return None
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
