@@ -203,8 +203,7 @@ class TernaryCoder(Algorithm):
             if isinstance(r, BitRange):
                 super().encode_array(values, r)
                 return
-            for v in np.asarray(values, np.uint64).tolist():
-                self.out.write_ternary(v)
+            self.out.write_ternary_array(np.asarray(values, np.uint64))
 
     class Decoder(base.Decoder):
         def decode(self, r: Range) -> int:

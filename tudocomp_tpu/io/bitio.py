@@ -232,6 +232,38 @@ class BitWriter:
         for v in values.tolist():
             self.write_elias_gamma(int(v))
 
+    def write_ternary_array(self, values) -> None:
+        """Vectorized ternary codes: per value the base-3 digits of
+        ``v-1`` as 2-bit tokens plus the ``0b11`` terminator (``v == 0``
+        is the bare terminator), matching :meth:`write_ternary`."""
+        values = np.asarray(values, dtype=np.uint64)
+        if values.size == 0:
+            return
+        if (values >= 3 ** 20).any():  # keep int64 power math exact
+            for v in values.tolist():
+                self.write_ternary(int(v))
+            return
+        v = values.astype(np.int64)
+        v1 = np.maximum(v - 1, 0)
+        d = np.ones(values.size, np.int64)
+        p = 3
+        while (v1 >= p).any():
+            d += v1 >= p
+            p *= 3
+        d = np.where(v == 0, 0, d)
+        tok_counts = d + 1
+        total = int(tok_counts.sum())
+        off = np.cumsum(tok_counts) - tok_counts
+        owner = np.repeat(np.arange(values.size), tok_counts)
+        j = np.arange(total) - off[owner]
+        vo = v1[owner]
+        tok = np.where(
+            j < d[owner], (vo // np.power(3, j, dtype=np.int64)) % 3, 3
+        )
+        self.write_tokens(
+            tok.astype(np.uint64), np.full(total, 2, np.int64)
+        )
+
     def write_delta_array(self, values) -> None:
         values = np.asarray(values, dtype=np.uint64)
         nb = bits_for_arr(values).astype(np.int64)
