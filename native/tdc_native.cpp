@@ -536,13 +536,84 @@ struct BitRd {
         }
         return v;
     }
+    // variable-length integer codes (mirror io/bitio.py readers);
+    // every reader returns -1 on a truncated/overlong code
+    inline int64_t read_unary() {
+        int64_t z = 0;
+        while (pos < nbits &&
+               !((p[pos >> 3] >> (7 - (pos & 7))) & 1)) { z++; pos++; }
+        if (pos >= nbits) return -1;
+        pos++;  // the terminating 1
+        return z;
+    }
+    inline int64_t read_gamma() {
+        int64_t m = read_unary();
+        if (m < 0 || m > 62 || pos + m > nbits) return -1;
+        return read(int(m));
+    }
+    inline int64_t read_delta() {
+        int64_t m = read_gamma();
+        if (m < 0 || m > 62 || pos + m > nbits) return -1;
+        return read(int(m));
+    }
+    inline int64_t read_ternary() {
+        if (pos + 2 > nbits) return -1;
+        int64_t mod = read(2);
+        int64_t v = 0;
+        if (mod < 3) {
+            int64_t b3 = 1;
+            for (;;) {
+                v += mod * b3;
+                b3 *= 3;
+                if (pos + 2 > nbits) return -1;
+                mod = read(2);
+                if (mod == 3) break;
+                if (b3 > (int64_t(1) << 60)) return -1;
+            }
+            v += 1;
+        }
+        return v;
+    }
+    inline int64_t read_ascii_int() {
+        // decimal digits then one terminator byte (ASCIICoder)
+        int64_t v = 0;
+        bool any = false;
+        for (;;) {
+            if (pos + 8 > nbits) return any ? v : -1;
+            int64_t c = read(8);
+            if (c < '0' || c > '9') break;
+            any = true;
+            if (v > (int64_t(1) << 55)) return -1;
+            v = v * 10 + (c - '0');
+        }
+        return v;
+    }
+    // kind: 0 = fixed width w, 1 = gamma, 2 = delta, 3 = ternary,
+    // 4 = ascii decimal
+    inline int64_t read_code(int kind, int w) {
+        switch (kind) {
+            case 0: return read(w);
+            case 1: return read_gamma();
+            case 2: return read_delta();
+            case 3: return read_ternary();
+            default: return read_ascii_int();
+        }
+    }
+    // the coders' BitRange: 1 bit, except ascii's '0'/'1' byte
+    inline int64_t read_flag(int kind) {
+        if (kind == 4) {
+            if (pos + 8 > nbits) return -1;
+            return read(8) == '0' ? 0 : 1;
+        }
+        return read(1);
+    }
 };
 
 int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
                         int64_t start_bit, int64_t n, int64_t flen_min,
                         int w_src, int w_len, int w_dist,
                         const uint8_t* lut_sym, const uint8_t* lut_len,
-                        int k, int mode,
+                        int k, int mode, int code_kind,
                         uint8_t* out, int64_t out_cap,
                         int64_t* fpos, int64_t* fsrc, int64_t* flen,
                         int64_t fcap, int64_t* nfac_out) {
@@ -551,6 +622,11 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
     int64_t lits = 0;     // literal count (mode 1)
     int64_t nfac = 0;
     auto read_literal = [&]() -> int {
+        if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+            int64_t v = rd.read_code(code_kind, 8);
+            if (v < 0 || v > 255) return -1;
+            return int(v);
+        }
         if (k > 0) {
             // peek k bits (zero padded), LUT walk
             int64_t save = rd.pos;
@@ -563,10 +639,12 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
         return int(rd.read(8));
     };
     while (rd.pos < nbits) {
-        int64_t flag = rd.read(1);
+        int64_t flag = rd.read_flag(code_kind);
+        if (flag < 0) return -2;
         if (flag) {
             if (rd.pos >= nbits) break;
-            int64_t num = rd.read(w_dist);
+            int64_t num = rd.read_code(code_kind, w_dist);
+            if (num < 0) return -2;
             for (int64_t i = 0; i < num; i++) {
                 int c = read_literal();
                 if (c < 0) return -2;
@@ -581,8 +659,12 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
             }
         }
         if (rd.pos >= nbits) break;
-        int64_t src = rd.read(w_src);
-        int64_t len = rd.read(w_len) + flen_min;
+        int64_t src = rd.read_code(code_kind, w_src);
+        int64_t len0 = rd.read_code(code_kind, w_len);
+        if (src < 0 || len0 < 0) return -2;
+        // MinDistributedRange: the fixed-width coder stores v - min;
+        // the VLC coders (gamma/delta/ternary/ascii) store v verbatim
+        int64_t len = code_kind == 0 ? len0 + flen_min : len0;
         if (mode == 0) {
             if (cursor + len > out_cap || src + len > out_cap) return -1;
             if (src < 0 || src >= cursor) return -2;  // back-references only
@@ -2540,6 +2622,274 @@ int64_t tdc_vlc_literals(const uint8_t* p, int64_t nbits, int64_t pos,
         out[m++] = (uint8_t)v;
     }
     return m;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sliding-window LZSS (reference LZSSSlidingWindowCompressor.hpp:39-143):
+// greedy longest-match scan over [i-w, i), lookahead bounded by the
+// streaming buffer end min(n, max(2w, i+w)), ties to the leftmost
+// candidate; stream = per event either (flag=1, pos-src in Range(pos),
+// len in Range(window)) or (flag=0, literal). code_kind as in BitRd.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+struct TdcBitWr {
+    uint8_t* p;
+    int64_t cap_bits;
+    int64_t pos;
+    inline int put(uint64_t v, int64_t w) {
+        if (pos + w > cap_bits) return -1;
+        for (int64_t i = w - 1; i >= 0; i--) {
+            uint64_t b = (v >> i) & 1;
+            int64_t q = pos >> 3;
+            int r = int(7 - (pos & 7));
+            p[q] = (uint8_t)((p[q] & ~(1u << r)) | (unsigned(b) << r));
+            pos++;
+        }
+        return 0;
+    }
+    inline int put_gamma(uint64_t v) {
+        int64_t nb = v ? 64 - __builtin_clzll(v) : 1;
+        if (put(1, nb + 1)) return -1;  // unary(nb): nb zeros then 1
+        return put(v, nb);
+    }
+    inline int put_delta(uint64_t v) {
+        int64_t nb = v ? 64 - __builtin_clzll(v) : 1;
+        if (put_gamma((uint64_t)nb)) return -1;
+        return put(v, nb);
+    }
+    inline int put_ternary(uint64_t v) {
+        if (v) {
+            v -= 1;
+            for (;;) {
+                if (put(v % 3, 2)) return -1;
+                v /= 3;
+                if (!v) break;
+            }
+        }
+        return put(3, 2);
+    }
+    inline int put_ascii_int(uint64_t v) {
+        char buf[24];
+        int m = 0;
+        do { buf[m++] = char('0' + v % 10); v /= 10; } while (v);
+        for (int i = m - 1; i >= 0; i--)
+            if (put((uint64_t)(unsigned char)buf[i], 8)) return -1;
+        return put(':', 8);
+    }
+    // fixed width w for kind 0, else the VLC family
+    inline int put_code(int kind, uint64_t v, int64_t w) {
+        switch (kind) {
+            case 0: return put(v, w);
+            case 1: return put_gamma(v);
+            case 2: return put_delta(v);
+            case 3: return put_ternary(v);
+            default: return put_ascii_int(v);
+        }
+    }
+    inline int put_flag(int kind, int v) {
+        if (kind == 4) return put(v ? '1' : '0', 8);
+        return put(v, 1);
+    }
+};
+
+static inline int64_t tdc_bits_for(uint64_t v) {
+    return v ? 64 - __builtin_clzll(v) : 1;
+}
+
+// Factorize + encode in one pass. Returns the bit count written into
+// out (caller packs it into its BitWriter), or -1 if cap_bits is too
+// small, or -2 on bad parameters.
+int64_t tdc_lzss_window_encode(const uint8_t* t, int64_t n,
+                               int64_t window, int64_t threshold,
+                               int code_kind, uint8_t* out,
+                               int64_t cap_bits) {
+    if (window < 1 || threshold < 1) return -2;
+    TdcBitWr wr{out, cap_bits, 0};
+    const int64_t w_len = tdc_bits_for((uint64_t)window);
+    int64_t i = 0;
+    while (i < n) {
+        // length cap == window (the reference wraps its Range(window)
+        // field for longer initial-buffer matches; see lzss.py)
+        int64_t buf_end = i + window;
+        if (buf_end > n) buf_end = n;
+        int64_t best_len = 0, best_src = 0;
+        int64_t lo = i - window;
+        if (lo < 0) lo = 0;
+        for (int64_t k = lo; k < i; k++) {
+            int64_t j = 0;
+            while (i + j < buf_end && t[k + j] == t[i + j]) j++;
+            if (j >= threshold && j > best_len) { best_len = j; best_src = k; }
+        }
+        if (best_len > 0) {
+            if (wr.put_flag(code_kind, 1)) return -1;
+            if (wr.put_code(code_kind, (uint64_t)(i - best_src),
+                            tdc_bits_for((uint64_t)i))) return -1;
+            if (wr.put_code(code_kind, (uint64_t)best_len, w_len))
+                return -1;
+            i += best_len;
+        } else {
+            if (wr.put_flag(code_kind, 0)) return -1;
+            if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+                if (wr.put_code(code_kind, t[i], 8)) return -1;
+            } else {
+                if (wr.put(t[i], 8)) return -1;  // bit/ascii: raw byte
+            }
+            i++;
+        }
+    }
+    return wr.pos;
+}
+
+// Mirror decoder. Returns the text length, -1 if out_cap too small,
+// -2 on malformed input.
+int64_t tdc_lzss_window_decode(const uint8_t* payload, int64_t nbits,
+                               int64_t start_bit, int64_t window,
+                               int code_kind, uint8_t* out,
+                               int64_t out_cap) {
+    if (window < 1) return -2;
+    BitRd rd{payload, nbits, start_bit};
+    const int w_len = int(tdc_bits_for((uint64_t)window));
+    int64_t cursor = 0;
+    while (rd.pos < nbits) {
+        int64_t flag = rd.read_flag(code_kind);
+        if (flag < 0) return -2;
+        if (flag) {
+            int64_t delta = rd.read_code(
+                code_kind, int(tdc_bits_for((uint64_t)cursor)));
+            int64_t len = rd.read_code(code_kind, w_len);
+            if (delta < 0 || len < 0) return -2;
+            int64_t src = cursor - delta;
+            if (src < 0 || src >= cursor) return -2;
+            if (cursor + len > out_cap) return -1;
+            for (int64_t k = 0; k < len; k++)
+                out[cursor + k] = out[src + k];
+            cursor += len;
+        } else {
+            int64_t c;
+            if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+                c = rd.read_code(code_kind, 8);
+            } else {
+                if (rd.pos + 8 > nbits) return -2;
+                c = rd.read(8);
+            }
+            if (c < 0 || c > 255) return -2;
+            if (cursor >= out_cap) return -1;
+            out[cursor++] = (uint8_t)c;
+        }
+    }
+    return cursor;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LZ78 / LZW whole-stream decode for any integer code kind (incl. the
+// growing Range(count) fixed widths and the dictionary reset), mirrors
+// compressors/lz78.py decompress / lzw.py decompress exactly.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lz78_stream_decode(const uint8_t* p, int64_t nbits,
+                               int64_t pos0, int code_kind,
+                               int64_t dict_max, uint8_t* out,
+                               int64_t cap) {
+    BitRd rd{p, nbits, pos0};
+    std::vector<int64_t> start, len;
+    int64_t cursor = 0, fc = 0;
+    while (rd.pos < nbits) {
+        int64_t ref = rd.read_code(
+            code_kind, int(tdc_bits_for((uint64_t)fc)));
+        if (ref < 0 || rd.pos >= nbits) return -2;
+        int64_t c;
+        if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+            c = rd.read_code(code_kind, 8);
+        } else {
+            if (rd.pos + 8 > nbits) return -2;
+            c = rd.read(8);
+        }
+        if (c < 0 || c > 255) return -2;
+        if (ref > fc) return -2;  // must point to an emitted factor
+        int64_t plen = ref ? len[size_t(ref - 1)] + 1 : 1;
+        if (cursor + plen > cap) return -1;
+        if (ref)
+            memcpy(out + cursor, out + start[size_t(ref - 1)],
+                   size_t(len[size_t(ref - 1)]));
+        out[cursor + plen - 1] = (uint8_t)c;
+        start.push_back(cursor);
+        len.push_back(plen);
+        cursor += plen;
+        fc++;
+        if (dict_max && fc + 1 == dict_max) {
+            start.clear();
+            len.clear();
+            fc = 0;
+        }
+    }
+    return cursor;
+}
+
+int64_t tdc_lzw_stream_decode(const uint8_t* p, int64_t nbits,
+                              int64_t pos0, int code_kind,
+                              int64_t dict_max, uint8_t* out,
+                              int64_t cap) {
+    BitRd rd{p, nbits, pos0};
+    const int64_t NONE = -1;
+    std::vector<int32_t> pref;
+    std::vector<uint8_t> lastc;
+    auto reset = [&] {
+        pref.assign(256, int32_t(NONE));
+        lastc.resize(256);
+        for (int j = 0; j < 256; j++) lastc[size_t(j)] = (uint8_t)j;
+    };
+    reset();
+    int64_t counter = 0, i = NONE, cursor = 0;
+    const int64_t reset_after = dict_max - 256;
+    std::vector<uint8_t> tmp;
+    auto rebuild = [&](int64_t k) {
+        tmp.clear();
+        while (k != NONE) {
+            tmp.push_back(lastc[size_t(k)]);
+            k = pref[size_t(k)];
+        }
+        std::reverse(tmp.begin(), tmp.end());
+    };
+    for (;;) {
+        if (reset_after > 0 && counter == reset_after) {
+            reset();
+            counter = 0;
+            i = NONE;
+        }
+        if (rd.pos >= nbits) break;
+        int64_t k = rd.read_code(
+            code_kind, int(tdc_bits_for((uint64_t)(counter + 256))));
+        if (k < 0) return -2;
+        counter++;
+        if (k > (int64_t)pref.size()) return -2;
+        if (k == (int64_t)pref.size()) {
+            if (i == NONE) return -2;  // self-reference with no prior
+            rebuild(i);
+            uint8_t f0 = tmp[0];
+            pref.push_back((int32_t)i);
+            lastc.push_back(f0);
+            rebuild(k);
+        } else {
+            rebuild(k);
+            if (i != NONE) {
+                pref.push_back((int32_t)i);
+                lastc.push_back(tmp[0]);
+            }
+        }
+        if (cursor + (int64_t)tmp.size() > cap) return -1;
+        memcpy(out + cursor, tmp.data(), tmp.size());
+        cursor += (int64_t)tmp.size();
+        i = k;
+    }
+    return cursor;
 }
 
 }  // extern "C"

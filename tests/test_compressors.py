@@ -313,3 +313,65 @@ def test_vlc_remaining_literals_match_python():
                 native._tried = False
                 native._lib = None
             assert fast == slow == data, (coder, len(data))
+
+
+def test_lzss_window_native_matches_python():
+    """Native sliding-window factorize+encode and the stream decoder
+    are bit-identical to the Python paths across coders/windows."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(33)
+    cases = [
+        b"tobeornottobe" * 60,
+        bytes(rng.integers(0, 256, 2000, dtype=np.uint8)),
+        b"", b"q", b"ab" * 400,
+    ]
+    for coder in ("bit", "gamma", "ascii"):
+        for w, t in ((16, 3), (3, 2)):
+            for data in cases:
+                spec = f"lzss(coder={coder},window={w},threshold={t})"
+                enc_nat = REGISTRY.instantiate(spec).compress(data)
+                try:
+                    native._lib = None
+                    native._tried = True
+                    enc_py = REGISTRY.instantiate(spec).compress(data)
+                    dec_py = REGISTRY.instantiate(spec).decompress(
+                        enc_nat
+                    )
+                finally:
+                    native._tried = False
+                    native._lib = None
+                assert enc_nat == enc_py, (coder, w, len(data))
+                assert dec_py == data, (coder, w, len(data))
+                assert REGISTRY.instantiate(spec).decompress(
+                    enc_nat
+                ) == data
+
+
+def test_lz78_lzw_vlc_stream_decode():
+    """The native lz78/lzw whole-stream decoders (any code kind, dict
+    resets included) equal the Python replay."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    data = b"abcabc abc abcd abcde " * 40 + bytes(range(64))
+    for comp in ("lz78", "lzw"):
+        for coder in ("gamma", "ternary", "ascii"):
+            for ds in (0, 100):
+                spec = (f"{comp}(coder={coder},lz78trie=ternary,"
+                        f"dict_size={ds})")
+                enc = REGISTRY.instantiate(spec).compress(data)
+                fast = REGISTRY.instantiate(spec).decompress(enc)
+                try:
+                    native._lib = None
+                    native._tried = True
+                    slow = REGISTRY.instantiate(spec).decompress(enc)
+                finally:
+                    native._tried = False
+                    native._lib = None
+                assert fast == slow == data, (comp, coder, ds)

@@ -34,3 +34,21 @@ UNIVERSAL_CODER_NAMES = ("ascii", "bit", "gamma", "delta", "ternary")
 NON_CONSUMING_CODER_NAMES = UNIVERSAL_CODER_NAMES + ("huff",)
 ALL_CODER_NAMES = NON_CONSUMING_CODER_NAMES + ("arithmetic", "sle")
 LCPCOMP_CODER_NAMES = ("ascii", "huff", "sle")
+
+
+def native_code_kind(decoder):
+    """Map a decoder instance to the native runtime's int-code kind
+    (``BitRd.read_code``): 0 bit, 1 gamma, 2 delta, 3 ternary,
+    4 ascii; None for coders without a pure-VLC field format."""
+    from tudocomp_tpu.coders.simple import (
+        ASCIICoder, BitCoder, EliasDeltaCoder, EliasGammaCoder,
+        TernaryCoder,
+    )
+
+    for cls, kind in (
+        (BitCoder, 0), (EliasGammaCoder, 1), (EliasDeltaCoder, 2),
+        (TernaryCoder, 3), (ASCIICoder, 4),
+    ):
+        if isinstance(decoder, cls.Decoder):
+            return kind
+    return None

@@ -110,6 +110,21 @@ class LZ78Compressor(Compressor):
                 fast = self._decompress_bulk(reader)
                 if fast is not None:
                     return fast
+        from tudocomp_tpu.coders import native_code_kind
+
+        kind = native_code_kind(decoder)
+        if kind is not None:
+            import numpy as np
+
+            from tudocomp_tpu import native
+
+            if native.available():
+                got = native.lz78_stream_decode(
+                    np.packbits(reader._bits), reader.total, reader.pos,
+                    kind, dict_max,
+                )
+                if got is not None:
+                    return got
         indices: list[int] = []
         literals: list[int] = []
         out = bytearray()
@@ -162,10 +177,12 @@ class LZ78Compressor(Compressor):
         widths = np.empty(2 * nfac, np.int64)
         widths[0::2] = per[:nfac] - 8
         widths[1::2] = 8
+        save = reader.pos
         vals = reader.read_var_int_array(widths)
         refs = vals[0::2].astype(np.uint32)
         chars = vals[1::2].astype(np.uint8)
         expanded = native.lz78_expand(refs, chars)
         if expanded is None:
+            reader.pos = save  # leave the stream untouched for fallbacks
             return None
         return expanded

@@ -326,30 +326,41 @@ def encode_factor_text(coder, text: np.ndarray, factors: FactorBuffer):
 
 
 def _native_decode_args(decoder, flen_r, text_r, fdist_r):
-    """(payload, nbits, start, widths, lut) when the native stream
-    decoder applies (bit / huffman coders), else None."""
+    """(payload, nbits, start, widths, lut, code_kind) when the native
+    stream decoder applies (every non-consuming coder), else None."""
     from tudocomp_tpu.coders.huffman import HuffmanCoder
-    from tudocomp_tpu.coders.simple import BitCoder
+    from tudocomp_tpu.coders.simple import (
+        ASCIICoder, BitCoder, EliasDeltaCoder, EliasGammaCoder,
+        TernaryCoder,
+    )
 
     from tudocomp_tpu import native
 
     if not native.available():
         return None
+    lut = None
+    kind = 0
     if isinstance(decoder, HuffmanCoder.Decoder):
         if decoder.table is not None:
             lut_sym, lut_len = decoder.table.build_lut()
             lut = (lut_sym, lut_len, decoder.table.longest)
-        else:
-            lut = None
     elif isinstance(decoder, BitCoder.Decoder):
-        lut = None
+        pass
+    elif isinstance(decoder, EliasGammaCoder.Decoder):
+        kind = 1
+    elif isinstance(decoder, EliasDeltaCoder.Decoder):
+        kind = 2
+    elif isinstance(decoder, TernaryCoder.Decoder):
+        kind = 3
+    elif isinstance(decoder, ASCIICoder.Decoder):
+        kind = 4
     else:
         return None
     reader = decoder.inp
     payload = np.packbits(reader._bits)
     return (
         payload, reader.total, reader.pos,
-        text_r.bits, flen_r.bits, fdist_r.bits, lut,
+        text_r.bits, flen_r.bits, fdist_r.bits, lut, kind,
     )
 
 
@@ -380,10 +391,10 @@ def decode_stream_native(decoder, n, flen_r, text_r, fdist_r, mode=0):
     args = _native_decode_args(decoder, flen_r, text_r, fdist_r)
     if args is None:
         return None
-    payload, nbits, start, w_src, w_len, w_dist, lut = args
+    payload, nbits, start, w_src, w_len, w_dist, lut, kind = args
     res = native.lzss_decode_stream(
         payload, nbits, start, n, flen_r.min,
-        w_src, w_len, w_dist, lut, mode=mode,
+        w_src, w_len, w_dist, lut, mode=mode, code_kind=kind,
     )
     if res is not None:
         decoder.inp.pos = decoder.inp.total
@@ -429,16 +440,23 @@ def decode_factor_text(decoder) -> bytes:
 def factorize_window(
     text: np.ndarray, window: int, threshold: int
 ):
-    """Greedy sliding-window factorization, exact reference semantics:
+    """Greedy sliding-window factorization, reference semantics:
     at position i, candidates start in [max(0, i-w), i); the lookahead is
     bounded by the streaming buffer end min(n, max(2w, i+w)); the longest
-    match wins, ties to the leftmost candidate; matches may overlap i."""
+    match wins, ties to the leftmost candidate; matches may overlap i.
+
+    Documented divergence: match lengths are capped at ``window``. The
+    reference lets matches inside its initial 2w buffer exceed the
+    window yet encodes the length in ``Range(window)``
+    (``LZSSSlidingWindowCompressor.hpp:74-88``), silently wrapping the
+    field and corrupting its own stream for small windows; the cap
+    keeps every emitted factor representable."""
     n = text.size
     t = text.tolist()
     out = []  # (kind, ...) events in order
     i = 0
     while i < n:
-        buf_end = min(n, max(2 * window, i + window))
+        buf_end = min(n, i + window)  # length cap == window
         best_len = 0
         best_src = 0
         lo = max(0, i - window)
@@ -458,6 +476,20 @@ def factorize_window(
     return out
 
 
+def _write_raw_bits(out: "BitWriter", packed: np.ndarray,
+                    nbits: int) -> None:
+    """Append pre-packed MSB-first bits (e.g. a native encoder's
+    output) to a BitWriter, preserving the final-byte convention."""
+    full = nbits // 32
+    if full:
+        words = np.ascontiguousarray(packed[: full * 4]).view(">u4")
+        out.write_int_array(words.astype(np.uint64), 32)
+    rem = nbits - full * 32
+    if rem:
+        tail = packed[full * 4 : full * 4 + 4].tobytes().ljust(4, b"\0")
+        out.write_int(int.from_bytes(tail, "big") >> (32 - rem), rem)
+
+
 class LZSSSlidingWindowCompressor(Compressor):
     @classmethod
     def meta(cls):
@@ -474,10 +506,29 @@ class LZSSSlidingWindowCompressor(Compressor):
         m.option_dynamic("threshold", 3)
         return m
 
+    #: coder name -> native int-code kind (BitRd/TdcBitWr read_code)
+    _CODE_KINDS = {"bit": 0, "gamma": 1, "delta": 2, "ternary": 3,
+                   "ascii": 4}
+
+    def _code_kind(self):
+        name = self.env.env_for_option("coder").cls.meta().name
+        return self._CODE_KINDS.get(name)
+
     def compress(self, data: bytes) -> bytes:
         window = self.env.option("window").as_int()
         threshold = self.env.option("threshold").as_int()
         text = np.frombuffer(data, np.uint8)
+        kind = self._code_kind()
+        if kind is not None:
+            from tudocomp_tpu import native
+
+            got = native.lzss_window_encode(text, window, threshold,
+                                            kind)
+            if got is not None:
+                packed, nbits = got
+                out = BitWriter()
+                _write_raw_bits(out, packed, nbits)
+                return out.getvalue()
         out = BitWriter()
         coder = self.coder_encoder(out, Literals.none())
         for ev in factorize_window(text, window, threshold):
@@ -494,6 +545,16 @@ class LZSSSlidingWindowCompressor(Compressor):
 
     def decompress(self, data: bytes) -> bytes:
         window = self.env.option("window").as_int()
+        kind = self._code_kind()
+        if kind is not None:
+            from tudocomp_tpu import native
+
+            rd = BitReader(data)
+            got = native.lzss_window_decode(
+                np.packbits(rd._bits), rd.total, rd.pos, window, kind
+            ) if native.available() else None
+            if got is not None:
+                return got
         decoder = self.coder_decoder(BitReader(data))
         text = bytearray()
         win_r = Range(window)

@@ -80,6 +80,21 @@ class LZWCompressor(Compressor):
                 fast = self._decompress_bulk(reader)
                 if fast is not None:
                     return fast
+        from tudocomp_tpu.coders import native_code_kind
+
+        kind = native_code_kind(decoder)
+        if kind is not None:
+            import numpy as np
+
+            from tudocomp_tpu import native
+
+            if native.available():
+                got = native.lzw_stream_decode(
+                    np.packbits(reader._bits), reader.total, reader.pos,
+                    kind, dict_max,
+                )
+                if got is not None:
+                    return got
         out = bytearray()
 
         NONE = -1
@@ -183,5 +198,9 @@ class LZWCompressor(Compressor):
         if hits.size == 0:
             return None
         nfac = int(hits[0]) + 1
+        save = reader.pos
         codes = reader.read_var_int_array(per[:nfac]).astype(np.uint32)
-        return native.lzw_expand(codes)
+        got = native.lzw_expand(codes)
+        if got is None:
+            reader.pos = save  # leave the stream untouched for fallbacks
+        return got

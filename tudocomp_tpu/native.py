@@ -134,7 +134,7 @@ def _load():
         lib.tdc_lzss_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            u8p, u8p, ctypes.c_int, ctypes.c_int,
+            u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             u8p, ctypes.c_int64, i64p, i64p, i64p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
         ]
@@ -250,6 +250,24 @@ def _load():
             u8p, ctypes.c_int64,
         ]
         lib.tdc_vlc_literals.restype = ctypes.c_int64
+        lib.tdc_lzss_window_encode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lzss_window_encode.restype = ctypes.c_int64
+        lib.tdc_lzss_window_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lzss_window_decode.restype = ctypes.c_int64
+        lib.tdc_lz78_stream_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int64, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78_stream_decode.restype = ctypes.c_int64
+        lib.tdc_lzw_stream_decode.argtypes = \
+            lib.tdc_lz78_stream_decode.argtypes
+        lib.tdc_lzw_stream_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -465,10 +483,12 @@ _EMPTY_LUT = np.zeros(1, np.uint8)
 
 
 def lzss_decode_stream(payload, nbits, start_bit, n, flen_min,
-                       w_src, w_len, w_dist, lut=None, mode=0):
+                       w_src, w_len, w_dist, lut=None, mode=0,
+                       code_kind=0):
     """Native factor-stream decode. mode 0 -> text bytes; mode 1 ->
     (literals, pos, src, len) for forward-capable resolution. None if
-    native unavailable."""
+    native unavailable. ``code_kind``: 0 = fixed widths (+optional
+    Huffman LUT literals), 1/2/3/4 = gamma/delta/ternary/ascii fields."""
     lib = _load()
     if lib is None:
         return None
@@ -489,7 +509,7 @@ def lzss_decode_stream(payload, nbits, start_bit, n, flen_min,
     nfac = ctypes.c_int64(0)
     got = lib.tdc_lzss_decode(
         payload, nbits, start_bit, n, flen_min,
-        w_src, w_len, w_dist, lut_sym, lut_len, k, mode,
+        w_src, w_len, w_dist, lut_sym, lut_len, k, mode, code_kind,
         out, out_cap, fpos, fsrc, flen, fcap, ctypes.byref(nfac),
     )
     if got == -2:
@@ -1056,3 +1076,74 @@ def vlc_literals(payload: np.ndarray, nbits: int, start_bit: int,
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+
+
+def lzss_window_encode(text: np.ndarray, window: int, threshold: int,
+                       code_kind: int):
+    """Factorize+encode the sliding-window LZSS stream in one native
+    pass. Returns (packed bytes, nbits) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    text = np.ascontiguousarray(text, np.uint8)
+    cap_bits = max(256, text.size * 18 + 256)
+    out = np.zeros((cap_bits + 7) // 8, np.uint8)
+    got = lib.tdc_lzss_window_encode(
+        text, text.size, window, threshold, code_kind, out, cap_bits
+    )
+    if got < 0:
+        return None  # pathological expansion: python path handles it
+    return out, int(got)
+
+
+def lzss_window_decode(payload: np.ndarray, nbits: int, start_bit: int,
+                       window: int, code_kind: int):
+    """Decode the sliding-window LZSS stream, or None without the
+    runtime. Raises on malformed input."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    cap = max(64, nbits * 2 + 64)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lzss_window_decode(
+            payload, nbits, start_bit, window, code_kind, out, cap
+        )
+        if got == -2:
+            raise ValueError("malformed lzss stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def _stream_decode(fn_name, payload, nbits, start_bit, code_kind,
+                   dict_max):
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    fn = getattr(lib, fn_name)
+    cap = max(64, nbits * 2 + 64)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = fn(payload, nbits, start_bit, code_kind, dict_max, out, cap)
+        if got == -2:
+            raise ValueError("malformed stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def lz78_stream_decode(payload, nbits, start_bit, code_kind, dict_max):
+    """Whole-stream LZ78 decode for any code kind (growing ref widths,
+    dict reset), or None without the runtime."""
+    return _stream_decode("tdc_lz78_stream_decode", payload, nbits,
+                          start_bit, code_kind, dict_max)
+
+
+def lzw_stream_decode(payload, nbits, start_bit, code_kind, dict_max):
+    """Whole-stream LZW decode (classic prefix-code dictionary incl.
+    the self-referential case and reset lag), or None."""
+    return _stream_decode("tdc_lzw_stream_decode", payload, nbits,
+                          start_bit, code_kind, dict_max)
