@@ -2893,3 +2893,145 @@ int64_t tdc_lzw_stream_decode(const uint8_t* p, int64_t nbits,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LFS start-string decode (compressors/lfs.py EncodeStrategy.decode):
+// interleaved (flag, literal | rule-id) events; literals via the
+// canonical-Huffman LUT (k > 0) or plain 8-bit (k == 0), rule ids in
+// fixed width w_id; each id expands to its dictionary string.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lfs_start_decode(const uint8_t* p, int64_t nbits,
+                             int64_t pos0, const uint8_t* lut_sym,
+                             const uint8_t* lut_len, int k, int w_id,
+                             const int64_t* dict_lens, int64_t ndict,
+                             uint8_t* out, int64_t cap) {
+    BitRd rd{p, nbits, pos0};
+    auto read_lit = [&](int* ok) -> int {
+        *ok = 1;
+        if (k > 0) {
+            int64_t save = rd.pos;
+            int64_t w = rd.read(k);
+            int len = lut_len[w];
+            if (len == 0) { *ok = 0; return 0; }
+            rd.pos = save + len;
+            return lut_sym[w];
+        }
+        if (rd.pos + 8 > nbits) { *ok = 0; return 0; }
+        return int(rd.read(8));
+    };
+    // phase 1: the rule strings, as one run of literals
+    std::vector<uint8_t> blob;
+    std::vector<int64_t> off(size_t(ndict) + 1, 0);
+    for (int64_t d = 0; d < ndict; d++) {
+        for (int64_t j = 0; j < dict_lens[d]; j++) {
+            int ok;
+            int c = read_lit(&ok);
+            if (!ok) return -2;
+            blob.push_back((uint8_t)c);
+        }
+        off[size_t(d) + 1] = (int64_t)blob.size();
+    }
+    // phase 2: the start string
+    int64_t cursor = 0;
+    while (rd.pos < nbits) {
+        int64_t flag = rd.read(1);
+        if (flag) {
+            if (rd.pos + w_id > nbits) return -2;
+            int64_t id = rd.read(w_id);
+            if (id < 0 || id >= ndict) return -2;
+            int64_t len = off[size_t(id) + 1] - off[size_t(id)];
+            if (cursor + len > cap) return -1;
+            memcpy(out + cursor, blob.data() + off[size_t(id)],
+                   size_t(len));
+            cursor += len;
+        } else {
+            int ok;
+            int c = read_lit(&ok);
+            if (!ok) return -2;
+            if (cursor >= cap) return -1;
+            out[cursor++] = (uint8_t)c;
+        }
+    }
+    return cursor;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LFS2 decode (compressors/lfs.py LFS2Compressor.decompress): rules are
+// decoded backward and may reference higher-id rules; then the start
+// stream expands (flag, literal | rule-id) events. Exact mirror incl.
+// the size-countdown loop per rule.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lfs2_decode(const uint8_t* p, int64_t nbits, int64_t pos0,
+                        const uint8_t* lut_sym, const uint8_t* lut_len,
+                        int k, int w_id, const int64_t* dict_lens,
+                        int64_t ndict, uint8_t* out, int64_t cap) {
+    BitRd rd{p, nbits, pos0};
+    auto read_lit = [&](int* ok) -> int {
+        *ok = 1;
+        if (k > 0) {
+            int64_t save = rd.pos;
+            int64_t w = rd.read(k);
+            int len = lut_len[w];
+            if (len == 0) { *ok = 0; return 0; }
+            rd.pos = save + len;
+            return lut_sym[w];
+        }
+        if (rd.pos + 8 > nbits) { *ok = 0; return 0; }
+        return int(rd.read(8));
+    };
+    std::vector<std::vector<uint8_t>> rules;
+    rules.resize(size_t(ndict));
+    for (int64_t r = ndict - 1; r >= 0; r--) {
+        int64_t size_cur = dict_lens[r];
+        std::vector<uint8_t>& body = rules[size_t(r)];
+        while (size_cur > 0) {
+            if (rd.pos >= nbits) return -2;
+            int64_t flag = rd.read(1);
+            if (flag) {
+                if (rd.pos + w_id > nbits) return -2;
+                int64_t ref = rd.read(w_id) - 1;
+                if (ref < 0 || ref >= ndict) return -2;
+                if (ref <= r) return -2;  // refs point to higher ids
+                body.insert(body.end(), rules[size_t(ref)].begin(),
+                            rules[size_t(ref)].end());
+                size_cur -= dict_lens[ref];
+            } else {
+                int ok;
+                int c = read_lit(&ok);
+                if (!ok) return -2;
+                body.push_back((uint8_t)c);
+                size_cur -= 1;
+            }
+        }
+    }
+    int64_t cursor = 0;
+    while (rd.pos < nbits) {
+        int64_t flag = rd.read(1);
+        if (flag) {
+            if (rd.pos + w_id > nbits) return -2;
+            int64_t ref = rd.read(w_id) - 1;
+            if (ref < 0 || ref >= ndict) return -2;
+            const std::vector<uint8_t>& body = rules[size_t(ref)];
+            if (cursor + (int64_t)body.size() > cap) return -1;
+            memcpy(out + cursor, body.data(), body.size());
+            cursor += (int64_t)body.size();
+        } else {
+            int ok;
+            int c = read_lit(&ok);
+            if (!ok) return -2;
+            if (cursor >= cap) return -1;
+            out[cursor++] = (uint8_t)c;
+        }
+    }
+    return cursor;
+}
+
+}  // extern "C"

@@ -66,3 +66,43 @@ def test_lfs_strategies_distinct_and_roundtrip():
         assert REGISTRY.instantiate(spec).decompress(enc) == data
         sizes[strat] = len(enc)
     assert sizes["sim_st"] != sizes["st"], sizes
+
+
+def test_lfs_native_decode_matches_python():
+    """The native LFS/LFS2 walkers (rule strings + start stream, LUT or
+    plain literals) equal the per-symbol Python decode."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(41)
+    cases = [
+        b"abcabc abcabc xyzxyz " * 30,
+        bytes(rng.integers(97, 103, 2500, dtype=np.uint8)),
+        b"", b"q" * 40,
+    ]
+    specs = [
+        "lfs_comp(computing_strat=esa)",
+        "lfs_comp(computing_strat=st,coding_strat="
+        "lfs_encode_strat(lfs_lit_coder=bit))",
+        "lfs2(lfs2_lit_coder=huff)",
+        "lfs2(lfs2_lit_coder=bit)",
+        "lfs2bst",
+    ]
+    for spec in specs:
+        for data in cases:
+            enc = REGISTRY.instantiate(spec).compress(data)
+            fast = REGISTRY.instantiate(spec).decompress(enc)
+            try:
+                native._lib = None
+                native._tried = True
+                slow = REGISTRY.instantiate(spec).decompress(enc)
+                enc_py = REGISTRY.instantiate(spec).compress(data)
+            finally:
+                native._tried = False
+                native._lib = None
+            assert fast == slow == data, (spec, len(data))
+            # enc_py (python parse) may legally differ from enc (native
+            # parse) — both roundtrip; only decode equality is pinned
+            assert REGISTRY.instantiate(spec).decompress(enc_py) == data

@@ -436,34 +436,106 @@ class EncodeStrategy(Algorithm):
             first_len = dictionary[0][1]
             s_length_r = Range(first_len)
             len_coder.encode(first_len, UINT32_R)
-            last = first_len
-            for _, length in dictionary[1:]:
-                len_coder.encode(last - length, s_length_r)
-                last = length
-            len_coder.encode(last, s_length_r)
+            lens_arr = np.asarray([l for _, l in dictionary], np.int64)
+            deltas = np.concatenate(
+                [lens_arr[:-1] - lens_arr[1:], lens_arr[-1:]]
+            )
+            len_coder.encode_array(deltas.astype(np.uint64), s_length_r)
         else:
             len_coder.encode(0, UINT32_R)
-        # rule strings
-        for offset, length in dictionary:
-            for k in range(length):
-                lit_coder.encode(int(text[offset + k]), literal_r)
-        # start string
+        # rule strings (one bulk literal encode)
+        if dictionary:
+            offs = np.asarray([o for o, _ in dictionary], np.int64)
+            lens = np.asarray([l for _, l in dictionary], np.int64)
+            tot = int(lens.sum())
+            ramp = np.arange(tot) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            lit_coder.encode_array(
+                text[np.repeat(offs, lens) + ramp], literal_r
+            )
+        # start string: interleaved (flag, literal | rule-id) events,
+        # assembled as one token stream for bit/huff literal coders
         dict_r = Range(len(dictionary))
-        pos = 0
-        for start, rule_id, length in occurrences:
-            while pos < start:
+        fast = self._encode_start_fast(
+            text, occurrences, lit_coder, dict_r
+        )
+        if not fast:
+            pos = 0
+            for start, rule_id, length in occurrences:
+                while pos < start:
+                    lit_coder.encode(0, bit_r)
+                    lit_coder.encode(int(text[pos]), literal_r)
+                    pos += 1
+                lit_coder.encode(1, bit_r)
+                lit_coder.encode(rule_id, dict_r)
+                pos += length
+            while pos < text.size:
                 lit_coder.encode(0, bit_r)
                 lit_coder.encode(int(text[pos]), literal_r)
                 pos += 1
-            lit_coder.encode(1, bit_r)
-            lit_coder.encode(rule_id, dict_r)
-            pos += length
-        while pos < text.size:
-            lit_coder.encode(0, bit_r)
-            lit_coder.encode(int(text[pos]), literal_r)
-            pos += 1
         lit_coder.finish()
         return out.getvalue()
+
+    @staticmethod
+    def _encode_start_fast(text, occurrences, lit_coder, dict_r) -> bool:
+        """Vectorized start-string emission for bit/huff literal
+        coders (per-event Python encode calls dominate otherwise)."""
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+        from tudocomp_tpu.utils.bits import bits_for
+
+        if isinstance(lit_coder, HuffmanCoder.Encoder):
+            table = lit_coder.table
+            if table is None:
+                lit_code = np.arange(256, dtype=np.uint64)
+                lit_len = np.full(256, 8, np.int64)
+            else:
+                lit_code = np.asarray(table.sym_code, np.uint64)
+                lit_len = np.asarray(table.sym_len, np.int64)
+        elif isinstance(lit_coder, BitCoder.Encoder):
+            lit_code = np.arange(256, dtype=np.uint64)
+            lit_len = np.full(256, 8, np.int64)
+        else:
+            return False
+        n = text.size
+        covered = np.zeros(n, bool)
+        if occurrences:
+            occ = np.asarray(occurrences, np.int64)
+            starts, ids, lens = occ[:, 0], occ[:, 1], occ[:, 2]
+            tot = int(lens.sum())
+            ramp = np.arange(tot) - np.repeat(np.cumsum(lens) - lens,
+                                              lens)
+            covered[np.repeat(starts, lens) + ramp] = True
+        else:
+            starts = ids = np.zeros(0, np.int64)
+        lit_pos = np.flatnonzero(~covered)
+        chars = text[lit_pos]
+        w_id = dict_r.bits
+        # two tokens per event; merge literal/rule events by position
+        ev_pos = np.concatenate([lit_pos, starts])
+        order = np.argsort(ev_pos, kind="stable")
+        nev = ev_pos.size
+        tv = np.empty(2 * nev, np.uint64)
+        tl = np.empty(2 * nev, np.int64)
+        flags = np.concatenate([
+            np.zeros(lit_pos.size, np.uint64),
+            np.ones(starts.size, np.uint64),
+        ])[order]
+        vals = np.concatenate([
+            lit_code[chars],
+            ids.astype(np.uint64),
+        ])[order]
+        lens_tok = np.concatenate([
+            lit_len[chars],
+            np.full(starts.size, w_id, np.int64),
+        ])[order]
+        tv[0::2] = flags
+        tl[0::2] = 1
+        tv[1::2] = vals
+        tl[1::2] = lens_tok
+        lit_coder.out.write_tokens(tv, tl)
+        return True
 
     def decode(self, data: bytes) -> bytes:
         inp = BitReader(data)
@@ -480,13 +552,17 @@ class EncodeStrategy(Algorithm):
             symbol_length -= delta
             dict_lengths.append(symbol_length)
         dict_lengths.pop()
+        dict_r = Range(len(dict_lengths))
+
+        fast = self._decode_fast(lit_dec, dict_lengths, dict_r)
+        if fast is not None:
+            return fast
 
         dictionary = []
         for length in dict_lengths:
             dictionary.append(
                 bytes(lit_dec.decode(literal_r) for _ in range(length))
             )
-        dict_r = Range(len(dictionary))
         out = bytearray()
         while not lit_dec.eof():
             if lit_dec.decode(bit_r):
@@ -494,6 +570,44 @@ class EncodeStrategy(Algorithm):
             else:
                 out.append(lit_dec.decode(literal_r))
         return bytes(out)
+
+    @staticmethod
+    def _decode_fast(lit_dec, dict_lengths, dict_r):
+        """Native rule-string + start-string walk
+        (``tdc_lfs_start_decode``) for bit/huff literal coders."""
+        return EncodeStrategy._decode_fast_with(
+            lit_dec, dict_lengths, dict_r, "lfs_start_decode"
+        )
+
+    @staticmethod
+    def _decode_fast_with(lit_dec, dict_lengths, dict_r, fn_name):
+        from tudocomp_tpu import native
+        from tudocomp_tpu.coders.huffman import HuffmanCoder
+        from tudocomp_tpu.coders.simple import BitCoder
+
+        if not native.available():
+            return None
+        if isinstance(lit_dec, HuffmanCoder.Decoder):
+            if lit_dec.table is not None:
+                try:
+                    lut_sym, lut_len = lit_dec.table.build_lut()
+                except ValueError:
+                    return None
+                lut = (lut_sym, lut_len, lit_dec.table.longest)
+            else:
+                lut = None
+        elif isinstance(lit_dec, BitCoder.Decoder):
+            lut = None
+        else:
+            return None
+        rd = lit_dec.inp
+        got = getattr(native, fn_name)(
+            np.packbits(rd._bits), rd.total, rd.pos, lut, dict_r.bits,
+            np.asarray(dict_lengths, np.int64),
+        )
+        if got is not None:
+            rd.pos = rd.total
+        return got
 
 
 class LFSCompressor(Compressor):
@@ -661,6 +775,11 @@ class LFS2Compressor(Compressor):
         dict_lengths.pop()
         count = len(dict_lengths)
         dict_r = Range(count)
+        fast = EncodeStrategy._decode_fast_with(
+            lit_dec, dict_lengths, dict_r, "lfs2_decode"
+        )
+        if fast is not None:
+            return fast
         rules: list[bytes] = [b""] * count
         for k in range(count - 1, -1, -1):
             size_cur = dict_lengths[k]

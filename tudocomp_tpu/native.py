@@ -268,6 +268,15 @@ def _load():
         lib.tdc_lzw_stream_decode.argtypes = \
             lib.tdc_lz78_stream_decode.argtypes
         lib.tdc_lzw_stream_decode.restype = ctypes.c_int64
+        lib.tdc_lfs_start_decode.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
+            ctypes.c_int, ctypes.c_int, i64p, ctypes.c_int64,
+            u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lfs_start_decode.restype = ctypes.c_int64
+        lib.tdc_lfs2_decode.argtypes = \
+            lib.tdc_lfs_start_decode.argtypes
+        lib.tdc_lfs2_decode.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -1147,3 +1156,64 @@ def lzw_stream_decode(payload, nbits, start_bit, code_kind, dict_max):
     the self-referential case and reset lag), or None."""
     return _stream_decode("tdc_lzw_stream_decode", payload, nbits,
                           start_bit, code_kind, dict_max)
+
+
+def lfs_start_decode(payload, nbits, start_bit, lut, w_id,
+                     dict_lens: np.ndarray):
+    """Decode the LFS rule strings + start string (flags + literals /
+    rule ids). ``lut`` is (sym, len, k) or None for plain 8-bit
+    literals. None without the runtime."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lut is None:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    else:
+        lut_sym, lut_len, k = lut
+        lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+        lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    lens = np.ascontiguousarray(dict_lens, np.int64)
+    cap = max(64, nbits * 2 + 64)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lfs_start_decode(
+            payload, nbits, start_bit, lut_sym, lut_len, k, w_id,
+            lens, lens.size, out, cap,
+        )
+        if got == -2:
+            raise ValueError("malformed lfs stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
+
+
+def lfs2_decode(payload, nbits, start_bit, lut, w_id,
+                dict_lens: np.ndarray):
+    """Decode the LFS2 two-layer rule set + start stream, or None
+    without the runtime."""
+    lib = _load()
+    if lib is None:
+        return None
+    payload = np.ascontiguousarray(payload, np.uint8)
+    if lut is None:
+        lut_sym = lut_len = _EMPTY_LUT
+        k = 0
+    else:
+        lut_sym, lut_len, k = lut
+        lut_sym = np.ascontiguousarray(lut_sym, np.uint8)
+        lut_len = np.ascontiguousarray(lut_len, np.uint8)
+    lens = np.ascontiguousarray(dict_lens, np.int64)
+    cap = max(64, nbits * 2 + 64)
+    while True:
+        out = np.empty(cap, np.uint8)
+        got = lib.tdc_lfs2_decode(
+            payload, nbits, start_bit, lut_sym, lut_len, k, w_id,
+            lens, lens.size, out, cap,
+        )
+        if got == -2:
+            raise ValueError("malformed lfs2 stream")
+        if got >= 0:
+            return out[:got].tobytes()
+        cap *= 4
