@@ -1999,6 +1999,7 @@ int64_t tdc_lz78u_parse(const int64_t* parent, const int64_t* sdepth,
 int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
                          int64_t start_bit, const uint8_t* lut_sym,
                          const uint8_t* lut_len, int k,
+                         int ref_kind, int str_kind,
                          uint8_t* out, int64_t out_cap) {
     BitRd rd{payload, nbits, start_bit};
     auto bits_for = [](int64_t v) -> int {
@@ -2006,7 +2007,18 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
         while ((uint64_t(v) >> b) != 0) b++;
         return b;
     };
+    auto read_ref = [&](int64_t fc, int w) -> int64_t {
+        // ref coder fields: Range(fc) fixed width for kind 0,
+        // the coder's VLC otherwise (values stored verbatim)
+        if (ref_kind == 0) return rd.read(w);
+        return rd.read_code(ref_kind, w);
+    };
     auto read_literal = [&]() -> int {
+        if (str_kind == 1 || str_kind == 2 || str_kind == 3) {
+            int64_t v = rd.read_code(str_kind, 8);
+            if (v < 0 || v > 255) return -1;
+            return int(v);
+        }
         if (k > 0) {
             int64_t save = rd.pos;
             int64_t w = rd.read(k);
@@ -2022,7 +2034,7 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
     int64_t fc = 0;
     int64_t o = 0;
     while (rd.pos < nbits) {
-        int64_t ref = rd.read(bits_for(fc));
+        int64_t ref = read_ref(fc, bits_for(fc));
         if (rd.pos >= nbits) break;
         if (ref < 0 || ref > fc) return -2;
         int64_t not_factorized = rd.read(1);
@@ -2044,10 +2056,10 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
                     if (c < 0) return -2;
                     rebuilt.push_back(uint8_t(c));
                 } else {
-                    int64_t sub = rd.read(bits_for(fc));
+                    int64_t sub = read_ref(fc, bits_for(fc));
                     if (sub < 0 || sub > fc) return -2;
                     if (sub == 0) {
-                        int64_t cut = rd.read(32);
+                        int64_t cut = read_ref(fc, 32);
                         if (cut < 0 || cut > int64_t(rebuilt.size()))
                             return -2;
                         rebuilt.resize(rebuilt.size() - size_t(cut));

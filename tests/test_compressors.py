@@ -375,3 +375,39 @@ def test_lz78_lzw_vlc_stream_decode():
                     native._tried = False
                     native._lib = None
                 assert fast == slow == data, (comp, coder, ds)
+
+
+def test_lz78u_vlc_stream_decode():
+    """The lz78u native decoder handles every universal ref/string
+    coder combination (gamma/delta/ternary/ascii field codes) exactly
+    like the Python replay."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(44)
+    cases = [
+        b"banana banana bandana " * 30 + b"\x00",
+        bytes(rng.integers(1, 200, 2500, dtype=np.uint8)) + b"\x00",
+        b"\x01\x00",
+    ]
+    for comp in ("streaming", "buffering"):
+        for rc in ("bit", "gamma", "ascii"):
+            for sc in ("gamma", "ternary",
+                       "huff" if comp == "buffering" else "delta"):
+                spec = (f"lz78u(coder={rc},comp={comp}("
+                        f"string_coder={sc}))")
+                for data in cases:
+                    enc = REGISTRY.instantiate(spec).compress(data)
+                    fast = REGISTRY.instantiate(spec).decompress(enc)
+                    try:
+                        native._lib = None
+                        native._tried = True
+                        slow = REGISTRY.instantiate(spec).decompress(
+                            enc
+                        )
+                    finally:
+                        native._tried = False
+                        native._lib = None
+                    assert fast == slow == data, (comp, rc, sc)

@@ -272,22 +272,24 @@ class LZ78UCompressor(Compressor):
         string_coder = sc_env.cls.Decoder(sc_env, inp)
 
         from tudocomp_tpu import native
+        from tudocomp_tpu.coders import native_code_kind
         from tudocomp_tpu.coders.huffman import HuffmanCoder
-        from tudocomp_tpu.coders.simple import BitCoder
 
-        if native.available() and isinstance(
-            ref_coder, (BitCoder.Decoder, HuffmanCoder.Decoder)
-        ) and isinstance(
-            string_coder, (BitCoder.Decoder, HuffmanCoder.Decoder)
-        ):
+        ref_kind = native_code_kind(ref_coder)
+        str_kind = native_code_kind(string_coder)
+        is_huff = isinstance(string_coder, HuffmanCoder.Decoder)
+        if native.available() and (
+            ref_kind is not None
+            or isinstance(ref_coder, HuffmanCoder.Decoder)
+        ) and (str_kind is not None or is_huff):
             lut = None
-            if isinstance(string_coder, HuffmanCoder.Decoder) \
-                    and string_coder.table is not None:
+            if is_huff and string_coder.table is not None:
                 lut_sym, lut_len = string_coder.table.build_lut()
                 lut = (lut_sym, lut_len, string_coder.table.longest)
             got = native.lz78u_decode(
                 np.packbits(inp._bits), inp.total, inp.pos, lut,
                 out_hint=16 * len(data),
+                ref_kind=ref_kind or 0, str_kind=str_kind or 0,
             )
             if got is not None:
                 inp.pos = inp.total

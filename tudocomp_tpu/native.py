@@ -222,7 +222,8 @@ def _load():
         lib.tdc_lz78u_parse.restype = ctypes.c_int64
         lib.tdc_lz78u_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
-            ctypes.c_int, u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78u_decode.restype = ctypes.c_int64
         lib.tdc_lz78_parse_struct.argtypes = [
@@ -976,8 +977,11 @@ def lz78u_parse(parent, sdepth, is_leaf, leaf_of_rank, isa,
     return kind[:got], value[:got], aux[:got]
 
 
-def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int):
-    """Native LZ78U stream decode. Returns bytes or None."""
+def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int,
+                 ref_kind: int = 0, str_kind: int = 0):
+    """Native LZ78U stream decode. Returns bytes or None.
+    ``ref_kind``/``str_kind`` select the ref-coder and string-coder
+    int codes (0 fixed/LUT, 1-4 gamma/delta/ternary/ascii)."""
     lib = _load()
     if lib is None:
         return None
@@ -993,7 +997,8 @@ def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int):
     while True:
         out = np.empty(cap, np.uint8)
         got = lib.tdc_lz78u_decode(
-            payload, nbits, start_bit, lut_sym, lut_len, k, out, cap,
+            payload, nbits, start_bit, lut_sym, lut_len, k,
+            ref_kind, str_kind, out, cap,
         )
         if got == -2:
             raise ValueError("malformed lz78u stream")
