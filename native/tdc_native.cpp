@@ -2260,7 +2260,7 @@ extern "C" {
 
 int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
                           int64_t start_bit, const uint8_t* lut_sym,
-                          const uint8_t* lut_len, int k,
+                          const uint8_t* lut_len, int k, int code_kind,
                           uint8_t* out, int64_t out_cap) {
     BitRd rd{payload, nbits, start_bit};
     auto bits_for = [](int64_t v) -> int {
@@ -2268,7 +2268,16 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
         while ((uint64_t(v) >> b) != 0) b++;
         return b;
     };
+    auto read_int = [&](int w) -> int64_t {
+        if (code_kind == 0) return rd.read(w);
+        return rd.read_code(code_kind, w);
+    };
     auto read_literal = [&]() -> int {
+        if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+            int64_t v = rd.read_code(code_kind, 8);
+            if (v < 0 || v > 255) return -1;
+            return int(v);
+        }
         if (k > 0) {
             int64_t save = rd.pos;
             int64_t w = rd.read(k);
@@ -2279,7 +2288,7 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
         }
         return int(rd.read(8));
     };
-    int64_t nr = rd.read(32);
+    int64_t nr = read_int(32);
     // every rule body costs >= 2 stream bits, so a valid nr is bounded
     // by the remaining bits; a looser check would let a malformed
     // count allocate 16*nr bytes (bad_alloc would escape the C ABI)
@@ -2290,8 +2299,10 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
         int w = bits_for(i);
         for (int side = 0; side < 2; side++) {
             int64_t x;
-            if (rd.read(1)) {
-                x = 256 + rd.read(w);
+            int64_t fl = rd.read_flag(code_kind);
+            if (fl < 0) return -2;
+            if (fl) {
+                x = 256 + read_int(w);
                 if (x - 256 >= i) return -2;  // forward rule reference
             } else {
                 int c = read_literal();
@@ -2306,8 +2317,10 @@ int64_t tdc_repair_decode(const uint8_t* payload, int64_t nbits,
     std::vector<int64_t> stack;
     while (rd.pos < nbits) {
         int64_t x;
-        if (rd.read(1)) {
-            x = 256 + rd.read(w);
+        int64_t fl = rd.read_flag(code_kind);
+        if (fl < 0) return -2;
+        if (fl) {
+            x = 256 + read_int(w);
             if (x - 256 >= nr) return -2;
         } else {
             int c = read_literal();
@@ -3044,6 +3057,319 @@ int64_t tdc_lfs2_decode(const uint8_t* p, int64_t nbits, int64_t pos0,
         }
     }
     return cursor;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// lcpcomp bulldozer strategy (compressors/lcpcomp.py BulldozerStrategy,
+// reference compress/BulldozerStrategy.hpp intended behavior): exact
+// mirror of the Python interval sweep.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lcpcomp_bulldozer(const int64_t* sa, const int64_t* lcp,
+                              int64_t n, int64_t threshold,
+                              int64_t* fpos, int64_t* fsrc,
+                              int64_t* flen, int64_t fcap) {
+    struct Iv { int64_t p, q, l; };
+    std::vector<Iv> iv;
+    for (int64_t i = 1; i < n; i++) {
+        if (lcp[i] >= threshold) {
+            iv.push_back({sa[i], sa[i - 1], lcp[i]});
+            iv.push_back({sa[i - 1], sa[i], lcp[i]});
+        }
+    }
+    // stable: ties on (p, l) keep candidate order like Python's sort
+    std::stable_sort(iv.begin(), iv.end(), [](const Iv& a, const Iv& b) {
+        if (a.p != b.p) return a.p < b.p;
+        return a.l > b.l;
+    });
+    std::vector<uint8_t> marked(size_t(n), 0);
+    int64_t nf = 0;
+    size_t x = 0;
+    while (x < iv.size()) {
+        int64_t p = iv[x].p, q = iv[x].q, max_l = iv[x].l;
+        if (!marked[size_t(q)]) {
+            int64_t length = 1;
+            while (length < max_l && q + length < n &&
+                   !marked[size_t(q + length)])
+                length++;
+            if (length >= threshold) {
+                bool free_run = true;
+                for (int64_t j = p; j < p + length; j++) {
+                    if (marked[size_t(j)]) { free_run = false; break; }
+                }
+                if (free_run) {
+                    if (nf >= fcap) return -1;
+                    fpos[nf] = p; fsrc[nf] = q; flen[nf] = length;
+                    nf++;
+                    for (int64_t j = p; j < p + length; j++)
+                        marked[size_t(j)] = 1;
+                    x++;
+                    while (x < iv.size() && iv[x].p < p + length) x++;
+                    continue;
+                }
+            }
+        }
+        x++;
+    }
+    return nf;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LFS SimST strategy (compressors/lfs.py SimSTStrategy.compute_rules,
+// reference lfs/SimSTStrategy.hpp): depth-binned greedy LRF selection
+// with on-demand child-merged begin lists, dead-position pruning and
+// the reference's shared monotone min_shorter re-binning accumulator.
+// Exact mirror of the Python walk.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lfs_simst(const int64_t* parent, const int64_t* sdepth,
+                      const uint8_t* is_leaf, const int64_t* suffix,
+                      int64_t nn, int64_t n, int64_t min_lrf,
+                      int64_t* d_start, int64_t* d_len, int64_t d_cap,
+                      int64_t* o_pos, int64_t* o_rule, int64_t* o_len,
+                      int64_t o_cap, int64_t* nd_out) {
+    std::vector<std::vector<int32_t>> children;
+    children.resize(size_t(nn));
+    for (int64_t v = 1; v < nn; v++)
+        children[size_t(parent[v])].push_back(int32_t(v));
+    int64_t max_depth = 0;
+    for (int64_t v = 0; v < nn; v++)
+        if (!is_leaf[v] && v != 0 && sdepth[v] > max_depth)
+            max_depth = sdepth[v];
+    std::vector<std::vector<int64_t>> bins;
+    bins.resize(size_t(max_depth) + 1);
+    for (int64_t v = 0; v < nn; v++)
+        if (!is_leaf[v] && v != 0)
+            bins[size_t(sdepth[v])].push_back(v);
+    std::vector<uint8_t> dead(size_t(n), 0);
+    std::vector<std::vector<int64_t>> node_begins;
+    node_begins.resize(size_t(nn));
+    std::vector<uint8_t> has_begins(size_t(nn), 0);
+
+    auto begins = [&](int64_t v) -> std::vector<int64_t>& {
+        if (has_begins[size_t(v)]) return node_begins[size_t(v)];
+        std::vector<int64_t> stack{v}, order;
+        while (!stack.empty()) {
+            int64_t u = stack.back();
+            stack.pop_back();
+            order.push_back(u);
+            for (int32_t c : children[size_t(u)])
+                if (!is_leaf[c] && !has_begins[size_t(c)])
+                    stack.push_back(c);
+        }
+        for (auto it = order.rbegin(); it != order.rend(); ++it) {
+            int64_t u = *it;
+            if (has_begins[size_t(u)]) continue;
+            std::vector<int64_t> merged;
+            for (int32_t c : children[size_t(u)]) {
+                if (is_leaf[c]) {
+                    int64_t p = suffix[c];
+                    if (!dead[size_t(p)]) merged.push_back(p);
+                } else {
+                    merged.insert(merged.end(),
+                                  node_begins[size_t(c)].begin(),
+                                  node_begins[size_t(c)].end());
+                    node_begins[size_t(c)].clear();
+                    node_begins[size_t(c)].shrink_to_fit();
+                }
+            }
+            std::sort(merged.begin(), merged.end());
+            node_begins[size_t(u)] = std::move(merged);
+            has_begins[size_t(u)] = 1;
+        }
+        return node_begins[size_t(v)];
+    };
+
+    int64_t nd = 0, no = 0;
+    // iterate lengths max_depth .. min_lrf (bins may gain entries at
+    // smaller lengths mid-flight, exactly like the Python dict)
+    for (int64_t length = max_depth; length >= min_lrf; length--) {
+        // the Python loop iterates the bin list by reference; re-binned
+        // nodes land in other (smaller) bins, never the current one
+        for (size_t qi = 0; qi < bins[size_t(length)].size(); qi++) {
+            int64_t v = bins[size_t(length)][qi];
+            std::vector<int64_t>& poss = begins(v);
+            std::vector<int64_t> selected, not_selected;
+            int64_t last = -length - 1;
+            int64_t min_shorter = 1;
+            for (int64_t p : poss) {
+                if (last + length <= p && !dead[size_t(p)] &&
+                    !dead[size_t(p + length - 1)]) {
+                    selected.push_back(p);
+                    last = p;
+                } else {
+                    not_selected.push_back(p);
+                }
+                if (!dead[size_t(p)] && dead[size_t(p + length - 1)]) {
+                    while (p + min_shorter < n &&
+                           !dead[size_t(p + min_shorter)])
+                        min_shorter++;
+                }
+            }
+            if (min_shorter > 1 && min_shorter < length &&
+                min_shorter >= min_lrf) {
+                int64_t parent_depth = sdepth[parent[v]];
+                if (parent_depth < min_shorter)
+                    bins[size_t(min_shorter)].push_back(v);
+            }
+            if ((int64_t)selected.size() >= 2) {
+                node_begins[size_t(v)] = std::move(not_selected);
+                if (nd >= d_cap) return -1;
+                d_start[nd] = selected[0];
+                d_len[nd] = length;
+                for (int64_t p : selected) {
+                    for (int64_t j = p; j < p + length; j++)
+                        dead[size_t(j)] = 1;
+                    if (no >= o_cap) return -1;
+                    o_pos[no] = p;
+                    o_rule[no] = nd;
+                    o_len[no] = length;
+                    no++;
+                }
+                nd++;
+            }
+        }
+    }
+    *nd_out = nd;
+    return no;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// LFS BST strategy (compressors/lfs.py BSTStrategy.compute_rules,
+// reference lfs/BSTStrategy.hpp over the binary suffix tree): exact
+// mirror incl. the chain-DFS bin order and dead-head filtering.
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+int64_t tdc_lfs_bst(const int64_t* parent, const int64_t* sdepth,
+                    const int64_t* suffix,
+                    int64_t nn, int64_t n, int64_t min_lrf,
+                    int64_t* d_start, int64_t* d_len, int64_t d_cap,
+                    int64_t* o_pos, int64_t* o_rule, int64_t* o_len,
+                    int64_t o_cap, int64_t* nd_out) {
+    std::vector<int64_t> first_child(size_t(nn), 0);
+    std::vector<int64_t> next_sibling(size_t(nn), 0);
+    for (int64_t v = nn - 1; v >= 1; v--) {  // prepend keeps child order
+        int64_t p = parent[v];
+        next_sibling[size_t(v)] = first_child[size_t(p)];
+        first_child[size_t(p)] = v;
+    }
+    int64_t max_depth = 0;
+    {
+        std::vector<int64_t> stack{0};
+        while (!stack.empty()) {
+            int64_t v = stack.back();
+            stack.pop_back();
+            if (first_child[size_t(v)] != 0 && sdepth[v] > max_depth)
+                max_depth = sdepth[v];
+            for (int64_t c = first_child[size_t(v)]; c != 0;
+                 c = next_sibling[size_t(c)])
+                stack.push_back(c);
+        }
+    }
+    std::vector<std::vector<int64_t>> bins;
+    bins.resize(size_t(max_depth) + 1);
+    {
+        std::vector<int64_t> stack{0};
+        while (!stack.empty()) {
+            int64_t v = stack.back();
+            stack.pop_back();
+            if (first_child[size_t(v)] != 0) {
+                int64_t d = sdepth[v];
+                if (d > 0) bins[size_t(d)].push_back(v);
+                for (int64_t c = first_child[size_t(v)]; c != 0;
+                     c = next_sibling[size_t(c)])
+                    stack.push_back(c);
+            }
+        }
+    }
+    std::vector<uint8_t> dead(size_t(n), 0);
+    std::vector<std::vector<int64_t>> begins;
+    begins.resize(size_t(nn));
+    std::vector<uint8_t> has(size_t(nn), 0);
+
+    auto positions = [&](int64_t v) -> std::vector<int64_t>& {
+        if (has[size_t(v)]) return begins[size_t(v)];
+        std::vector<int64_t> stack{v}, order;
+        while (!stack.empty()) {
+            int64_t u = stack.back();
+            stack.pop_back();
+            order.push_back(u);
+            for (int64_t c = first_child[size_t(u)]; c != 0;
+                 c = next_sibling[size_t(c)])
+                if (first_child[size_t(c)] != 0 && !has[size_t(c)])
+                    stack.push_back(c);
+        }
+        for (auto it = order.rbegin(); it != order.rend(); ++it) {
+            int64_t u = *it;
+            if (has[size_t(u)]) continue;
+            std::vector<int64_t> merged;
+            for (int64_t c = first_child[size_t(u)]; c != 0;
+                 c = next_sibling[size_t(c)]) {
+                if (first_child[size_t(c)] == 0) {  // leaf
+                    int64_t p = suffix[c];
+                    if (!dead[size_t(p)]) merged.push_back(p);
+                } else {
+                    merged.insert(merged.end(), begins[size_t(c)].begin(),
+                                  begins[size_t(c)].end());
+                    begins[size_t(c)].clear();
+                    begins[size_t(c)].shrink_to_fit();
+                }
+            }
+            std::sort(merged.begin(), merged.end());
+            begins[size_t(u)] = std::move(merged);
+            has[size_t(u)] = 1;
+        }
+        return begins[size_t(v)];
+    };
+
+    int64_t nd = 0, no = 0;
+    for (int64_t length = max_depth; length >= min_lrf; length--) {
+        for (size_t qi = 0; qi < bins[size_t(length)].size(); qi++) {
+            int64_t v = bins[size_t(length)][qi];
+            std::vector<int64_t>& poss = positions(v);
+            std::vector<int64_t> selected, not_selected;
+            int64_t last = -length - 1;
+            for (int64_t p : poss) {
+                if (last + length <= p && !dead[size_t(p)] &&
+                    !dead[size_t(p + length - 1)]) {
+                    selected.push_back(p);
+                    last = p;
+                } else if (!dead[size_t(p)]) {  // drop dead heads
+                    not_selected.push_back(p);
+                }
+            }
+            if ((int64_t)selected.size() >= 2) {
+                begins[size_t(v)] = std::move(not_selected);
+                if (nd >= d_cap) return -1;
+                d_start[nd] = selected[0];
+                d_len[nd] = length;
+                for (int64_t p : selected) {
+                    for (int64_t j = p; j < p + length; j++)
+                        dead[size_t(j)] = 1;
+                    if (no >= o_cap) return -1;
+                    o_pos[no] = p;
+                    o_rule[no] = nd;
+                    o_len[no] = length;
+                    no++;
+                }
+                nd++;
+            }
+        }
+    }
+    *nd_out = nd;
+    return no;
 }
 
 }  // extern "C"

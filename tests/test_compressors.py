@@ -411,3 +411,46 @@ def test_lz78u_vlc_stream_decode():
                         native._tried = False
                         native._lib = None
                     assert fast == slow == data, (comp, rc, sc)
+
+
+def test_native_strategy_kernels_match_python():
+    """Bulldozer / SimST / BST native kernels and repair VLC decode
+    equal their Python walks byte-for-byte."""
+    import numpy as np
+
+    from tudocomp_tpu import native
+    from tudocomp_tpu.registry import REGISTRY
+
+    rng = np.random.default_rng(55)
+    cases = [
+        b"abcabc abcabc xyz " * 35 + b"\x00",
+        bytes(rng.integers(97, 104, 3000, dtype=np.uint8)) + b"\x00",
+        b"\x00", b"cccccccc\x00",
+    ]
+    specs = [
+        "lcpcomp(coder=huff,comp=bulldozer)",
+        "lfs_comp(computing_strat=sim_st)",
+        "lfs_comp(computing_strat=bst)",
+        "repair(coder=gamma)",
+        "repair(coder=ascii)",
+    ]
+    for spec in specs:
+        for data in cases:
+            d = data if "lcpcomp" not in spec else data
+            enc_nat = REGISTRY.instantiate(spec).compress(d)
+            try:
+                native._lib = None
+                native._tried = True
+                enc_py = REGISTRY.instantiate(spec).compress(d)
+                dec_py = REGISTRY.instantiate(spec).decompress(enc_nat)
+            finally:
+                native._tried = False
+                native._lib = None
+            if "bulldozer" in spec:
+                # bulldozer pins encode equality (same SA/LCP inputs);
+                # lfs/repair grammars legally differ between the native
+                # and Python builders - only decode equality is pinned
+                assert enc_nat == enc_py, (spec, len(d))
+            assert dec_py == d
+            assert REGISTRY.instantiate(spec).decompress(enc_nat) == d
+            assert REGISTRY.instantiate(spec).decompress(enc_py) == d

@@ -86,9 +86,18 @@ class ASCIICoder(Algorithm):
             values = np.asarray(values, dtype=np.uint64)
             if isinstance(r, LiteralRange):
                 self.out.write_int_array(values & np.uint64(0xFF), 8)
-            else:
+            elif isinstance(r, BitRange):
                 for v in values.tolist():
                     self.encode(v, r)
+            else:
+                # decimal text + ':' per int, emitted as one byte array
+                blob = ":".join(
+                    str(int(v)) for v in values.tolist()
+                ) + ":" if values.size else ""
+                self.out.write_int_array(
+                    np.frombuffer(blob.encode(), np.uint8)
+                    .astype(np.uint64), 8,
+                )
 
     class Decoder(base.Decoder):
         def decode(self, r: Range) -> int:

@@ -273,6 +273,12 @@ class BulldozerStrategy(Algorithm):
     def factorize(self, text, threshold, factors):
         sa = text.require_sa()
         lcp = text.require_lcp()
+        from tudocomp_tpu import native
+
+        got = native.lcpcomp_bulldozer(sa, lcp, threshold)
+        if got is not None:
+            factors.extend_arrays(*got)
+            return
         n = sa.size
         intervals = []
         for i in range(1, n):

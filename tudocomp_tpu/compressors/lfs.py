@@ -217,6 +217,13 @@ class SimSTStrategy(Algorithm):
         min_lrf = self.env.option("min_lrf").as_int()
         st = SuffixTree(text)
         n = st.n
+        from tudocomp_tpu import native
+
+        fast = native.lfs_simst(
+            st.parent, st.sdepth, st.is_leaf, st.suffix, n, min_lrf
+        )
+        if fast is not None:
+            return fast
         nn = len(st.parent)
         children: list[list[int]] = [[] for _ in range(nn)]
         for v in range(1, nn):
@@ -320,6 +327,13 @@ class BSTStrategy(Algorithm):
         min_lrf = self.env.option("min_lrf").as_int()
         st = SuffixTree(text)
         n = st.n
+        from tudocomp_tpu import native
+
+        fast = native.lfs_bst(
+            st.parent, st.sdepth, st.suffix, n, min_lrf
+        )
+        if fast is not None:
+            return fast
         nn = len(st.parent)
         # first-child / next-sibling representation
         first_child = [0] * nn

@@ -395,6 +395,10 @@ class CedarTrie(LZ78Trie):
         self.node_id = [-1] * cap
         self.slot_of: list[int] = []  # trie node id -> DA slot
         self.children: list[list[int]] = []  # slot -> child bytes
+        # rolling first-fit start: scanning from 1 on every placement
+        # is quadratic (cedar proper keeps free-lists); the hint only
+        # moves forward — placement layout never affects the parse
+        self._hint = 1
 
     def clear(self) -> None:
         self._init_arrays()
@@ -419,7 +423,9 @@ class CedarTrie(LZ78Trie):
         self.node_id.extend([-1] * (cap - len(self.node_id)))
 
     def _find_base(self, chars: list[int]) -> int:
-        b = 1
+        if not chars:
+            return 1  # leaves carry no children yet; any base works
+        b = self._hint
         while True:
             ok = True
             for ch in chars:
@@ -430,6 +436,7 @@ class CedarTrie(LZ78Trie):
                     ok = False
                     break
             if ok:
+                self._hint = b
                 return b
             b += 1
 

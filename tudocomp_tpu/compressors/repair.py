@@ -180,8 +180,12 @@ class RePairCompressor(Compressor):
         from tudocomp_tpu.coders.huffman import HuffmanCoder
         from tudocomp_tpu.coders.simple import BitCoder
 
-        if native.available() and isinstance(
-            decoder, (BitCoder.Decoder, HuffmanCoder.Decoder)
+        from tudocomp_tpu.coders import native_code_kind
+
+        kind = native_code_kind(decoder)
+        if native.available() and (
+            kind is not None
+            or isinstance(decoder, HuffmanCoder.Decoder)
         ):
             lut = None
             if isinstance(decoder, HuffmanCoder.Decoder) \
@@ -190,7 +194,7 @@ class RePairCompressor(Compressor):
                 lut = (lut_sym, lut_len, decoder.table.longest)
             got = native.repair_decode(
                 np.packbits(reader._bits), reader.total, reader.pos,
-                lut, out_hint=16 * len(data),
+                lut, out_hint=16 * len(data), code_kind=kind or 0,
             )
             if got is not None:
                 reader.pos = reader.total

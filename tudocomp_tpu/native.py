@@ -233,7 +233,7 @@ def _load():
         lib.tdc_lz78_parse_struct.restype = ctypes.c_int64
         lib.tdc_repair_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
-            ctypes.c_int, u8p, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int64,
         ]
         lib.tdc_repair_decode.restype = ctypes.c_int64
         lib.tdc_arith_encode.argtypes = [
@@ -278,6 +278,25 @@ def _load():
         lib.tdc_lfs2_decode.argtypes = \
             lib.tdc_lfs_start_decode.argtypes
         lib.tdc_lfs2_decode.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_bulldozer.argtypes = [
+            i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+        ]
+        lib.tdc_lcpcomp_bulldozer.restype = ctypes.c_int64
+        lib.tdc_lfs_simst.argtypes = [
+            i64p, i64p, u8p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_lfs_simst.restype = ctypes.c_int64
+        lib.tdc_lfs_bst.argtypes = [
+            i64p, i64p, i64p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, i64p, i64p, ctypes.c_int64,
+            i64p, i64p, i64p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.tdc_lfs_bst.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -1007,7 +1026,8 @@ def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int,
         cap *= 4
 
 
-def repair_decode(payload, nbits, start_bit, lut, out_hint: int):
+def repair_decode(payload, nbits, start_bit, lut, out_hint: int,
+                  code_kind: int = 0):
     """Native Re-Pair stream decode. Returns bytes or None."""
     lib = _load()
     if lib is None:
@@ -1024,7 +1044,8 @@ def repair_decode(payload, nbits, start_bit, lut, out_hint: int):
     while True:
         out = np.empty(cap, np.uint8)
         got = lib.tdc_repair_decode(
-            payload, nbits, start_bit, lut_sym, lut_len, k, out, cap,
+            payload, nbits, start_bit, lut_sym, lut_len, k,
+            code_kind, out, cap,
         )
         if got == -2:
             raise ValueError("malformed repair stream")
@@ -1222,3 +1243,94 @@ def lfs2_decode(payload, nbits, start_bit, lut, w_id,
         if got >= 0:
             return out[:got].tobytes()
         cap *= 4
+
+
+def lcpcomp_bulldozer(sa, lcp, threshold):
+    """Native bulldozer interval sweep; (pos, src, len) arrays or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    sa = np.ascontiguousarray(sa, np.int64)
+    lcp = np.ascontiguousarray(lcp, np.int64)
+    n = sa.size
+    cap = max(16, n + 1)
+    fpos = np.empty(cap, np.int64)
+    fsrc = np.empty(cap, np.int64)
+    flen = np.empty(cap, np.int64)
+    got = lib.tdc_lcpcomp_bulldozer(
+        sa, lcp, n, threshold, fpos, fsrc, flen, cap
+    )
+    if got < 0:
+        return None
+    return fpos[:got], fsrc[:got], flen[:got]
+
+
+def lfs_simst(parent, sdepth, is_leaf, suffix, n, min_lrf):
+    """Native SimST LRF computation. Returns (dictionary list,
+    occurrences list) matching SimSTStrategy.compute_rules, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    parent = np.ascontiguousarray(parent, np.int64)
+    sdepth = np.ascontiguousarray(sdepth, np.int64)
+    is_leaf = np.ascontiguousarray(
+        np.asarray(is_leaf).astype(np.uint8), np.uint8
+    )
+    suffix = np.ascontiguousarray(suffix, np.int64)
+    nn = parent.size
+    d_cap = max(16, n + 1)
+    o_cap = max(16, 2 * n + 1)
+    d_start = np.empty(d_cap, np.int64)
+    d_len = np.empty(d_cap, np.int64)
+    o_pos = np.empty(o_cap, np.int64)
+    o_rule = np.empty(o_cap, np.int64)
+    o_len = np.empty(o_cap, np.int64)
+    nd = ctypes.c_int64(0)
+    got = lib.tdc_lfs_simst(
+        parent, sdepth, is_leaf, suffix, nn, n, min_lrf,
+        d_start, d_len, d_cap, o_pos, o_rule, o_len, o_cap,
+        ctypes.byref(nd),
+    )
+    if got < 0:
+        return None
+    m = nd.value
+    dictionary = list(zip(d_start[:m].tolist(), d_len[:m].tolist()))
+    order = np.lexsort((o_rule[:got], o_pos[:got]))
+    occurrences = [
+        (int(o_pos[i]), int(o_rule[i]), int(o_len[i])) for i in order
+    ]
+    return dictionary, occurrences
+
+
+def lfs_bst(parent, sdepth, suffix, n, min_lrf):
+    """Native BST LRF computation matching BSTStrategy.compute_rules,
+    or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    parent = np.ascontiguousarray(parent, np.int64)
+    sdepth = np.ascontiguousarray(sdepth, np.int64)
+    suffix = np.ascontiguousarray(suffix, np.int64)
+    nn = parent.size
+    d_cap = max(16, n + 1)
+    o_cap = max(16, 2 * n + 1)
+    d_start = np.empty(d_cap, np.int64)
+    d_len = np.empty(d_cap, np.int64)
+    o_pos = np.empty(o_cap, np.int64)
+    o_rule = np.empty(o_cap, np.int64)
+    o_len = np.empty(o_cap, np.int64)
+    nd = ctypes.c_int64(0)
+    got = lib.tdc_lfs_bst(
+        parent, sdepth, suffix, nn, n, min_lrf,
+        d_start, d_len, d_cap, o_pos, o_rule, o_len, o_cap,
+        ctypes.byref(nd),
+    )
+    if got < 0:
+        return None
+    m = nd.value
+    dictionary = list(zip(d_start[:m].tolist(), d_len[:m].tolist()))
+    order = np.lexsort((o_rule[:got], o_pos[:got]))
+    occurrences = [
+        (int(o_pos[i]), int(o_rule[i]), int(o_len[i])) for i in order
+    ]
+    return dictionary, occurrences
