@@ -597,13 +597,23 @@ class EspCompressor(Compressor):
             "slp_coder", "slp_coder", default="sorted(d_coding=range_fit)"
         )
         m.option_submeta("ipd", "ipd", default="std_unordered_map")
+        # rounds=host: native ESP round loop (tdc_esp_rounds).
+        # rounds=device: whole-round array passes on the accelerator
+        #   (ops/esp_jax.py, the jit of the esp_vec spec) — grammar
+        #   bit-identical to host, so the container format is unchanged.
+        m.option_dynamic("rounds", "host")
         return m
 
     def compress(self, data: bytes) -> bytes:
         with StatPhase("ESP Algorithm"):
-            rules, root, empty = esp_rounds(
-                data, ipd=self.env.instantiate("ipd")
-            )
+            if self.env.option("rounds").as_string() == "device":
+                from tudocomp_tpu.ops.esp_jax import esp_rounds_jax
+
+                rules, root, empty = esp_rounds_jax(data)
+            else:
+                rules, root, empty = esp_rounds(
+                    data, ipd=self.env.instantiate("ipd")
+                )
             StatPhase.log("SLP size", int(rules.shape[0]))
         coder = self.env.instantiate("slp_coder")
         return coder.encode(rules, root, empty)
