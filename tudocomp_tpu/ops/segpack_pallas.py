@@ -479,13 +479,21 @@ def _huffman_kernel(lengths_ref, data_ref, table_ref, words_ref, bits_ref,
     # of a dot per row — same one-hot volume, 16x fewer MXU issues (the
     # small-matmul loop is issue-bound, not MAC-bound)
     B = HUF_ROWS
-    bins_b = lax.broadcasted_iota(_I32, (256, B * LANES), 0)
+    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
     his, los, lns = [], [], []
     for r0 in range(0, rows, B):
-        flat = jnp.concatenate(
-            [data[r0 + i][None, :] for i in range(B)], axis=1
-        )  # (1, B*128) lane-major row block
-        oh = (bins_b == flat).astype(jnp.bfloat16)
+        # one-hot per row first, then concat along lanes: each
+        # (256, 128) one-hot is a fresh full tile with offset {0,0},
+        # which keeps tpu.concatenate legal (concatenating the raw
+        # 1x128 row slices carries their differing sublane offsets
+        # into the non-concat dim — Mosaic rejects that layout)
+        oh = jnp.concatenate(
+            [
+                (bins == data[r0 + i][None, :]).astype(jnp.bfloat16)
+                for i in range(B)
+            ],
+            axis=1,
+        )  # (256, B*128) lane-major row block
         got = lax.dot_general(
             table, oh, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
