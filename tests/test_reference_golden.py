@@ -131,3 +131,254 @@ def test_chain_rle_mtf_reference_bytes():
     # mtf("aaab") = 61 00 00 62; rle of that = 61 00 00 00(vbyte run 0) 62
     assert c.compress(b"aaab") == b"a\x00\x00\x00b"
     assert c.decompress(b"a\x00\x00\x00b") == b"aaab"
+
+
+# ---------------------------------------------------------------------------
+# Bit-stream finalization helper (reference BitOStream destructor,
+# io/BitOStream.hpp:53-64): with k = total_bits mod 8,
+#   k == 0      -> all-full payload bytes + one extra 0x00 byte
+#   1 <= k <= 5 -> final byte = k payload bits in the top bits | k
+#   k in {6,7}  -> final payload byte zero-padded, then a byte = k
+# Each golden below hand-derives the payload *bit string*; this helper
+# only performs the byte finalization so the derivations stay readable.
+# ---------------------------------------------------------------------------
+
+def _finish(bits: str) -> bytes:
+    out = bytearray()
+    k = len(bits) % 8
+    full = bits[: len(bits) - k]
+    for i in range(0, len(full), 8):
+        out.append(int(full[i : i + 8], 2))
+    tail = bits[len(bits) - k :]
+    if k == 0:
+        out.append(0)
+    elif k <= 5:
+        out.append((int(tail, 2) << (8 - k)) | k)
+    else:
+        out.append(int(tail, 2) << (8 - k))
+        out.append(k)
+    return bytes(out)
+
+
+def _b(v: int, n: int) -> str:
+    return format(v, f"0{n}b")
+
+
+# ---------------------------------------------------------------------------
+# Universal integer codes — reference io/BitOStream.hpp:105-163.
+#   unary(v) = v zeros then a one             (:105-111)
+#   ternary(v): little-endian base-3 digits of v-1 as 2-bit codes,
+#     terminator 11; v == 0 is just the terminator          (:114-123)
+#   gamma(v) = unary(bits_for(v)) ++ int(v, bits_for(v))    (:126-129)
+#   delta(v) = gamma(bits_for(v)) ++ int(v, bits_for(v))    (:132-135)
+# with bits_for(0) == 1 (util.hpp:185-196).  The gamma/delta/ternary
+# coders write RAW values, ignoring the range (EliasGammaCoder.hpp:27-29
+# etc.), so `encode(coder)` streams are one code per input byte.
+# ---------------------------------------------------------------------------
+
+def test_gamma_reference_bytes():
+    c = _comp("encode(gamma)")
+    # 'a'=97: bits_for=7 -> unary(7) = 7 zeros + 1 = "00000001",
+    #         then int(97,7)="1100001"
+    # 'b'=98: "00000001"+"1100010";  'c'=99: "00000001"+"1100011"
+    bits = ("00000001" + "1100001") + ("00000001" + "1100010") \
+        + ("00000001" + "1100011")
+    assert c.compress(b"abc") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"abc"
+
+
+def test_delta_reference_bytes():
+    c = _comp("encode(delta)")
+    # delta(97): bits_for(97)=7; gamma(7)=unary(bits_for(7)=3)="0001"
+    #            + int(7,3)="111" -> "0001111"; then int(97,7)
+    bits = ("0001111" + "1100001") + ("0001111" + "1100010")
+    assert c.compress(b"ab") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"ab"
+
+
+def test_ternary_reference_bytes():
+    c = _comp("encode(ternary)")
+    # 'a'=97: v-1 = 96 = 10120_3, little-endian digits 0,2,1,0,1
+    #         -> 00 10 01 00 01 + terminator 11
+    # 'b'=98: v-1 = 97 = 10121_3, digits 1,2,1,0,1
+    bits = ("0010010001" + "11") + ("0110010001" + "11")
+    assert c.compress(b"ab") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"ab"
+
+
+def test_compressed_int_reference_bits():
+    # io/BitOStream.hpp:151-163: little-endian 7-bit blocks, each
+    # PRECEDED by a continuation flag (1 = more blocks follow).
+    from tudocomp_tpu.io.bitio import BitReader, BitWriter
+
+    cases = {
+        0: "0" + "0000000",
+        5: "0" + "0000101",
+        # 300 = 0b100101100: low7 = 0101100, then 0b10 = 2
+        300: ("1" + "0101100") + ("0" + "0000010"),
+        # 16384 = 1 << 14: blocks 0, 0, 1
+        16384: ("1" + "0000000") + ("1" + "0000000") + ("0" + "0000001"),
+    }
+    for v, bits in cases.items():
+        w = BitWriter()
+        w.write_compressed_int(v)
+        assert w.getvalue() == _finish(bits), v
+        assert BitReader(_finish(bits)).read_compressed_int() == v
+
+
+# ---------------------------------------------------------------------------
+# Huffman coder — reference coders/HuffmanCoder.hpp.
+# Stream = 1 flag bit (:540-547) + table (:264-276) + canonical codes.
+# Table = civ(longest), civ(numl[l]) for l = 1..longest,
+#         civ(alphabet_size), then the effective symbols ordered by
+#         codeword length, 8 bits each.
+# ---------------------------------------------------------------------------
+
+def test_huffman_reference_bytes():
+    c = _comp("encode(huff)")
+    # input "abccdddd": counts a=1 b=1 c=2 d=4. The optimal code-length
+    # multiset is unique here (a=3 b=3 c=2 d=1: cost 14; the nearest
+    # alternatives (3,3,2,2) and (2,2,2,2) cost 18 and 16), so the MG
+    # in-place algorithm (HuffmanCoder.hpp:88-169) must produce it and
+    # no tree tie-break ambiguity exists. Sorted by codeword length
+    # (equal lengths keep effective-alphabet = ascending-symbol order;
+    # the reference's non-stable std::sort is implementation-defined
+    # there, ours is pinned stable - coders/huffman.py docstring):
+    #   ordered symbols [d,c,a,b], ordered lengths [1,2,3,3],
+    #   longest=3, numl=[1,1,2].
+    # firstcode (HuffmanCoder.hpp:192-198): fc[2]=0, fc[1]=(0+2)/2=1,
+    #   fc[0]=(1+1)/2=1 -> codes d="1", c="01", a="000", b="001".
+    table_bits = (
+        "1"                      # has-table flag
+        + "0" + "0000011"        # civ(longest=3)
+        + "0" + "0000001"        # civ(numl[1]=1)
+        + "0" + "0000001"        # civ(numl[2]=1)
+        + "0" + "0000010"        # civ(numl[3]=2)
+        + "0" + "0000100"        # civ(alphabet_size=4)
+        + _b(100, 8) + _b(99, 8) + _b(97, 8) + _b(98, 8)
+    )
+    payload = "000" + "001" + "01" + "01" + "1111"  # a b c c dddd
+    expect = _finish(table_bits + payload)
+    assert c.compress(b"abccdddd") == expect
+    assert c.decompress(expect) == b"abccdddd"
+
+
+def test_huffman_single_char_reference_bytes():
+    # single-symbol alphabet: flag bit 0, literals as plain 8-bit
+    # (HuffmanCoder.hpp:529-547, 563-569)
+    c = _comp("encode(huff)")
+    bits = "0" + _b(97, 8) * 3
+    assert c.compress(b"aaa") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"aaa"
+    # empty input: flag bit 0 only
+    assert c.compress(b"") == _finish("0")
+    assert c.decompress(_finish("0")) == b""
+
+
+# ---------------------------------------------------------------------------
+# LZSS sliding-window token stream — reference
+# LZSSSlidingWindowCompressor.hpp:84-99: per token either
+#   1, delta in Range(fpos)      [bits_for(fpos) bits, adaptive]
+#      fnum  in Range(window)    [bits_for(window) bits]
+# or 0, literal (8 bits).  No header.
+# ---------------------------------------------------------------------------
+
+def test_lzss_window_reference_bytes():
+    c = _comp("lzss(coder=bit)")  # window=16, threshold=3
+    # "abcabcabc": literals a,b,c; at pos 3 the back-buffer scan finds
+    # k=0 with match length 6 (self-overlapping, compare walks the
+    # look-ahead: LZSSSlidingWindowCompressor.hpp:66-72)
+    #   -> 1, delta=3 in Range(3) [bits_for(3)=2], len=6 in Range(16)
+    #      [bits_for(16)=5]
+    bits = (
+        "0" + _b(97, 8) + "0" + _b(98, 8) + "0" + _b(99, 8)
+        + "1" + _b(3, 2) + _b(6, 5)
+    )
+    assert c.compress(b"abcabcabc") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"abcabcabc"
+
+
+# ---------------------------------------------------------------------------
+# LZSS factor-stream wire format — reference lzss/LZSSCoding.hpp:19-92:
+#   n in len_r (32 bits), flen_min/flen_max/fdist_max in Range(n),
+#   then per factor: [1, gap in Range(fdist_max), gap literals]
+#   or 0 if adjacent; src in Range(n); len in
+#   MinDistributedRange(flen_min, flen_max); trailing literal run as
+#   1, count, literals.
+# ---------------------------------------------------------------------------
+
+def test_lzss_factor_stream_reference_bytes():
+    import numpy as np
+
+    from tudocomp_tpu.coders.base import Literals
+    from tudocomp_tpu.coders.simple import BitCoder
+    from tudocomp_tpu.compressors.lzss import (
+        FactorBuffer, decode_factor_text, encode_factor_text,
+    )
+    from tudocomp_tpu.io.bitio import BitReader, BitWriter
+    from tudocomp_tpu.registry import create_algo
+
+    text = np.frombuffer(b"abcabcx", np.uint8)
+    fb = FactorBuffer()
+    fb.append(3, 0, 3)  # "abc" at 3 copies from 0
+    out = BitWriter()
+    enc = BitCoder.Encoder(create_algo(BitCoder).env, out, Literals.none())
+    encode_factor_text(enc, text, fb)
+    # n=7 in len_r (32 bits); flen_min=flen_max=3 in Range(7)
+    # [bits_for(7)=3]; fdist_max = max(gap 3, tail 1) = 3 -> int(3,3).
+    # Factor: flag 1, gap 3 in Range(3) [2 bits], literals a,b,c,
+    #   src=0 in Range(7) [3 bits], len-3=0 in MDR(3,3)
+    #   [bits_for(0)=1 bit].
+    # Tail: flag 1, count 1 in Range(3), literal x.
+    bits = (
+        _b(7, 32) + _b(3, 3) + _b(3, 3) + _b(3, 3)
+        + "1" + _b(3, 2) + _b(97, 8) + _b(98, 8) + _b(99, 8)
+        + _b(0, 3) + "0"
+        + "1" + _b(1, 2) + _b(120, 8)
+    )
+    assert out.getvalue() == _finish(bits)
+    dec = BitCoder.Decoder(create_algo(BitCoder).env, BitReader(_finish(bits)))
+    assert decode_factor_text(dec) == b"abcabcx"
+
+
+# ---------------------------------------------------------------------------
+# LZ78 token stream — reference LZ78Compressor.hpp:97-131: per factor
+# (ref in Range(factor_count), literal).  The ref field's width GROWS
+# with the dictionary: bits_for(factor_count).  The final partial
+# factor encodes the PARENT id + last char (:124-131).
+# ---------------------------------------------------------------------------
+
+def test_lz78_reference_bytes():
+    c = _comp("lz78(coder=bit)")
+    # "abababab" parses as a | b | ab | aba | b(leftover):
+    #  (0 in Range(0) [bits_for(0)=1], 'a')
+    #  (0 in Range(1) [bits_for(1)=1], 'b')
+    #  (1 in Range(2) [bits_for(2)=2], 'b')     factor 3 = "ab"
+    #  (3 in Range(3) [bits_for(3)=2], 'a')     factor 4 = "aba"
+    #  leftover: node "ab" reached, parent=0 -> (0 in Range(4)
+    #  [bits_for(4)=3], 'b')
+    bits = (
+        "0" + _b(97, 8)
+        + "0" + _b(98, 8)
+        + "01" + _b(98, 8)
+        + "11" + _b(97, 8)
+        + "000" + _b(98, 8)
+    )
+    assert c.compress(b"abababab") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"abababab"
+
+
+# ---------------------------------------------------------------------------
+# LZW token stream — reference LZWCompressor.hpp:66-104: one ref per
+# factor in Range(factor_count + 256), starting at bits_for(256) = 9
+# bits and growing with the dictionary.
+# ---------------------------------------------------------------------------
+
+def test_lzw_reference_bytes():
+    c = _comp("lzw(coder=bit)")
+    # "ababab": a|b|ab|ab -> 97 in Range(256) [9], 98 in Range(257)
+    # [9], 256 in Range(258) [9], leftover node "ab" = 256 in
+    # Range(259) [9]
+    bits = _b(97, 9) + _b(98, 9) + _b(256, 9) + _b(256, 9)
+    assert c.compress(b"ababab") == _finish(bits)
+    assert c.decompress(_finish(bits)) == b"ababab"

@@ -42,14 +42,17 @@ G = 8  # base segments-per-grid-step granularity (callers pad nc to G)
 
 
 def _group(nc: int, interpret: bool) -> int:
-    """Segments per grid step (TDC_PACK_GROUP tuning knob). Measured on
-    the v5e: g=16 is bit-identical but no faster than g=8 (53.0 vs
-    53.4 ms rle, 70.8 vs 69.6 ms huffman per 64 MiB) — the per-row
-    placement matmuls dominate, not grid-step overhead — so the base
-    granularity stays the default."""
+    """Segments per grid step (TDC_PACK_GROUP tuning knob). Round-3
+    v5e sweep (etc/measure_variants.sh, 64 MiB, tunnel-sync floor
+    ~28 ms included in every number): pair+g16 is the winner —
+    rle 50.0 / huff 50.1 ms vs 55.1 / 57.6 for the old single+g8
+    default; quad variants measured slower (58.3 / 54.3). g=16 is the
+    default when paired placement is on (it halves the per-row loop,
+    letting the doubled grid block amortize), g=8 otherwise."""
     import os
 
-    want = int(os.environ.get("TDC_PACK_GROUP", str(G)))
+    default = 2 * G if _pair() else G
+    want = int(os.environ.get("TDC_PACK_GROUP", str(default)))
     if interpret:
         return G
     for g in (want, G):
@@ -100,7 +103,7 @@ def _pair() -> bool:
     """
     import os
 
-    return os.environ.get("TDC_PACK_PAIR", "0") == "1" and _window() == WINDOW
+    return os.environ.get("TDC_PACK_PAIR", "1") == "1" and _window() == WINDOW
 
 
 def _quad() -> bool:
