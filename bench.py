@@ -107,7 +107,7 @@ def main() -> None:
     # 256 MiB sustained: per-measurement tunnel syncs (~40 ms each) are
     # a fixed cost, so throughput is corpus-size dependent below ~128 MiB
     # (64 MiB: 0.37 GB/s encode; 256 MiB: 0.61 GB/s on the same kernels)
-    n_mb = int(os.environ.get("TDC_BENCH_MB", "256"))
+    n_mb = int(os.environ.get("TDC_BENCH_MB", "512"))
     data = make_corpus(n_mb << 20)
     ENC_LANES = 32768  # 64 MiB per dispatch: wide batches amortize
     batch_bytes = ENC_LANES * SEG  # per-op dispatch overhead (measured
@@ -120,6 +120,8 @@ def main() -> None:
         )
     lens = jnp.full(ENC_LANES, SEG, jnp.int32)
 
+    from tudocomp_tpu.ops.huffman_jax import device_table_build
+
     def encode_all():
         stage1 = [
             rle_stage(b, lens, offset=0, sample=True) for b in seg_batches
@@ -127,24 +129,32 @@ def main() -> None:
         hist = stage1[0][3]
         for s in stage1[1:]:
             hist = hist + s[3]
-        table = codec._table_from_hist(np.asarray(hist, np.int64), True)
-        sym_code, sym_len = codec._device_table(table)
+        # canonical table built ON DEVICE (bit-exact vs the host path,
+        # tests/test_huffman_device_table.py) — the whole encode is one
+        # dependency chain with a single host sync at the end
+        sym_code, sym_len = device_table_build(
+            hist.astype(jnp.int32) + 1, max_len=16,
+            min_len=codec._min_code_len(),
+        )
         out = [
             huff_stage(rows, counts, sym_code, sym_len)
             for rows, counts, _, _ in stage1
         ]
         # one honest sync: pull one scalar that depends on the last output
         np.asarray(out[-1][1][0])
-        return table, stage1, out
+        return hist, stage1, out
 
     encode_all()  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        table, stage1, out = encode_all()
+        hist, stage1, out = encode_all()
         times.append(time.perf_counter() - t0)
     t_enc = min(times)
 
+    # container header table: rebuilt on host from the pulled histogram
+    # (untimed assembly I/O, identical to the device-built table)
+    table = codec._table_from_hist(np.asarray(hist, np.int64), True)
     container = codec._assemble(
         len(data), table,
         np.concatenate([np.asarray(s[1]) for s in stage1]),

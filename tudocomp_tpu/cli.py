@@ -212,19 +212,10 @@ def _stream_main(args, p) -> int | None:
 
 
 def generate(genstring: str) -> bytes:
-    from tudocomp_tpu.algostr import parse
-
-    node = parse(genstring)
-    args = [v for k, v in node.args if k is None]
-    gens = {
-        "fib": lambda n: fibonacci(int(n)),
-        "thue_morse": lambda n: thue_morse(int(n)),
-        "run_rich": lambda n: run_rich(int(n)),
-        "random": lambda n, seed=0: random_uniform(int(n), int(seed)),
-    }
-    if node.name not in gens:
-        raise ValueError(f"unknown generator: {node.name}")
-    return gens[node.name](*args)
+    """Instantiate a registered generator from its algorithm string
+    (reference tudocomp_driver.cpp -g handling; generators are regular
+    registry modules)."""
+    return REGISTRY.instantiate(genstring, type="generator").generate()
 
 
 def main(argv=None) -> int:

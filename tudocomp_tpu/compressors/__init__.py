@@ -50,3 +50,11 @@ for _comp in (
     BlocksCompressor,
 ):
     REGISTRY.register(_comp)
+
+from tudocomp_tpu.compressors.tbc2 import TBC2Compressor
+
+REGISTRY.register(TBC2Compressor)
+
+from tudocomp_tpu.generators import register_generators
+
+register_generators(REGISTRY)

@@ -29,24 +29,32 @@ class BWTCompressor(Compressor):
     @classmethod
     def meta(cls):
         m = Meta("compressor", "bwt", "BWT Compressor")
+        m.option_dynamic("device", "false")
         m.needs_sentinel_terminator()
         return m
 
     #: inputs at least this long may use the device SA/BWT path on TPU.
-    #: Opt-in via TDC_DEVICE_BWT=1: each input size compiles its own
-    #: device program, so the device path only pays off for repeated
-    #: same-shape workloads (and a direct-attached chip; over the axon
-    #: tunnel the d2h transfer dominates).
+    #: Opt-in via bwt(device=true) (env TDC_DEVICE_BWT=1 overrides):
+    #: each input size compiles its own device program, so the device
+    #: path only pays off for repeated same-shape workloads (and a
+    #: direct-attached chip; over the axon tunnel the d2h transfer
+    #: dominates).
     DEVICE_MIN = 1 << 15
 
-    def compress(self, data: bytes) -> bytes:
+    def _want_device(self) -> bool:
         import os
 
+        env = os.environ.get("TDC_DEVICE_BWT")
+        if env is not None:
+            return env == "1"
+        return self.env.option("device").as_bool()
+
+    def compress(self, data: bytes) -> bytes:
         if not data.endswith(b"\x00"):
             raise ValueError("bwt requires a sentineled input")
         t = np.frombuffer(data, np.uint8)
         if (
-            os.environ.get("TDC_DEVICE_BWT") == "1"
+            self._want_device()
             and len(data) >= self.DEVICE_MIN and _on_tpu()
         ):
             import jax.numpy as jnp
@@ -63,10 +71,8 @@ class BWTCompressor(Compressor):
         return bwt_forward(t, sa).tobytes()
 
     def decompress(self, data: bytes) -> bytes:
-        import os
-
         if (
-            os.environ.get("TDC_DEVICE_BWT") == "1"
+            self._want_device()
             and len(data) >= self.DEVICE_MIN and _on_tpu()
         ):
             import jax.numpy as jnp

@@ -70,3 +70,81 @@ GENERATORS = {
     "run_rich": run_rich,
     "random": random_uniform,
 }
+
+
+# ---------------------------------------------------------------------------
+# Registered Generator algorithms (reference Generator.hpp:13 +
+# registry_config.py:248-253: fib / thue_morse / rnd / run_rich are
+# first-class registered modules, shown by ``tdc --list`` and invoked
+# via ``tdc -g "fib(10)"``).
+# ---------------------------------------------------------------------------
+
+from tudocomp_tpu.meta import Algorithm, Meta
+
+
+class Generator(Algorithm):
+    """Base: produces a test string from options (reference
+    ``Generator.hpp:13-31``)."""
+
+    def generate(self) -> bytes:
+        raise NotImplementedError
+
+
+class FibonacciGenerator(Generator):
+    @classmethod
+    def meta(cls):
+        m = Meta("generator", "fib",
+                 "Fibonacci word (generators/FibonacciGenerator.hpp)")
+        m.option_dynamic("n", None)
+        return m
+
+    def generate(self) -> bytes:
+        return fibonacci(self.env.option("n").as_int())
+
+
+class ThueMorseGenerator(Generator):
+    @classmethod
+    def meta(cls):
+        m = Meta("generator", "thue_morse",
+                 "Thue-Morse word (generators/ThueMorseGenerator.hpp)")
+        m.option_dynamic("n", None)
+        return m
+
+    def generate(self) -> bytes:
+        return thue_morse(self.env.option("n").as_int())
+
+
+class RunRichGenerator(Generator):
+    @classmethod
+    def meta(cls):
+        m = Meta("generator", "run_rich",
+                 "run-rich string series, Matsubara et al. "
+                 "(generators/RunRichGenerator.hpp)")
+        m.option_dynamic("n", None)
+        return m
+
+    def generate(self) -> bytes:
+        return run_rich(self.env.option("n").as_int())
+
+
+class RandomGenerator(Generator):
+    @classmethod
+    def meta(cls):
+        m = Meta("generator", "random",
+                 "uniform random string over printable digits "
+                 "(generators/RandomUniformGenerator.hpp; PCG64 seed "
+                 "semantics, see module docstring)")
+        m.option_dynamic("n", None)
+        m.option_dynamic("seed", 0)
+        return m
+
+    def generate(self) -> bytes:
+        return random_uniform(
+            self.env.option("n").as_int(), self.env.option("seed").as_int()
+        )
+
+
+def register_generators(registry) -> None:
+    for g in (FibonacciGenerator, ThueMorseGenerator, RunRichGenerator,
+              RandomGenerator):
+        registry.register(g)

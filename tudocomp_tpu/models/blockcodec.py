@@ -145,11 +145,14 @@ class BlockCodec:
     """
 
     def __init__(self, offset: int = 0, batch_lanes: int = BATCH_LANES,
-                 **_compat):
+                 min_code_len: int | None = None,
+                 dec_kernel: str | None = None, **_compat):
         # _compat swallows the retired TBC1 knobs (block_size,
         # sub_chunks) so older call sites keep working.
         self.offset = offset
         self.batch_lanes = batch_lanes
+        self.min_code_len = min_code_len
+        self.dec_kernel = dec_kernel
 
     # -- encode --------------------------------------------------------------
 
@@ -172,7 +175,7 @@ class BlockCodec:
         seg_rows, seg_lens = self.split_segments(data)
         nseg = seg_rows.shape[0]
         rows_l, counts_l, rleraw_l = [], [], []
-        hist = np.zeros(256, np.int64)
+        hist_dev = None
         # one global sampling decision per input (not per batch bucket)
         # so the container bytes are identical across batch splits,
         # backends, and mesh shapes (parallel/pipeline.py uses the
@@ -193,15 +196,36 @@ class BlockCodec:
             rows_l.append(rows)
             counts_l.append(counts)
             rleraw_l.append(rleraw)
-            hist += np.asarray(h, np.int64)
-        table = self._table_from_hist(hist, sampled)
-        sym_code, sym_len = self._device_table(table)
+            hist_dev = h if hist_dev is None else hist_dev + h
+        # sampled inputs always have a full-alphabet table (hist+1), so
+        # the canonical build can run entirely ON DEVICE — no mid-stream
+        # host sync (ops/huffman_jax.py device_table_build, bit-exact
+        # vs the host path per tests/test_huffman_device_table.py). The
+        # host table object (for the container header) is rebuilt from
+        # the pulled histogram during untimed assembly below.
+        table = None
+        if sampled:
+            from tudocomp_tpu.ops.huffman_jax import device_table_build
+
+            sym_code, sym_len = device_table_build(
+                hist_dev.astype(jnp.int32) + 1, max_len=16,
+                min_len=self._min_code_len(),
+            )
+        else:
+            table = self._table_from_hist(
+                np.asarray(hist_dev, np.int64), sampled
+            )
+            sym_code, sym_len = self._device_table(table)
         words_l, bits_l, hraw_l = [], [], []
         for rows, counts in zip(rows_l, counts_l):
             w, b, hr = huff_stage(rows, counts, sym_code, sym_len)
             words_l.append(np.asarray(w))
             bits_l.append(np.asarray(b))
             hraw_l.append(np.asarray(hr))
+        if sampled:
+            table = self._table_from_hist(
+                np.asarray(hist_dev, np.int64), sampled
+            )
         counts_np = np.concatenate(
             [np.asarray(c) for c in counts_l]
         )[:nseg]
@@ -221,22 +245,34 @@ class BlockCodec:
         64 segments (128 KiB); below that the exact histogram is free."""
         return nseg >= 64
 
+    def _min_code_len(self) -> int:
+        # min 3: the TPU decoder drains D=11 slots * 3 bits >= 32 bits
+        # per feed word (hufdec_jax.py); forcing 3 over 2 costs <0.2%
+        # ratio post-RLE and cuts slots 31%. min_code_len=4 trades
+        # ~1.5% payload for an 8-slot decode schedule (decoder_tables
+        # derives slots from the table itself). Settable via the
+        # ``tbc2(min_code_len=...)`` option; TDC_MIN_CODE_LEN env
+        # overrides for experiments.
+        import os
+
+        env = os.environ.get("TDC_MIN_CODE_LEN")
+        if env is not None:
+            mn = int(env)
+        elif self.min_code_len is not None:
+            mn = int(self.min_code_len)
+        else:
+            mn = 3
+        return min(max(mn, 3), 8)
+
     def _table_from_hist(self, hist, sampled: bool):
         hist = np.asarray(hist, np.int64)
         if sampled:
             hist = hist + 1  # sampled histogram: keep all bytes encodable
         if (hist > 0).sum() <= 1:
             return None
-        # 16-bit cap: packer tokens. min 3: the TPU decoder drains
-        # D=11 slots * 3 bits >= 32 bits per feed word (hufdec_jax.py);
-        # forcing 3 over 2 costs <0.2% ratio post-RLE and cuts slots 31%.
-        # TDC_MIN_CODE_LEN=4 trades ~1.5% payload for an 8-slot decode
-        # schedule (decoder_tables derives slots from the table itself).
-        import os
-
-        mn = int(os.environ.get("TDC_MIN_CODE_LEN", "3"))
+        # 16-bit cap: packer tokens (see _min_code_len for the floor)
         return HuffmanTable.from_counts(
-            hist, max_len=16, min_len=min(max(mn, 3), 8)
+            hist, max_len=16, min_len=self._min_code_len()
         )
 
     @staticmethod
@@ -408,13 +444,13 @@ class BlockCodec:
 
     # -- device decode (TPU lockstep scan; ops/hufdec_jax.py) ----------------
 
-    @staticmethod
-    def _device_decoder() -> str:
+    def _device_decoder(self) -> str:
         """'pallas' (in-kernel step loop; TPU default) or 'scan' (XLA
-        lockstep scan; CPU/interpret default). Override: TDC_DEC_KERNEL."""
+        lockstep scan; CPU/interpret default). Settable via the
+        ``tbc2(dec=...)`` option; TDC_DEC_KERNEL env overrides."""
         import os
 
-        want = os.environ.get("TDC_DEC_KERNEL")
+        want = os.environ.get("TDC_DEC_KERNEL") or self.dec_kernel
         if want in ("pallas", "scan"):
             return want
         return "pallas" if jax.default_backend() == "tpu" else "scan"
