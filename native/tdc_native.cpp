@@ -3373,3 +3373,152 @@ int64_t tdc_lfs_bst(const int64_t* parent, const int64_t* sdepth,
 }
 
 }  // extern "C"
+
+// ---- streaming (O(window)-memory) variants ------------------------------
+// Reference parity: lzss/rle/mtf/lz78 stream one pass via as_stream()
+// (io/Input.hpp:199-208). These carry the per-compressor O(1)/O(window)
+// state across caller-sized chunks so whole inputs never materialize.
+
+extern "C" {
+
+// MTF with caller-owned table state (256 bytes, identity-initialized by
+// the caller before the first chunk).
+void tdc_mtf_encode_s(const uint8_t* in, uint8_t* out, int64_t n,
+                      uint8_t* table) {
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        uint8_t j = 0;
+        while (table[j] != c) j++;
+        out[i] = j;
+        memmove(table + 1, table, j);
+        table[0] = c;
+    }
+}
+
+void tdc_mtf_decode_s(const uint8_t* in, uint8_t* out, int64_t n,
+                      uint8_t* table) {
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t j = in[i];
+        uint8_t c = table[j];
+        out[i] = c;
+        memmove(table + 1, table, j);
+        table[0] = c;
+    }
+}
+
+// RLE decode over a chunk, carrying `prev` across calls. Stops cleanly
+// before a token whose vbyte run-length is cut by the chunk end when
+// final_chunk == 0 (the caller re-feeds the tail with the next chunk).
+// Returns bytes produced; *consumed <- input bytes consumed.
+// -1: out_cap too small (caller grows and retries the same chunk),
+// -2: malformed stream.
+int64_t tdc_rle_decode_s(const uint8_t* in, int64_t n, uint8_t* out,
+                         int64_t out_cap, int64_t offset,
+                         int64_t* prev_io, int final_chunk,
+                         int64_t* consumed) {
+    int64_t o = 0;
+    int64_t i = 0;
+    int64_t prev = *prev_io;
+    while (i < n) {
+        int64_t tok = i;
+        uint8_t c = in[i++];
+        if (int64_t(c) == prev) {
+            uint64_t run = 0;
+            int shift = 0;
+            bool terminated = false;
+            while (i < n) {
+                uint8_t b = in[i++];
+                if (shift > 63) return -2;
+                if (shift == 63 && (b & 0x7F) > 1) return -2;
+                run |= uint64_t(b & 0x7F) << shift;
+                shift += 7;
+                if (!(b & 0x80)) { terminated = true; break; }
+            }
+            if (!terminated) {
+                if (final_chunk) return -2;
+                i = tok;  // hold the whole token for the next chunk
+                break;
+            }
+            if (offset < 0 || run < uint64_t(offset)) return -2;
+            run -= uint64_t(offset);
+            if (o >= out_cap ||
+                run > uint64_t(out_cap) || o + 1 + int64_t(run) > out_cap) {
+                *consumed = tok;
+                *prev_io = prev;
+                return -1;
+            }
+            out[o++] = c;
+            memset(out + o, c, size_t(run));
+            o += int64_t(run);
+            prev = int64_t(c);
+        } else {
+            if (o >= out_cap) {
+                *consumed = tok;
+                *prev_io = prev;
+                return -1;
+            }
+            out[o++] = c;
+            prev = int64_t(c);
+        }
+    }
+    *consumed = i;
+    *prev_io = prev;
+    return o;
+}
+
+// Sliding-window LZSS factorize+encode over a chunk buffer t[0..n)
+// whose byte 0 sits at absolute input position abs_base. Factorizes
+// positions in [start, limit) where limit = final_chunk ? n :
+// n - window (so every decision sees its full look-ahead and equals
+// the whole-buffer parse); the adaptive delta field width uses the
+// ABSOLUTE position (reference Range(fpos),
+// LZSSSlidingWindowCompressor.hpp:86). Returns bits written into out
+// (each chunk's stream starts at bit 0; the caller splices them),
+// -1 if cap_bits too small, -2 on bad parameters.
+// *next_i <- first unfactorized buffer index (>= limit; a final factor
+// may overshoot limit).
+int64_t tdc_lzss_window_encode_s(const uint8_t* t, int64_t n,
+                                 int64_t start, int64_t abs_base,
+                                 int final_chunk, int64_t window,
+                                 int64_t threshold, int code_kind,
+                                 uint8_t* out, int64_t cap_bits,
+                                 int64_t* next_i) {
+    if (window < 1 || threshold < 1 || start < 0) return -2;
+    TdcBitWr wr{out, cap_bits, 0};
+    const int64_t w_len = tdc_bits_for((uint64_t)window);
+    int64_t limit = final_chunk ? n : n - window;
+    int64_t i = start;
+    while (i < limit) {
+        int64_t buf_end = i + window;
+        if (buf_end > n) buf_end = n;
+        int64_t best_len = 0, best_src = 0;
+        int64_t lo = i - window;
+        if (lo < 0) lo = 0;
+        for (int64_t k = lo; k < i; k++) {
+            int64_t j = 0;
+            while (i + j < buf_end && t[k + j] == t[i + j]) j++;
+            if (j >= threshold && j > best_len) { best_len = j; best_src = k; }
+        }
+        if (best_len > 0) {
+            if (wr.put_flag(code_kind, 1)) return -1;
+            if (wr.put_code(code_kind, (uint64_t)(i - best_src),
+                            tdc_bits_for((uint64_t)(abs_base + i))))
+                return -1;
+            if (wr.put_code(code_kind, (uint64_t)best_len, w_len))
+                return -1;
+            i += best_len;
+        } else {
+            if (wr.put_flag(code_kind, 0)) return -1;
+            if (code_kind == 1 || code_kind == 2 || code_kind == 3) {
+                if (wr.put_code(code_kind, t[i], 8)) return -1;
+            } else {
+                if (wr.put(t[i], 8)) return -1;
+            }
+            i++;
+        }
+    }
+    *next_i = i;
+    return wr.pos;
+}
+
+}  // extern "C"

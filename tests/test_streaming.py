@@ -1,0 +1,111 @@
+"""Streaming (O(window)-memory) mode == buffered mode, byte-identical.
+
+Reference parity: lzss/rle/mtf stream one pass via ``as_stream()``
+(``io/Input.hpp:199-208``). Our streaming paths carry only O(1)/O(window)
+state across chunks, so outputs must equal the buffered compressors for
+EVERY chunking — exercised here with adversarially small chunk sizes so
+runs, vbytes, and factor look-aheads all straddle chunk edges.
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+
+from tudocomp_tpu.compressors import REGISTRY  # noqa: F401  (populates)
+from tudocomp_tpu.registry import REGISTRY as REG
+
+
+def _corpus(seed: int, n: int) -> bytes:
+    rng = np.random.default_rng(seed)
+    parts = [
+        rng.integers(0, 4, n // 3, dtype=np.uint8),          # tiny alphabet
+        np.repeat(rng.integers(0, 256, 32, np.uint8),
+                  rng.integers(1, 900, 32)),                 # long runs
+        rng.integers(0, 256, n // 3, dtype=np.uint8),        # noise
+    ]
+    return np.concatenate(parts)[:n].tobytes()
+
+
+CASES = [b"", b"a", b"aa", b"a" * 100000, _corpus(0, 50000), _corpus(1, 9999)]
+
+
+def _stream(comp, data: bytes, method: str, chunk: int) -> bytes:
+    import tudocomp_tpu.compressors.lzss as lzss_mod
+    import tudocomp_tpu.compressors.mtf as mtf_mod
+    import tudocomp_tpu.compressors.rle as rle_mod
+
+    old = (rle_mod.STREAM_CHUNK, mtf_mod.STREAM_CHUNK,
+           lzss_mod.STREAM_CHUNK)
+    rle_mod.STREAM_CHUNK = mtf_mod.STREAM_CHUNK = chunk
+    lzss_mod.STREAM_CHUNK = chunk
+    try:
+        fout = io.BytesIO()
+        getattr(comp, method)(io.BytesIO(data), fout)
+        return fout.getvalue()
+    finally:
+        (rle_mod.STREAM_CHUNK, mtf_mod.STREAM_CHUNK,
+         lzss_mod.STREAM_CHUNK) = old
+
+
+@pytest.mark.parametrize("chunk", [7, 256, 8192])
+def test_rle_stream_matches_buffered(chunk):
+    c = REG.instantiate("rle")
+    for data in CASES:
+        expect = c.compress(data)
+        assert _stream(c, data, "compress_stream", chunk) == expect
+        assert _stream(c, expect, "decompress_stream", chunk) == data
+
+
+def test_rle_stream_offset():
+    c = REG.instantiate("rle(offset=5)")
+    data = _corpus(2, 30000)
+    expect = c.compress(data)
+    assert _stream(c, data, "compress_stream", 11) == expect
+    assert _stream(c, expect, "decompress_stream", 11) == data
+
+
+@pytest.mark.parametrize("chunk", [13, 4096])
+def test_mtf_stream_matches_buffered(chunk):
+    c = REG.instantiate("mtf")
+    for data in CASES:
+        expect = c.compress(data)
+        assert _stream(c, data, "compress_stream", chunk) == expect
+        assert _stream(c, expect, "decompress_stream", chunk) == data
+
+
+@pytest.mark.parametrize("chunk", [64, 1024])
+def test_lzss_stream_matches_buffered(chunk):
+    from tudocomp_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime required for lzss streaming")
+    for algo in ["lzss(coder=bit)", "lzss(coder=gamma, window=64)"]:
+        c = REG.instantiate(algo)
+        for data in CASES:
+            expect = c.compress(data)
+            got = _stream(c, data, "compress_stream", chunk)
+            assert got == expect, (algo, len(data))
+            assert c.decompress(got) == data
+
+
+def test_cli_streams_without_blocks(tmp_path):
+    """tdc -a rle FILE must stream (no --blocks) and produce the exact
+    buffered container."""
+    from tudocomp_tpu import cli
+
+    data = _corpus(3, 120000)
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    out = tmp_path / "in.bin.tdc"
+    assert cli.main([str(src), "-a", "rle", "-f", "-o", str(out)]) == 0
+    blob = out.read_bytes()
+    sep = blob.index(b"%")
+    c = REG.instantiate(blob[:sep].decode())
+    assert c.decompress(blob[sep + 1 :]) == data
+    # and decompression streams back through the CLI
+    dec = tmp_path / "out.bin"
+    assert cli.main([str(out), "-d", "-f", "-o", str(dec)]) == 0
+    assert dec.read_bytes() == data

@@ -171,12 +171,23 @@ def _stream_main(args, p) -> int | None:
                 _report(out_path)
         return 0
 
-    if not args.blocks:
-        return None
     if not args.algorithm:
-        p.error("-a ALGORITHM required for compression")
-    comp = _instantiate(args.algorithm, blocks=parse_size(args.blocks),
-                        threads=args.threads)
+        if args.blocks:
+            p.error("-a ALGORITHM required for compression")
+        return None
+    if args.blocks:
+        comp = _instantiate(args.algorithm, blocks=parse_size(args.blocks),
+                            threads=args.threads)
+    else:
+        # streaming one-pass compressors (rle/mtf/lzss): O(window)
+        # memory without the blocks wrapper, reference as_stream()
+        # parity (io/Input.hpp:199-208); output byte-identical to the
+        # buffered path, so this is safe as the default for files
+        comp = _instantiate(args.algorithm)
+        if not getattr(comp, "supports_streaming", False) \
+                or args.resume \
+                or REGISTRY.restrictions_of(comp.env).has_restrictions:
+            return None
     header = b"" if args.raw else comp.env.id_string().encode() + b"%"
     if args.usestdout:
         with open(args.input, "rb") as fin, root:

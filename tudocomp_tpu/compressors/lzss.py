@@ -685,3 +685,56 @@ class LZSSLCPCompressor(Compressor):
     def decompress(self, data: bytes) -> bytes:
         decoder = self.coder_decoder(BitReader(data))
         return decode_factor_text(decoder)
+
+
+#: streaming chunk size for the sliding-window path (state kept across
+#: chunks: the last 2*window bytes + the partial output byte)
+STREAM_CHUNK = 1 << 22
+
+
+def _lzss_compress_stream(self, fin, fout) -> None:
+    """One-pass O(window)-memory streaming encode (reference
+    ``as_stream()`` parity: the reference factorizer itself only ever
+    holds a 2*window buffer, ``LZSSSlidingWindowCompressor.hpp:51-56``).
+    Chunks are factorized with full look-ahead (positions past
+    ``len - window`` defer to the next chunk), the adaptive delta width
+    uses absolute positions, and per-chunk bit runs splice through
+    ``StreamBitSink`` — output byte-identical to the buffered path."""
+    from tudocomp_tpu.io.bitio import StreamBitSink
+
+    window = self.env.option("window").as_int()
+    threshold = self.env.option("threshold").as_int()
+    kind = self._code_kind()
+    from tudocomp_tpu import native
+
+    if kind is None or not native.available():
+        # consuming/entropy coders need the literal pre-pass, and the
+        # chunked factorizer lives in the native runtime: buffered
+        fout.write(self.compress(fin.read()))
+        return
+
+    sink = StreamBitSink(fout)
+    context = np.zeros(0, np.uint8)
+    abs_base = 0
+    start = 0
+    while True:
+        chunk = fin.read(STREAM_CHUNK)
+        final = not chunk
+        buf = np.concatenate(
+            [context, np.frombuffer(chunk, np.uint8)]
+        )
+        packed, nbits, next_i = native.lzss_window_encode_stream(
+            buf, start, abs_base, final, window, threshold, kind
+        )
+        sink.append_packed(packed, nbits)
+        if final:
+            break
+        keep_from = max(0, next_i - window)
+        context = buf[keep_from:]
+        abs_base += keep_from
+        start = next_i - keep_from
+    sink.close()
+
+
+LZSSSlidingWindowCompressor.supports_streaming = True
+LZSSSlidingWindowCompressor.compress_stream = _lzss_compress_stream

@@ -55,3 +55,37 @@ class MTFCompressor(Compressor):
         from tudocomp_tpu import native
 
         return native.mtf_decode(data)
+
+
+#: streaming chunk size (state is the 256-entry table; RSS stays O(CHUNK))
+STREAM_CHUNK = 1 << 22
+
+
+def _mtf_stream(fin, fout, decode: bool) -> None:
+    import numpy as np
+
+    from tudocomp_tpu import native
+
+    table = np.arange(256, dtype=np.uint8)
+    while True:
+        chunk = fin.read(STREAM_CHUNK)
+        if not chunk:
+            return
+        fout.write(native.mtf_stream(chunk, table, decode=decode))
+
+
+def _add_streaming():
+    """Streaming one-pass mode (reference ``as_stream()`` parity,
+    ``io/Input.hpp:199-208``): O(1) carried state, output byte-identical
+    to the buffered path."""
+
+    MTFCompressor.supports_streaming = True
+    MTFCompressor.compress_stream = (
+        lambda self, fin, fout: _mtf_stream(fin, fout, False)
+    )
+    MTFCompressor.decompress_stream = (
+        lambda self, fin, fout: _mtf_stream(fin, fout, True)
+    )
+
+
+_add_streaming()

@@ -121,3 +121,93 @@ class RunLengthEncoder(Compressor):
 
         off = self.env.option("offset").as_int()
         return native.rle_decode(np.frombuffer(data, np.uint8), off)
+
+
+#: streaming chunk size (state is one pending run; RSS stays O(CHUNK))
+STREAM_CHUNK = 1 << 22
+
+
+def _emit_run(fout, c: int, length: int, offset: int) -> None:
+    """Encode one complete run, mirroring rle_encode's RUN_CAP piece
+    split (first piece doubled-char + vbyte(len-2+offset), continuation
+    pieces single-char + vbyte(len-1+offset))."""
+    from tudocomp_tpu.utils.vbyte import write_vbyte
+
+    first = min(length, RUN_CAP)
+    if first == 1:
+        fout.write(bytes([c]))
+    else:
+        buf = bytearray([c, c])
+        write_vbyte(buf, first - 2 + offset)
+        fout.write(bytes(buf))
+    rem = length - first
+    while rem:
+        piece = min(rem, RUN_CAP)
+        buf = bytearray([c])
+        write_vbyte(buf, piece - 1 + offset)
+        fout.write(bytes(buf))
+        rem -= piece
+
+
+def _rle_compress_stream(self, fin, fout) -> None:
+    """One-pass streaming encode: carries only the run cut by the chunk
+    edge; output byte-identical to the buffered rle_encode (runs are
+    context-free in the wire format, and chunk cuts land only on run
+    boundaries here)."""
+    off = self.env.option("offset").as_int()
+    pend_c = -1
+    pend_n = 0
+    while True:
+        chunk = fin.read(STREAM_CHUNK)
+        if not chunk:
+            break
+        arr = np.frombuffer(chunk, np.uint8)
+        if pend_n:
+            neq = arr != pend_c
+            lead = int(np.argmax(neq)) if neq.any() else arr.size
+            pend_n += lead
+            arr = arr[lead:]
+            if arr.size == 0:
+                continue
+            _emit_run(fout, pend_c, pend_n, off)
+            pend_n = 0
+        last = int(arr[-1])
+        neq = np.flatnonzero(arr != last)
+        tail_start = int(neq[-1] + 1) if neq.size else 0
+        body = arr[:tail_start]
+        if body.size:
+            fout.write(rle_encode(body, off).tobytes())
+        pend_c = last
+        pend_n = arr.size - tail_start
+    if pend_n:
+        _emit_run(fout, pend_c, pend_n, off)
+
+
+def _rle_decompress_stream(self, fin, fout) -> None:
+    """One-pass streaming decode: carries ``prev`` plus at most one
+    token split by the chunk edge (native tdc_rle_decode_s)."""
+    from tudocomp_tpu import native
+
+    off = self.env.option("offset").as_int()
+    prev = -1
+    held = b""
+    while True:
+        chunk = fin.read(STREAM_CHUNK)
+        final = not chunk
+        data = held + chunk
+        if not data:
+            return
+        out, consumed, prev = native.rle_decode_stream(
+            np.frombuffer(data, np.uint8), off, prev, final
+        )
+        fout.write(out)
+        held = data[consumed:]
+        if final:
+            if held:
+                raise ValueError("malformed RLE stream")
+            return
+
+
+RunLengthEncoder.supports_streaming = True
+RunLengthEncoder.compress_stream = _rle_compress_stream
+RunLengthEncoder.decompress_stream = _rle_decompress_stream

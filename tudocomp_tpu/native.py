@@ -261,6 +261,20 @@ def _load():
             ctypes.c_int, u8p, ctypes.c_int64,
         ]
         lib.tdc_lzss_window_decode.restype = ctypes.c_int64
+        lib.tdc_mtf_encode_s.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+        lib.tdc_mtf_decode_s.argtypes = [u8p, u8p, ctypes.c_int64, u8p]
+        i64p_s = ctypes.POINTER(ctypes.c_int64)
+        lib.tdc_rle_decode_s.argtypes = [
+            u8p, ctypes.c_int64, u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p_s, ctypes.c_int, i64p_s,
+        ]
+        lib.tdc_rle_decode_s.restype = ctypes.c_int64
+        lib.tdc_lzss_window_encode_s.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            u8p, ctypes.c_int64, i64p_s,
+        ]
+        lib.tdc_lzss_window_encode_s.restype = ctypes.c_int64
         lib.tdc_lz78_stream_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
             ctypes.c_int64, u8p, ctypes.c_int64,
@@ -1334,3 +1348,112 @@ def lfs_bst(parent, sdepth, suffix, n, min_lrf):
         (int(o_pos[i]), int(o_rule[i]), int(o_len[i])) for i in order
     ]
     return dictionary, occurrences
+
+
+# ---- streaming (O(window)-memory) wrappers --------------------------------
+
+
+def mtf_stream(data: bytes, table: np.ndarray, decode: bool = False) -> bytes:
+    """One MTF chunk with carried 256-entry table state (modified in
+    place). Reference parity: MTFCompressor over ``as_stream()``."""
+    lib = _load()
+    inp = np.frombuffer(data, np.uint8)
+    out = np.empty(inp.size, np.uint8)
+    if lib is not None:
+        fn = lib.tdc_mtf_decode_s if decode else lib.tdc_mtf_encode_s
+        fn(inp, out, inp.size, table)
+        return out.tobytes()
+    tbl = table.tolist()
+    for i, c in enumerate(inp.tolist()):
+        if decode:
+            j = c
+            c = tbl[j]
+            out[i] = c
+        else:
+            j = tbl.index(c)
+            out[i] = j
+        if j:
+            del tbl[j]
+            tbl.insert(0, c)
+    table[:] = tbl
+    return out.tobytes()
+
+
+def rle_decode_stream(chunk: np.ndarray, offset: int, prev: int,
+                      final: bool):
+    """Decode one RLE chunk. Returns (out bytes, consumed, prev'); the
+    unconsumed tail (a token split by the chunk edge) must be re-fed
+    with the next chunk."""
+    lib = _load()
+    if lib is None:
+        # pure-python: parse tokens, stop before a cut vbyte
+        data = chunk.tolist()
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            tok = i
+            c = data[i]
+            i += 1
+            if c == prev:
+                run = 0
+                shift = 0
+                term = False
+                while i < n:
+                    b = data[i]
+                    i += 1
+                    run |= (b & 0x7F) << shift
+                    shift += 7
+                    if not b & 0x80:
+                        term = True
+                        break
+                if not term:
+                    if final:
+                        raise ValueError("malformed RLE stream")
+                    i = tok
+                    break
+                out.append(c)
+                out.extend([c] * (run - offset))
+                prev = c
+            else:
+                out.append(c)
+                prev = c
+        return bytes(out), i, prev
+    inp = np.ascontiguousarray(chunk, np.uint8)
+    cap = max(4096, inp.size * 4)
+    while True:
+        out = np.empty(cap, np.uint8)
+        prev_io = ctypes.c_int64(prev)
+        consumed = ctypes.c_int64(0)
+        got = lib.tdc_rle_decode_s(
+            inp, inp.size, out, cap, offset, ctypes.byref(prev_io),
+            1 if final else 0, ctypes.byref(consumed),
+        )
+        if got == -2:
+            raise ValueError("malformed RLE stream")
+        if got >= 0:
+            return out[:got].tobytes(), int(consumed.value), int(prev_io.value)
+        cap *= 4
+
+
+def lzss_window_encode_stream(buf: np.ndarray, start: int, abs_base: int,
+                              final: bool, window: int, threshold: int,
+                              code_kind: int):
+    """Factorize+encode positions [start, limit) of one chunk buffer
+    (limit = len-window unless final). Returns (packed, nbits, next_i)
+    or None without the native runtime."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(buf, np.uint8)
+    span = max(64, buf.size - start)
+    cap_bits = span * 18 + 256
+    out = np.zeros((cap_bits + 7) // 8, np.uint8)
+    next_i = ctypes.c_int64(0)
+    got = lib.tdc_lzss_window_encode_s(
+        buf, buf.size, start, abs_base, 1 if final else 0, window,
+        threshold, code_kind, out, cap_bits, ctypes.byref(next_i),
+    )
+    if got < 0:
+        raise ValueError("lzss stream encode failed")
+    return out, int(got), int(next_i.value)
