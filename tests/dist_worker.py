@@ -85,4 +85,37 @@ np.save(
     np.array(pieces, dtype=np.int64),
 )
 np.save(os.path.join(outdir, f"hist{pid}.npy"), hist_np)
+
+# ---- phase 2: the REAL sharded encode kernels across processes --------
+# 1 MiB through rle_stage/huff_stage under shard_map on the global
+# 2-process mesh; each host frames its own segments. The test glues
+# header + pieces and compares byte-for-byte with a single-process
+# codec.compress of the same data.
+from tudocomp_tpu.models.blockcodec import BlockCodec  # noqa: E402
+from tudocomp_tpu.parallel.distributed import (  # noqa: E402
+    compress_distributed,
+)
+
+rng2 = np.random.default_rng(11)
+data2 = (
+    b"rosebud was his sled all along; " * 22000
+    + bytes(rng2.integers(0, 48, 400000, dtype=np.uint8))
+)[: 1 << 20]
+codec = BlockCodec()
+seg_rows, seg_lens = codec.split_segments(data2)
+mesh2 = Mesh(np.array(jax.devices()).reshape(nproc * 4, 1), ("dp", "sp"))
+per2 = seg_rows.shape[0] // nproc
+header, pieces2 = compress_distributed(
+    codec, mesh2,
+    np.ascontiguousarray(seg_rows[pid * per2 : (pid + 1) * per2]),
+    np.ascontiguousarray(seg_lens[pid * per2 : (pid + 1) * per2]),
+    len(data2),
+)
+if pid == 0:
+    with open(os.path.join(outdir, "header.bin"), "wb") as f:
+        f.write(header)
+for start, frames in pieces2:
+    with open(os.path.join(outdir, f"piece_{start:08d}.bin"), "wb") as f:
+        f.write(frames)
+
 print("WORKER_OK", pid, flush=True)

@@ -401,6 +401,58 @@ def decode_stream_native(decoder, n, flen_r, text_r, fdist_r, mode=0):
     return res
 
 
+def parse_factor_arrays(decoder):
+    """Parse a factor stream into arrays without resolving the copies:
+    returns ``(total, literals u8, fpos, fsrc, flen)`` in stream order.
+    Native mode-1 fast path when available, else a Python token walk
+    (same tokens as ``decode_factor_text``)."""
+    n = decoder.decode(len_r)
+    text_r = Range(n)
+    flen_min = decoder.decode(text_r)
+    flen_max = decoder.decode(text_r)
+    flen_r = MinDistributedRange(flen_min, flen_max)
+    fdist_max = decoder.decode(text_r)
+    fdist_r = Range(fdist_max)
+    fast = decode_stream_native(decoder, n, flen_r, text_r, fdist_r, mode=1)
+    if fast is not None:
+        lit_bytes, fpos, fsrc, flens = fast
+        return int(lit_bytes.size + flens.sum()), lit_bytes, fpos, fsrc, flens
+    lits: list[np.ndarray] = []
+    fpos, fsrc, flens = [], [], []
+    cursor = 0
+    while not decoder.eof():
+        if decoder.decode(bit_r):
+            num = decoder.decode(fdist_r)
+            got = decoder.decode_array(literal_r, num)
+            lits.append(np.asarray(got, np.uint8))
+            cursor += num
+        if decoder.eof():
+            break
+        src = decoder.decode(text_r)
+        length = decoder.decode(flen_r)
+        fpos.append(cursor)
+        fsrc.append(src)
+        flens.append(length)
+        cursor += length
+    literals = np.concatenate(lits) if lits else np.zeros(0, np.uint8)
+    return (
+        cursor, literals, np.asarray(fpos, np.int64),
+        np.asarray(fsrc, np.int64), np.asarray(flens, np.int64),
+    )
+
+
+def decode_factor_text_device(decoder) -> bytes:
+    """Factor-stream decode with the copy resolution on the TPU:
+    token parse on the host (native mode-1 walker), then per-position
+    pointer doubling on the device (``ops/lzss_jax.py
+    resolve_factors_device``) — bit-identical to the host back-buffer
+    (reference semantics ``lzss/LZSSCoding.hpp:95-140``)."""
+    from tudocomp_tpu.ops.lzss_jax import resolve_factors_device
+
+    total, literals, fpos, fsrc, flens = parse_factor_arrays(decoder)
+    return resolve_factors_device(literals, fpos, fsrc, flens, total)
+
+
 def decode_factor_text(decoder) -> bytes:
     """Shared factor-stream decoder with a back-reference buffer
     (``lzss/LZSSCoding.hpp:95-140`` + ``LZSSDecodeBackBuffer.hpp``)."""
@@ -654,6 +706,9 @@ class LZSSLCPCompressor(Compressor):
         # comp=device_fast: q-gram class heuristic matcher (cheaper,
         #   slightly worse ratio) — an alternative valid parse.
         m.option_dynamic("comp", "psv")
+        # dec=host: native back-buffer walk. dec=device: copy resolution
+        #   as pointer-doubling rounds on the TPU (bit-identical).
+        m.option_dynamic("dec", "host")
         m.needs_sentinel_terminator()
         return m
 
@@ -684,6 +739,8 @@ class LZSSLCPCompressor(Compressor):
 
     def decompress(self, data: bytes) -> bytes:
         decoder = self.coder_decoder(BitReader(data))
+        if self.env.option("dec").as_string() == "device":
+            return decode_factor_text_device(decoder)
         return decode_factor_text(decoder)
 
 

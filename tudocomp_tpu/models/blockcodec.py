@@ -310,12 +310,20 @@ class BlockCodec:
     def _assemble(self, orig_len, table, counts, rleraw, hraw, words,
                   bits) -> bytes:
         """Vectorized container assembly (no per-segment Python loop)."""
-        from tudocomp_tpu.utils.vbyte import encode_vbyte_array
-
         out = bytearray(MAGIC)
         header = self._header(orig_len, table)
         write_vbyte(out, len(header))
         out += header
+        out += self._frames(counts, rleraw, hraw, words, bits)
+        return bytes(out)
+
+    def _frames(self, counts, rleraw, hraw, words, bits) -> bytes:
+        """Per-segment frame bytes for a (slice of a) segment batch —
+        the container body after the header. Hosts of a multi-process
+        job frame their own contiguous segment ranges with this and
+        write them at offsets from a size all-gather
+        (``parallel/distributed.compress_distributed``)."""
+        from tudocomp_tpu.utils.vbyte import encode_vbyte_array
 
         nseg = counts.shape[0]
         meta1 = (
@@ -366,8 +374,7 @@ class BlockCodec:
             payload_bytes.reshape(-1),
             np.arange(nseg, dtype=np.int64) * payload_bytes.shape[1],
         )
-        out += buf.tobytes()
-        return bytes(out)
+        return buf.tobytes()
 
     # -- container parse (shared by host + device decode) --------------------
 

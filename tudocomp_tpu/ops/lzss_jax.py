@@ -319,3 +319,73 @@ def commit_walk(cand: np.ndarray, length: np.ndarray, threshold: int):
         np.asarray(out_src, np.int64),
         np.asarray(out_len, np.int64),
     )
+
+
+# --- device factor-stream resolution (the decode side) -----------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _resolve_factors_jit(lit, fpos, fsrc, flen, *, n_pad: int):
+    """Resolve back-referencing factors into bytes by pointer doubling.
+
+    Inputs are padded to static shapes: ``lit`` u8[n_pad] literal bytes
+    in stream order (zero-padded), ``fpos/fsrc/flen`` i32[nf_pad] sorted
+    by ``fpos`` with pad entries at ``fpos = n_pad, flen = 0``.
+
+    The reference decodes the factor stream with a back-buffer whose
+    copies run byte-by-byte because sources may overlap their targets
+    (``lzss/LZSSCoding.hpp:95-140``, ``LZSSDecodeBackBuffer.hpp:10-40``).
+    Per OUTPUT POSITION the dependency is a chain: position ``i`` inside
+    factor ``(pos, src, len)`` takes its byte from ``src + (i - pos)``,
+    strictly below ``i`` — so ``ptr = ptr[ptr]`` squares every chain per
+    round (the orbit-doubling shape of ``suffix_jax.unbwt_device``) and
+    all chains bottom out at literal positions in O(log depth) gathers,
+    independent of factor overlap. Literals land by rank: position
+    ``i``'s byte is ``lit[cumsum(uncovered)[i] - 1]``.
+    """
+    nf_pad = fpos.shape[0]
+    i = jnp.arange(n_pad, dtype=_I32)
+    fidx = jnp.searchsorted(fpos, i, side="right").astype(_I32) - 1
+    safe = jnp.clip(fidx, 0, nf_pad - 1)
+    covered = (fidx >= 0) & (i < fpos[safe] + flen[safe])
+    ptr = jnp.where(covered, i - fpos[safe] + fsrc[safe], i)
+    rank = jnp.cumsum(jnp.where(covered, 0, 1).astype(_I32)) - 1
+
+    def cond(state):
+        ptr, done = state
+        return ~done
+
+    def body(state):
+        ptr, _ = state
+        nxt = ptr[ptr]
+        return nxt, jnp.all(nxt == ptr)
+
+    ptr, _ = lax.while_loop(cond, body, (ptr, jnp.asarray(False)))
+    return lit[jnp.clip(rank[ptr], 0, n_pad - 1)]
+
+
+def resolve_factors_device(literals: np.ndarray, fpos: np.ndarray,
+                           fsrc: np.ndarray, flen: np.ndarray,
+                           n: int) -> bytes:
+    """Device decode of a parsed factor stream (back-references only:
+    every source interval must start below its factor position, the
+    invariant of the lzss/lzss_lcp wire format). ``n`` = output length.
+    Shapes bucket to powers of two so compilations are reused."""
+    if n == 0:
+        return b""
+    n_pad = max(256, 1 << (n - 1).bit_length())
+    nf = int(fpos.size)
+    nf_pad = max(8, 1 << max(0, nf - 1).bit_length())
+    lit_p = np.zeros(n_pad, np.uint8)
+    lit_p[: literals.size] = literals
+    fp = np.full(nf_pad, n_pad, np.int32)
+    fs = np.zeros(nf_pad, np.int32)
+    fl = np.zeros(nf_pad, np.int32)
+    fp[:nf] = fpos
+    fs[:nf] = fsrc
+    fl[:nf] = flen
+    out = _resolve_factors_jit(
+        jnp.asarray(lit_p), jnp.asarray(fp), jnp.asarray(fs),
+        jnp.asarray(fl), n_pad=n_pad,
+    )
+    return np.asarray(out)[:n].tobytes()

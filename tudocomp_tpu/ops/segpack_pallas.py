@@ -97,13 +97,17 @@ def _pair() -> bool:
 
     Pairing fuses lane-adjacent codes (<= 16 bits each, so a pair is
     <= 32 bits — the same part1+spill shape as a single token) and
-    merges row pairs, halving the placement loop's matmul volume. It
-    needs the full 256-word window: a merged row spans two rows'
-    emission (<= 128 words) past a 128-aligned base (<= 127 words).
+    merges row pairs, halving the placement loop's matmul volume.
+    Composes with either window formulation: under the 256-word aligned
+    window a merged row spans two rows' emission (<= 128 words) past a
+    128-aligned base (<= 127 words); under the 128-word rotate window a
+    merged row's tokens all start within 128 words of its OWN first
+    bit (two rows emit <= 4096 bits and every token starts strictly
+    before their end), so ``w0 - (row_base >> 5) <= 127`` still holds.
     """
     import os
 
-    return os.environ.get("TDC_PACK_PAIR", "1") == "1" and _window() == WINDOW
+    return os.environ.get("TDC_PACK_PAIR", "1") == "1"
 
 
 def _quad() -> bool:
@@ -139,12 +143,28 @@ def _byte_planes_bf16(x):
     ]
 
 
+def _offs_impl() -> str:
+    """Offsets-scan implementation (TDC_OFFS_IMPL): 'shift' (log-shift
+    Hillis-Steele over sublane concatenates), 'mxu' (block-diagonal
+    triangular matmul over hi/lo byte planes), 'roll' (log-shift via
+    pltpu.roll along sublanes — no concatenates). Round-3 v5e sweep at
+    64 MiB (sync floor ~28 ms included): shift 51.2/53.6 ms (rle/huff),
+    mxu 58.7/60.3, roll 62.6/51.4 — the ablation's s2 cost is inherent
+    to the scan block, not the concatenates, so 'shift' stays default
+    and the alternatives remain for re-measurement on other chips."""
+    import os
+
+    v = os.environ.get("TDC_OFFS_IMPL", "shift")
+    return v if v in ("shift", "mxu", "roll") else "shift"
+
+
 def _seg_excl_offsets(lens, rows_per_seg: int):
     """Per-position exclusive bit offsets within each segment group.
 
     lens: (rows, 128) i32. Rows belong to segment ``row // rows_per_seg``.
-    Returns (offs, row_start, seg_bits): exclusive offset per token, each
-    row's starting bit, and each row's segment-total bits (broadcast).
+    Returns (offs, row_start): exclusive offset per token and each
+    row's starting bit (all lanes broadcast). Three bit-identical
+    implementations, selected by ``TDC_OFFS_IMPL`` (see _offs_impl).
     """
     rows = lens.shape[0]
     lens_bf = lens.astype(jnp.float32).astype(jnp.bfloat16)
@@ -156,6 +176,37 @@ def _seg_excl_offsets(lens, rows_per_seg: int):
         lens_bf, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(_I32)
+    impl = _offs_impl()
+    row_idx = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    in_group = row_idx % rows_per_seg
+    if impl == "mxu":
+        # row total broadcast to every lane: offsets are monotone, so
+        # the lane max of the inclusive value IS the row total
+        row_sums = jnp.max(excl_in_row + lens, axis=1, keepdims=True)
+        row_sums = jnp.broadcast_to(row_sums, (rows, LANES))
+        r_i = lax.broadcasted_iota(_I32, (rows, rows), 0)
+        r_j = lax.broadcasted_iota(_I32, (rows, rows), 1)
+        seg_tri = (
+            (r_i // rows_per_seg == r_j // rows_per_seg) & (r_j < r_i)
+        ).astype(jnp.bfloat16)
+        # hi/lo < 256 byte planes ride one concatenated dot (row totals
+        # reach 2**15, too wide for exact bf16 inputs); f32 accumulates
+        # <= rows_per_seg terms < 2**16 exactly
+        planes = jnp.concatenate(
+            [
+                _srl(row_sums, 8).astype(jnp.float32).astype(jnp.bfloat16),
+                (row_sums & 0xFF).astype(jnp.float32).astype(jnp.bfloat16),
+            ],
+            axis=1,
+        )
+        acc = lax.dot_general(
+            seg_tri, planes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        row_base = (
+            acc[:, :LANES].astype(_I32) << 8
+        ) + acc[:, LANES:].astype(_I32)
+        return row_base + excl_in_row, row_base
     ones = jnp.ones((LANES, LANES), jnp.bfloat16)
     row_sums = lax.dot_general(
         lens_bf, ones, (((1,), (0,)), ((), ())),
@@ -164,14 +215,15 @@ def _seg_excl_offsets(lens, rows_per_seg: int):
     # segmented inclusive scan down sublanes (Hillis-Steele, masked at
     # group boundaries). shifts up to rows_per_seg cover any group size
     # that is a power of two or < 2*max_shift.
-    row_idx = lax.broadcasted_iota(_I32, (rows, LANES), 0)
-    in_group = row_idx % rows_per_seg
     incl = row_sums
     shift = 1
     while shift < rows_per_seg:
-        shifted = jnp.concatenate(
-            [jnp.zeros((shift, LANES), _I32), incl[:-shift]], axis=0
-        )
+        if impl == "roll":
+            shifted = pltpu.roll(incl, shift, 0)
+        else:
+            shifted = jnp.concatenate(
+                [jnp.zeros((shift, LANES), _I32), incl[:-shift]], axis=0
+            )
         incl = incl + jnp.where(in_group >= shift, shifted, 0)
         shift *= 2
     row_base = incl - row_sums

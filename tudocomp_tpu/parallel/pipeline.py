@@ -239,3 +239,161 @@ def factorize_blocks_sharded(mesh: Mesh, blocks: np.ndarray,
     return [
         commit_walk(got[i, 0], got[i, 1], threshold) for i in range(b)
     ]
+
+
+# --- journaled, restartable sharded compression (SURVEY §5 failure
+# --- detection / restartable jobs, extended to the mesh path) ---------------
+
+JOURNAL_MAGIC = "TBCJ1"
+
+
+def _journal_path(dst_path: str) -> str:
+    return dst_path + ".journal"
+
+
+def compress_sharded_resumable(codec, mesh: Mesh, src_path: str,
+                               dst_path: str, *,
+                               batch_segments: int | None = None,
+                               resume: bool = False) -> int:
+    """Sharded TBC2 compression with per-batch journaled restart.
+
+    The container is written batch-by-batch; after each batch's frames
+    are durably appended, the journal (``dst_path + ".journal"``)
+    records the batch index and the container end offset. A killed job
+    rerun with ``resume=True`` truncates the container to the last
+    journaled batch boundary (dropping any torn frames) and continues —
+    the result is byte-identical to an uninterrupted run (the sampled
+    histogram from pass 1 is journaled too, so the table — and hence
+    every frame — is reproduced exactly).
+
+    Output bytes equal ``compress_sharded(codec, mesh, data)`` for the
+    same input. Returns the container size. Single-writer semantics
+    (process 0 in a multi-host job); the *compute* per batch is the
+    sharded mesh pipeline.
+
+    Test hook: ``TDC_CRASH_AFTER_BATCH=k`` hard-exits after appending
+    batch k's frames but before journaling it (the worst tear point).
+    """
+    import os
+
+    from tudocomp_tpu.models.blockcodec import SEG
+    from tudocomp_tpu.utils.vbyte import write_vbyte
+
+    orig_len = os.path.getsize(src_path)
+    nseg = -(-orig_len // SEG)
+    unit = mesh.size * 8  # pack-kernel group multiple per shard
+    if batch_segments is None:
+        batch_segments = max(unit, (4096 // unit) * unit)
+    batch_segments = -(-batch_segments // unit) * unit
+    n_batches = max(1, -(-nseg // batch_segments))
+    sampled = codec.sample_rule(nseg)
+    jpath = _journal_path(dst_path)
+
+    hist = None
+    done_upto = -1  # last completed batch index
+    data_end = None
+    if resume and os.path.exists(jpath):
+        with open(jpath) as jf:
+            lines = [ln.strip() for ln in jf if ln.strip()]
+        if lines and lines[0].split() == [
+            JOURNAL_MAGIC, str(nseg), str(orig_len), str(batch_segments)
+        ]:
+            for ln in lines[1:]:
+                parts = ln.split()
+                if parts[0] == "HIST":
+                    hist = np.frombuffer(
+                        bytes.fromhex(parts[1]), np.int64
+                    ).copy()
+                elif parts[0] == "BATCH":
+                    done_upto = int(parts[1])
+                    data_end = int(parts[2])
+                elif parts[0] == "HEADER":
+                    data_end = int(parts[1])
+
+    def read_batch(bi: int):
+        lo = bi * batch_segments
+        hi = min(lo + batch_segments, nseg)
+        with open(src_path, "rb") as f:
+            f.seek(lo * SEG)
+            raw = f.read((hi - lo) * SEG)
+        rows = np.zeros((batch_segments, SEG), np.uint8)
+        rows.reshape(-1)[: len(raw)] = np.frombuffer(raw, np.uint8)
+        lens = np.zeros(batch_segments, np.int32)
+        lens[: hi - lo] = np.minimum(
+            np.full(hi - lo, SEG, np.int64),
+            orig_len - SEG * np.arange(lo, hi, dtype=np.int64),
+        )
+        return rows, lens, hi - lo
+
+    if hist is None:
+        # pass 1: sampled histogram over every batch (device work only)
+        acc = None
+        for bi in range(n_batches):
+            rows, lens, _ = read_batch(bi)
+            r, l = shard_segments(mesh, rows, lens)
+            _, _, _, h = sharded_rle_stage(
+                mesh, r, l, offset=codec.offset, sample=sampled
+            )
+            h = np.asarray(h, np.int64)
+            acc = h if acc is None else acc + h
+        hist = acc
+        with open(jpath, "w") as jf:
+            jf.write(
+                f"{JOURNAL_MAGIC} {nseg} {orig_len} {batch_segments}\n"
+            )
+            jf.write(f"HIST {hist.astype(np.int64).tobytes().hex()}\n")
+            jf.flush()
+            os.fsync(jf.fileno())
+        done_upto = -1
+        data_end = None
+
+    table = codec._table_from_hist(hist, sampled)
+    sym_code, sym_len = codec._device_table(table)
+
+    if data_end is None:
+        # (re)write the container prefix
+        header = codec._header(orig_len, table)
+        with open(dst_path, "wb") as f:
+            buf = bytearray(b"TBC2")
+            write_vbyte(buf, len(header))
+            buf += header
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            data_end = f.tell()
+        with open(jpath, "a") as jf:
+            jf.write(f"HEADER {data_end}\n")
+            jf.flush()
+            os.fsync(jf.fileno())
+
+    crash_after = os.environ.get("TDC_CRASH_AFTER_BATCH")
+    with open(dst_path, "r+b") as f:
+        f.truncate(data_end)  # drop torn frames past the journal point
+        f.seek(data_end)
+        for bi in range(done_upto + 1, n_batches):
+            rows, lens, take = read_batch(bi)
+            r, l = shard_segments(mesh, rows, lens)
+            rr, cc, rl, _ = sharded_rle_stage(
+                mesh, r, l, offset=codec.offset, sample=sampled
+            )
+            ww, bb, hh = sharded_huff_stage(
+                mesh, rr, cc, sym_code, sym_len
+            )
+            frames = codec._frames(
+                np.asarray(cc)[:take], np.asarray(rl)[:take],
+                np.asarray(hh)[:take], np.asarray(ww)[:take],
+                np.asarray(bb)[:take],
+            )
+            f.write(frames)
+            f.flush()
+            os.fsync(f.fileno())
+            if crash_after is not None and bi == int(crash_after):
+                os._exit(17)  # test hook: die before journaling
+            data_end = f.tell()
+            with open(jpath, "a") as jf:
+                jf.write(f"BATCH {bi} {data_end}\n")
+                jf.flush()
+                os.fsync(jf.fileno())
+        f.truncate(data_end)
+    os.remove(jpath)
+    return data_end
