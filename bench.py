@@ -122,10 +122,13 @@ def main() -> None:
 
     from tudocomp_tpu.ops.huffman_jax import device_table_build
 
-    def encode_all():
-        stage1 = [
-            rle_stage(b, lens, offset=0, sample=True) for b in seg_batches
-        ]
+    # The full encode chain is ONE jitted program (rle over every batch
+    # -> histogram merge -> device canonical table -> huffman over every
+    # batch): a single dispatch instead of ~24, which matters through
+    # the axon tunnel where each host->device call carries fixed latency.
+    @jax.jit
+    def encode_jit(*bs):
+        stage1 = [rle_stage(b, lens, offset=0, sample=True) for b in bs]
         hist = stage1[0][3]
         for s in stage1[1:]:
             hist = hist + s[3]
@@ -140,6 +143,10 @@ def main() -> None:
             huff_stage(rows, counts, sym_code, sym_len)
             for rows, counts, _, _ in stage1
         ]
+        return hist, stage1, out
+
+    def encode_all():
+        hist, stage1, out = encode_jit(*seg_batches)
         # one honest sync: pull one scalar that depends on the last output
         np.asarray(out[-1][1][0])
         return hist, stage1, out

@@ -2107,8 +2107,11 @@ int64_t tdc_lz78u_decode(const uint8_t* payload, int64_t nbits,
 // Structure-faithful native variants of the LZ78/LZW dictionary parse
 // (compressors/lz78_trie.py): kind 0 = ternary search trie
 // (lz78/TernaryTrie.hpp), kind 1 = first-child/next-sibling child-list
-// trie (lz78/BinaryTrie.hpp). Same canonical parse as tdc_lz78_parse;
-// only the lookup structure differs (tests pin equality).
+// trie (lz78/BinaryTrie.hpp), kind 2 = double-array base/check trie
+// with first-fit base relocation (lz78/CedarTrie.hpp's structure,
+// mirroring compressors/lz78_trie.py CedarTrie). Same canonical parse
+// as tdc_lz78_parse; only the lookup structure differs (tests pin
+// equality).
 
 extern "C" {
 
@@ -2126,10 +2129,75 @@ int64_t tdc_lz78_parse_struct(const uint8_t* in, int64_t n, int lzw,
     std::vector<int32_t> next_sibling;
     std::vector<uint8_t> in_char;
     int64_t roots = lzw ? 256 : 1;
+    // kind 2: double-array. Slots hold (base, check, trie id); check
+    // -1 = free, -2 = root. Roots live at slots 0..roots-1. Child
+    // lookup is check[base[slot]+c] == slot; collisions relocate the
+    // parent's child block to a fresh first-fit base (monotone hint).
+    std::vector<int32_t> da_base, da_check, da_id;
+    std::vector<int32_t> da_slot_of;              // trie id -> slot
+    std::vector<std::vector<uint8_t>> da_kids;    // slot -> child chars
+    int64_t da_hint = 1;
+    auto da_grow = [&](int64_t need) {
+        int64_t cap = int64_t(da_base.size());
+        if (need < cap) return;
+        while (cap <= need) cap *= 2;
+        da_base.resize(size_t(cap), 0);
+        da_check.resize(size_t(cap), -1);
+        da_id.resize(size_t(cap), -1);
+        da_kids.resize(size_t(cap));
+    };
+    auto da_find_base = [&](const std::vector<uint8_t>& kids,
+                            int extra_ch) -> int64_t {
+        int64_t b = da_hint;
+        for (;; b++) {
+            bool ok = true;
+            for (size_t j = 0; ok && j <= kids.size(); j++) {
+                int ch = (j < kids.size()) ? kids[j] : extra_ch;
+                int64_t s = b + ch;
+                da_grow(s);
+                if (da_check[size_t(s)] != -1) ok = false;
+            }
+            if (ok) { da_hint = b; return b; }
+        }
+    };
+    auto da_relocate = [&](int64_t slot, int extra_ch) {
+        std::vector<uint8_t> kids = da_kids[size_t(slot)];
+        int64_t old_base = da_base[size_t(slot)];
+        int64_t newb = da_find_base(kids, extra_ch);
+        for (uint8_t ch : kids) {
+            int64_t old_s = old_base + ch;
+            int64_t new_s = newb + ch;
+            da_grow(new_s);
+            da_base[size_t(new_s)] = da_base[size_t(old_s)];
+            da_check[size_t(new_s)] = int32_t(slot);
+            da_id[size_t(new_s)] = da_id[size_t(old_s)];
+            da_slot_of[size_t(da_id[size_t(old_s)])] = int32_t(new_s);
+            da_kids[size_t(new_s)] = std::move(da_kids[size_t(old_s)]);
+            int64_t gb = da_base[size_t(old_s)];
+            for (uint8_t gch : da_kids[size_t(new_s)])
+                da_check[size_t(gb + gch)] = int32_t(new_s);
+            da_check[size_t(old_s)] = -1;
+            da_id[size_t(old_s)] = -1;
+            da_kids[size_t(old_s)].clear();
+        }
+        da_base[size_t(slot)] = int32_t(newb);
+    };
     auto reset = [&]() {
         if (kind == 0) {
             bst_root.assign(size_t(roots), -1);
             bst.clear();
+        } else if (kind == 2) {
+            da_base.assign(512, 0);
+            da_check.assign(512, -1);
+            da_id.assign(512, -1);
+            da_kids.assign(512, {});
+            da_slot_of.clear();
+            da_hint = 1;
+            for (int64_t r = 0; r < roots; r++) {
+                da_check[size_t(r)] = -2;
+                da_id[size_t(r)] = int32_t(r);
+                da_slot_of.push_back(int32_t(r));
+            }
         } else {
             first_child.assign(size_t(roots), -1);
             next_sibling.assign(size_t(roots), -1);
@@ -2149,6 +2217,24 @@ int64_t tdc_lz78_parse_struct(const uint8_t* in, int64_t n, int lzw,
     // find (node, c); if absent insert mapping to `fresh` and return -1
     auto find_or_insert = [&](uint32_t node, uint8_t c,
                               uint32_t fresh) -> int64_t {
+        if (kind == 2) {
+            int64_t slot = da_slot_of[node];
+            int64_t s = int64_t(da_base[size_t(slot)]) + c;
+            da_grow(s);
+            if (da_check[size_t(s)] == slot && da_id[size_t(s)] != -1)
+                return da_id[size_t(s)];
+            if (da_check[size_t(s)] != -1) {
+                da_relocate(slot, c);
+                slot = da_slot_of[node];
+                s = int64_t(da_base[size_t(slot)]) + c;
+            }
+            da_base[size_t(s)] = 1;  // leaf: any base works
+            da_check[size_t(s)] = int32_t(slot);
+            da_id[size_t(s)] = int32_t(fresh);
+            da_slot_of.push_back(int32_t(s));
+            da_kids[size_t(slot)].push_back(c);
+            return -1;
+        }
         if (kind == 0) {
             int32_t b = bst_root[node];
             int32_t prev = -1;

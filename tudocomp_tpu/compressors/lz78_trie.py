@@ -378,7 +378,10 @@ class CedarTrie(LZ78Trie):
     over the vendored cedar library; this is a from-scratch classic
     base/check implementation with first-fit base relocation)."""
 
-    native_kind = None  # runs its own structure
+    #: whole-parse fast path: a native double-array mirror of this
+    #: structure (tdc_native.cpp tdc_lz78_parse_struct kind 2); this
+    #: Python class remains the spec the native parse is pinned against
+    native_kind = "cedar"
 
     @classmethod
     def meta(cls):

@@ -402,8 +402,8 @@ def lzss_lcp_factorize(sa, isa, lcp, threshold: int):
 def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0,
                structure: str = "hash"):
     """LZ78/LZW canonical parse over the named trie structure
-    ("hash", "ternary", "binary"). Returns (refs u32[], chars u8[])
-    or None; every structure yields the identical parse."""
+    ("hash", "ternary", "binary", "cedar"). Returns (refs u32[],
+    chars u8[]) or None; every structure yields the identical parse."""
     lib = _load()
     if lib is None:
         return None
@@ -416,7 +416,7 @@ def lz78_parse(data: bytes, lzw: bool = False, dict_limit: int = 0,
             inp, inp.size, int(lzw), dict_limit, refs, chars, cap
         )
     else:
-        kind = {"ternary": 0, "binary": 1}[structure]
+        kind = {"ternary": 0, "binary": 1, "cedar": 2}[structure]
         got = lib.tdc_lz78_parse_struct(
             inp, inp.size, int(lzw), dict_limit, kind, refs, chars, cap
         )

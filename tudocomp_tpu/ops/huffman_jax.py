@@ -139,21 +139,28 @@ def _codelengths_device(counts: jnp.ndarray) -> jnp.ndarray:
         )
 
     def step(state, k):
-        i1, i2, q2, pl, pi = state
+        # carry holds only the queue cursors and the merged-count queue
+        # (updated via one single-element dynamic set); WHICH item each
+        # pick took is emitted as a scan output and scattered into
+        # pl/pi vectorized after the loop — every leaf/node is popped
+        # exactly once, so the post-scatters never collide.
+        i1, i2, q2 = state
         ca, leafa, ia, i1, i2 = pick(i1, i2, k, q2)
         cb, leafb, ib, i1, i2 = pick(i1, i2, k, q2)
-        pl = jnp.where((idx256 == ia) & leafa, k, pl)
-        pi = jnp.where((idx255 == ia) & ~leafa, k, pi)
-        pl = jnp.where((idx256 == ib) & leafb, k, pl)
-        pi = jnp.where((idx255 == ib) & ~leafb, k, pi)
-        q2 = jnp.where(idx255 == k, ca + cb, q2)
-        return (i1, i2, q2, pl, pi), 0
+        q2 = q2.at[k].set(ca + cb)
+        return (i1, i2, q2), (ia, leafa, ib, leafb)
 
-    init = (
-        i32(0), i32(0), jnp.zeros(255, i32),
-        jnp.zeros(256, i32), jnp.zeros(255, i32),
+    init = (i32(0), i32(0), jnp.zeros(255, i32))
+    (i1, i2, q2), (ia, leafa, ib, leafb) = lax.scan(
+        step, init, jnp.arange(255, dtype=i32), unroll=8
     )
-    (i1, i2, q2, pl, pi), _ = lax.scan(step, init, jnp.arange(255, dtype=i32))
+    ks = jnp.arange(255, dtype=i32)
+    pl = jnp.zeros(256, i32)
+    pl = pl.at[jnp.where(leafa, ia, 256)].set(ks, mode="drop")
+    pl = pl.at[jnp.where(leafb, ib, 256)].set(ks, mode="drop")
+    pi = jnp.zeros(255, i32)
+    pi = pi.at[jnp.where(leafa, 255, ia)].set(ks, mode="drop")
+    pi = pi.at[jnp.where(leafb, 255, ib)].set(ks, mode="drop")
 
     # internal-node depths by pointer doubling (root = 254, depth 0)
     jump = jnp.where(idx255 == 254, 254, pi)

@@ -147,15 +147,17 @@ def _offs_impl() -> str:
     """Offsets-scan implementation (TDC_OFFS_IMPL): 'shift' (log-shift
     Hillis-Steele over sublane concatenates), 'mxu' (block-diagonal
     triangular matmul over hi/lo byte planes), 'roll' (log-shift via
-    pltpu.roll along sublanes — no concatenates). Round-3 v5e sweep at
+    pltpu.roll along sublanes — no concatenates), 'dot' (chained
+    exact-f32 MXU dots, no sequential steps). Round-3 v5e sweep at
     64 MiB (sync floor ~28 ms included): shift 51.2/53.6 ms (rle/huff),
-    mxu 58.7/60.3, roll 62.6/51.4 — the ablation's s2 cost is inherent
-    to the scan block, not the concatenates, so 'shift' stays default
-    and the alternatives remain for re-measurement on other chips."""
+    mxu 58.7/60.3, roll 62.6/51.4, dot 57.3/52.6 — the ablation's s2
+    cost is many small vector ops, not the scan structure (even the
+    scan-free 'dot' loses to 'shift'), so 'shift' stays default and
+    the alternatives remain for re-measurement on other chips."""
     import os
 
     v = os.environ.get("TDC_OFFS_IMPL", "shift")
-    return v if v in ("shift", "mxu", "roll") else "shift"
+    return v if v in ("shift", "mxu", "roll", "dot") else "shift"
 
 
 def _seg_excl_offsets(lens, rows_per_seg: int):
@@ -172,11 +174,40 @@ def _seg_excl_offsets(lens, rows_per_seg: int):
         lax.broadcasted_iota(_I32, (LANES, LANES), 0)
         < lax.broadcasted_iota(_I32, (LANES, LANES), 1)
     ).astype(jnp.bfloat16)
+    impl = _offs_impl()
+    if impl == "dot":
+        # Chained-dot formulation: no sequential scan steps, no i32
+        # intermediates. dot1 contracts lens (bf16-exact: token lens
+        # <= 64) against [strict-tri | ones] in one issue, yielding
+        # excl-in-row AND per-row totals as f32. dot2 contracts the
+        # block-diagonal strict row triangle against those totals with
+        # f32 inputs at HIGHEST precision — the 3-pass bf16 split is
+        # exact here (0/1 matrix x integers < 2**17 < 2**24).
+        tri_ones = jnp.concatenate(
+            [tri, jnp.ones((LANES, LANES), jnp.bfloat16)], axis=1
+        )
+        d1 = lax.dot_general(
+            lens_bf, tri_ones, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (rows, 256): [excl_in_row | row_sums]
+        excl_f = d1[:, :LANES]
+        row_sums_f = d1[:, LANES:]
+        r_i = lax.broadcasted_iota(_I32, (rows, rows), 0)
+        r_j = lax.broadcasted_iota(_I32, (rows, rows), 1)
+        seg_tri = (
+            (r_i // rows_per_seg == r_j // rows_per_seg) & (r_i < r_j)
+        ).astype(jnp.float32)  # [k, r] = 1 iff row k precedes r in-seg
+        row_base_f = lax.dot_general(
+            seg_tri, row_sums_f, (((0,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        row_base = row_base_f.astype(_I32)
+        return (row_base_f + excl_f).astype(_I32), row_base
     excl_in_row = lax.dot_general(
         lens_bf, tri, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(_I32)
-    impl = _offs_impl()
     row_idx = lax.broadcasted_iota(_I32, (rows, LANES), 0)
     in_group = row_idx % rows_per_seg
     if impl == "mxu":
@@ -446,7 +477,9 @@ def _place_and_combine(values, lens, offs, row_base, acc_ref, out_ref,
     p1_planes = _byte_planes_bf16(part1)
     sp_planes = _byte_planes_bf16(spill)
     window = _window()
-    assert stride == 1 or window == WINDOW
+    # stride 2 (pair) composes with both windows: a merged row's tokens
+    # all start within 128 words of its own first bit (see _pair).
+    assert stride in (1, 2) or window == WINDOW
     win_iota = lax.broadcasted_iota(_I32, (window, LANES), 0)
     lane8 = lax.broadcasted_iota(_I32, (8, LANES), 1)
     for r in range(0, rows, stride):
