@@ -28,9 +28,11 @@ def main() -> None:
     from tudocomp_tpu.models.blockcodec import (
         BlockCodec, huff_stage, rle_stage,
     )
-    from tudocomp_tpu.ops.hufdec_jax import SEG
+    from tudocomp_tpu.ops.hufdec_jax import SEG, SEG_CAP
+    from tudocomp_tpu.ops.rle_jax import bytes_from_words
     from tudocomp_tpu.ops.segpack_pallas import (
-        huffman_pack_segments, rle_pack_segments,
+        _w4_mode, huffman_pack_segments, huffman_pack_segments_w4,
+        rle_pack_segments, rle_pack_segments_w4,
     )
 
     codec = BlockCodec()
@@ -40,8 +42,8 @@ def main() -> None:
     rows_in = jnp.asarray(data.reshape(nc, SEG))
     lens = jnp.full(nc, SEG, jnp.int32)
 
-    # full stage-1 outputs (for stage-2 inputs)
-    rows, counts, rle_raw, hist = jax.block_until_ready(
+    # full stage-1 outputs (for stage-2 inputs); sel is STREAM WORDS
+    sel, counts, rle_raw, hist = jax.block_until_ready(
         rle_stage(rows_in, lens, offset=0, sample=True)
     )
     table = codec._table_from_hist(np.asarray(hist, np.int64), True)
@@ -58,17 +60,30 @@ def main() -> None:
         gb = (mb / 1024) / t
         print(f"{label:18s}: {t * 1e3:8.1f} ms   {gb:.3f} GB/s")
 
-    timed("rle_kernel", lambda: np.asarray(
-        rle_pack_segments(rows_in, lens, offset=0)[1][0]
-    ))
+    if _w4_mode():
+        rle_kernel = lambda: np.asarray(  # noqa: E731
+            rle_pack_segments_w4(rows_in, lens, offset=0)[1][0]
+        )
+        huff_kernel = lambda: np.asarray(  # noqa: E731
+            huffman_pack_segments_w4(sel, counts, sym_code, sym_len)[1][0]
+        )
+    else:
+        rows = jax.jit(
+            lambda w: bytes_from_words(w, SEG_CAP)
+        )(sel)
+        rle_kernel = lambda: np.asarray(  # noqa: E731
+            rle_pack_segments(rows_in, lens, offset=0)[1][0]
+        )
+        huff_kernel = lambda: np.asarray(  # noqa: E731
+            huffman_pack_segments(rows, counts, sym_code, sym_len)[1][0]
+        )
+    timed("rle_kernel", rle_kernel)
     timed("rle_stage", lambda: np.asarray(
         rle_stage(rows_in, lens, offset=0, sample=True)[1][0]
     ))
-    timed("huff_kernel", lambda: np.asarray(
-        huffman_pack_segments(rows, counts, sym_code, sym_len)[1][0]
-    ))
+    timed("huff_kernel", huff_kernel)
     timed("huff_stage", lambda: np.asarray(
-        huff_stage(rows, counts, sym_code, sym_len)[1][0]
+        huff_stage(sel, counts, sym_code, sym_len)[1][0]
     ))
 
 

@@ -15,7 +15,8 @@ Options cover everything that changes *bytes or decode behavior*:
 
 Speed-only kernel tuning (bit-identical output) stays on env vars by
 design — it must not fragment jit caches or the option grid:
-TDC_PACK_PAIR / TDC_PACK_QUAD / TDC_PACK_WINDOW / TDC_PACK_GROUP
+TDC_PACK_MODE (w4 word-element vs byte kernels) / TDC_PACK_PAIR /
+TDC_PACK_QUAD / TDC_PACK_WINDOW / TDC_PACK_GROUP / TDC_OFFS_IMPL
 (ops/segpack_pallas.py), TDC_DEC_KERNEL (overrides ``dec``),
 TDC_MIN_CODE_LEN (overrides ``min_code_len``).
 

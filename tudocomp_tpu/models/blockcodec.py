@@ -44,8 +44,12 @@ import numpy as np
 from tudocomp_tpu.coders.huffman import HuffmanTable
 from tudocomp_tpu.io.bitio import BitReader, BitWriter
 from tudocomp_tpu.ops.segpack_pallas import (
+    _w4_mode,
+    be_words_from_bytes,
     huffman_pack_segments,
+    huffman_pack_segments_w4,
     rle_pack_segments,
+    rle_pack_segments_w4,
 )
 from tudocomp_tpu.ops.hist_pallas import histogram_chunks
 from tudocomp_tpu.ops.hufdec_jax import (
@@ -87,50 +91,55 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
     """Stage 1: per-segment device RLE + escape + table histogram.
 
     seg_rows: u8[NC, SEG], seg_lens: i32[NC]. Returns
-    ``(rows u8[NC, SEG_CAP], counts i32[NC], rle_raw bool[NC],
-    hist u32[256])``. ``rows`` are zero-masked past ``counts`` so the
-    container bytes are deterministic.
+    ``(sel_words u32[NC, SEG_CAP//4] big-endian stream words of the
+    escape-selected byte stream, counts i32[NC], rle_raw bool[NC],
+    hist u32[256])``. Words are zero past ``counts`` so the container
+    bytes are deterministic. The inter-stage payload is WORDS (not
+    unpacked bytes): the w4 kernels consume them directly, and the
+    byte stream only materializes for the 1-in-8 histogram sample.
     """
-    words, rle_lens = rle_pack_segments(
-        seg_rows, seg_lens, offset=offset
-    )
-    # only the first SEG_CAP bytes (SEG_CAP/4 words) of the RLE stream
-    # can survive: longer streams lose to the rle_raw escape below
-    rle_rows = jax.vmap(
-        lambda w: bytes_from_words(w[: SEG_CAP // 4], SEG_CAP)
-    )(words)
+    pack = rle_pack_segments_w4 if _w4_mode() else rle_pack_segments
+    words, rle_lens = pack(seg_rows, seg_lens, offset=offset)
     rle_raw = rle_lens > seg_lens  # RLE would expand: keep input bytes
-    padded_in = jnp.pad(seg_rows, ((0, 0), (0, SEG_CAP - SEG)))
-    rows = jnp.where(rle_raw[:, None], padded_in, rle_rows)
+    input_words = be_words_from_bytes(seg_rows)
+    # only the first SEG_CAP bytes (SEG_CAP/4 words) of the RLE stream
+    # can survive: longer streams lose to the rle_raw escape
+    sel = jnp.where(
+        rle_raw[:, None], input_words, words[:, : SEG_CAP // 4]
+    )
     counts = jnp.where(rle_raw, seg_lens, rle_lens).astype(jnp.int32)
-    pos = jnp.arange(SEG_CAP, dtype=jnp.int32)[None, :]
-    rows = jnp.where(pos < counts[:, None], rows, 0)
     if sample:  # 1-in-8 segments feed the table histogram (zstd-style)
-        hist = histogram_chunks(rows[::8], counts[::8], tile=SEG_CAP)
+        sub, subc = sel[::8], counts[::8]
     else:
-        hist = histogram_chunks(rows, counts, tile=SEG_CAP)
-    return rows, counts, rle_raw, hist
+        sub, subc = sel, counts
+    sub_rows = bytes_from_words(sub, SEG_CAP)
+    hist = histogram_chunks(sub_rows, subc, tile=SEG_CAP)
+    return sel, counts, rle_raw, hist
 
 
 @jax.jit
-def huff_stage(rows, counts, sym_code, sym_len):
+def huff_stage(sel_words, counts, sym_code, sym_len):
     """Stage 2: fused per-segment Huffman lookup + Pallas pack, with the
     ``huff_raw`` escape resolved on device (payload = verbatim bytes
     whenever coding would not strictly shrink the segment).
 
+    ``sel_words``: the rle_stage stream words u32[NC, SEG_CAP//4].
     Returns ``(words u32[NC, PAYLOAD_WORDS], bits i32[NC],
     huff_raw bool[NC])``.
     """
-    words, bits = huffman_pack_segments(rows, counts, sym_code, sym_len)
+    if _w4_mode():
+        words, bits = huffman_pack_segments_w4(
+            sel_words, counts, sym_code, sym_len
+        )
+    else:
+        rows = bytes_from_words(sel_words, SEG_CAP)
+        words, bits = huffman_pack_segments(
+            rows, counts, sym_code, sym_len
+        )
     huff_raw = bits >= counts * 8
-    r = rows.astype(jnp.uint32)
-    raw_words = (
-        (r[:, 0::4] << 24) | (r[:, 1::4] << 16)
-        | (r[:, 2::4] << 8) | r[:, 3::4]
-    )  # [NC, SEG_CAP//4] big-endian
     out = jnp.where(
         huff_raw[:, None],
-        raw_words[:, :PAYLOAD_WORDS],
+        sel_words[:, :PAYLOAD_WORDS],
         words[:, :PAYLOAD_WORDS].astype(jnp.uint32),
     )
     bits = jnp.where(huff_raw, counts * 8, bits)

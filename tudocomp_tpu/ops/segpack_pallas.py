@@ -43,15 +43,19 @@ G = 8  # base segments-per-grid-step granularity (callers pad nc to G)
 
 def _group(nc: int, interpret: bool) -> int:
     """Segments per grid step (TDC_PACK_GROUP tuning knob). Round-3
-    v5e sweep (etc/measure_variants.sh, 64 MiB, tunnel-sync floor
-    ~28 ms included in every number): pair+g16 is the winner —
-    rle 50.0 / huff 50.1 ms vs 55.1 / 57.6 for the old single+g8
-    default; quad variants measured slower (58.3 / 54.3). g=16 is the
-    default when paired placement is on (it halves the per-row loop,
-    letting the doubled grid block amortize), g=8 otherwise."""
+    v5e sweeps at 64 MiB (tunnel-sync floor ~28 ms included in every
+    number). Byte kernels: pair+g16 won — rle 50.0 / huff 50.1 ms vs
+    55.1 / 57.6 for single+g8; quad slower (58.3 / 54.3). w4 kernels:
+    g32 won — rle 42.4 / huff 46.2 vs 44.8 / 49.5 at g16 and
+    41.4 / 52.0 at g64 (the offsets block is latency-bound per grid
+    step — w4 ablation: +11.2 ms at g16 for ~10 chained small ops —
+    so fewer, fatter steps amortize it until VMEM pressure bites)."""
     import os
 
-    default = 2 * G if _pair() else G
+    if _w4_mode():
+        default = 4 * G
+    else:
+        default = 2 * G if _pair() else G
     want = int(os.environ.get("TDC_PACK_GROUP", str(default)))
     if interpret:
         return G
@@ -381,12 +385,17 @@ def _parts(values, lens, bitpos):
 
 
 def _place_quad(va, la, vb, lb, offs, row_base, acc_ref, out_ref,
-                bits_ref, *, rows_per_seg: int, wt: int, g: int):
+                bits_ref, *, rows_per_seg: int, wt: int, g: int,
+                stride: int = 4):
     """Quad placement: one one-hot per unit covers three word slots —
     set0 = A's part1 at w0, set1 = A's spill | B's part1 at w0+1 (bit-
     disjoint: B nonempty forces lA = 32, so A's spill is [0, bitpos)
     and B's part1 is [bitpos, ..)), set2 = B's spill at w0+2. 12 byte
     planes per unit row; final words = set0 | roll(set1,1) | roll(set2,2).
+
+    ``stride=4``: unit rows at r % 4 == 0 over byte rows (_quad_merge
+    layout). ``stride=1``: every row is a unit row (the w4 kernels'
+    word-element layout, 4 stream bytes per lane).
     """
     rows = va.shape[0]
     window = 3 * LANES
@@ -401,7 +410,7 @@ def _place_quad(va, la, vb, lb, offs, row_base, acc_ref, out_ref,
     m_planes = _byte_planes_bf16(mid)
     b_planes = _byte_planes_bf16(spb)
     win_iota = lax.broadcasted_iota(_I32, (window, LANES), 0)
-    for r in range(0, rows, 4):
+    for r in range(0, rows, stride):
         grp = r // rows_per_seg
         base = jnp.max(row_base[r : r + 1, :])
         planes = jnp.stack(
@@ -441,7 +450,7 @@ def _place_quad(va, la, vb, lb, offs, row_base, acc_ref, out_ref,
     lens_sum_rows = jnp.sum(la + lb, axis=1, keepdims=True)
     totals = []
     for gi in range(g):
-        r_last = (gi + 1) * rows_per_seg - 4
+        r_last = (gi + 1) * rows_per_seg - stride
         base = row_base[r_last, :1]
         last = lens_sum_rows[r_last, :1]
         totals.append((base + last)[None, :])
@@ -861,4 +870,393 @@ def _huffman_pack_jit(data, counts, sym_code, sym_len, *,
         ],
         interpret=interpret,
     )(counts.astype(_I32), data_i, table)
+    return lax.bitcast_convert_type(words, jnp.uint32), bits[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# Word-element ("w4") kernels: 4 stream bytes per lane element
+# ---------------------------------------------------------------------------
+#
+# The byte kernels spend their time in many small full-width vector
+# ops (the offsets scan and boundary scans run one element per BYTE).
+# These variants load each segment as 512 stream-ordered u32 words —
+# 4 bytes per lane element — so every scan (run boundaries, exclusive
+# bit offsets) runs at QUARTER volume, token fusion into <= 64-bit
+# quad units comes free (the four tokens are co-located across byte
+# planes at the same (row, lane); no _quad_merge rolls), and placement
+# runs _place_quad at stride 1 over rows/4 rows. Streams are
+# bit-identical to the byte kernels and the host spec.
+#
+# Width check (window 3*LANES): a word row is 512 bytes; its tokens
+# span <= 512 * 16 = 8192 bits = 256 words past its base, and the last
+# word row of a segment starts at <= 3/4 of the segment's max stream
+# (huffman 24576 bits -> aligned base <= 768 words, 768 + 384 = 1152 =
+# HUF_WT; rle 18432 -> 512, 512 + 384 = 896 = RLE_WT).
+
+W4_ROWS = SEG_BYTES // (4 * LANES)  # 4 word rows per segment
+
+
+def _w4_mode() -> bool:
+    """TDC_PACK_MODE=w4|byte selects the word-element kernels (v5e
+    round-3 sweep at 64 MiB, ~28 ms sync floor included: w4+g32
+    rle 42.4 ms / huff 46.2 ms vs byte pair+g16 52.0 / 51.4 -> w4 is
+    the default; the byte kernels remain the cross-checked spec
+    pair and the TDC_PACK_PAIR/QUAD/WINDOW laboratory)."""
+    import os
+
+    return os.environ.get("TDC_PACK_MODE", "w4") == "w4"
+
+
+def _w4_planes(w, big_endian: bool):
+    """Byte planes in STREAM order: plane k = byte at offset 4*e + k."""
+    shifts = (24, 16, 8, 0) if big_endian else (0, 8, 16, 24)
+    return [_srl(w, sh) & 0xFF for sh in shifts]
+
+
+def _w4_fuse(vals, lens_):
+    """Concatenate four co-located <= 16-bit tokens (stream order,
+    plane 0 first) into one <= 64-bit unit, split word-aligned A/B
+    (same convention as _quad_merge: A = first min(32, total) bits,
+    B = the rest, placed exactly one word later)."""
+    v0, v1, v2, v3 = vals
+    l0, l1, l2, l3 = lens_
+    v01 = ((v0 & _mask32(l0)) << l1) | (v1 & _mask32(l1))
+    l01 = l0 + l1  # <= 32
+    v23 = ((v2 & _mask32(l2)) << l3) | (v3 & _mask32(l3))
+    l23 = l2 + l3
+    qlen = l01 + l23  # <= 64
+    la = jnp.minimum(qlen, 32)
+    lb = qlen - la
+    fits = qlen <= 32
+    # not fits forces l01 >= 1 (l23 alone cannot exceed 32)
+    va_f = _shl32(v01, l23) | (v23 & _mask32(l23))
+    va_s = _shl32(v01, 32 - l01) | _shr32(v23, qlen - 32)
+    va = jnp.where(fits, va_f, va_s)
+    vb = jnp.where(fits, _I32(0), v23 & _mask32(lb))
+    return va, la, vb, lb, qlen
+
+
+def _huffman_kernel_w4(lengths_ref, data_ref, table_ref, words_ref,
+                       bits_ref, acc_ref, *, wt: int, g: int):
+    c = pl.program_id(0)
+    w = data_ref[...]  # (g*W4_ROWS, 128) i32 big-endian rle-stream words
+    table = table_ref[:, :]  # (8, 256) bf16: hi/lo/len rows
+    rows = g * W4_ROWS
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    seg_idx = row // W4_ROWS
+    in_seg_row = row % W4_ROWS
+    planes = _w4_planes(w, big_endian=True)
+
+    cnt = jnp.zeros((rows, LANES), _I32)
+    for gi in range(g):
+        cnt = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], cnt)
+
+    # per-byte (hi, lo, len) lookup: same blocked one-hot dots as the
+    # byte kernel — 4 plane chunks per word row, B word rows per dot
+    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
+    B = W4_ROWS
+    got_rows = [
+        {"hi": [], "lo": [], "ln": []} for _ in range(4)
+    ]
+    for r0 in range(0, rows, B):
+        oh = jnp.concatenate(
+            [
+                (bins == planes[k][r0 + i][None, :]).astype(jnp.bfloat16)
+                for i in range(B)
+                for k in range(4)
+            ],
+            axis=1,
+        )  # (256, B*4*128)
+        got = lax.dot_general(
+            table, oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        j = 0
+        for i in range(B):
+            for k in range(4):
+                sl = got[:, j * LANES : (j + 1) * LANES]
+                got_rows[k]["hi"].append(sl[0:1])
+                got_rows[k]["lo"].append(sl[1:2])
+                got_rows[k]["ln"].append(sl[2:3])
+                j += 1
+    vals, lens_ = [], []
+    for k in range(4):
+        hi = jnp.concatenate(got_rows[k]["hi"], axis=0).astype(_I32)
+        lo = jnp.concatenate(got_rows[k]["lo"], axis=0).astype(_I32)
+        ln = jnp.concatenate(got_rows[k]["ln"], axis=0).astype(_I32)
+        pos = in_seg_row * 512 + lane * 4 + k
+        vals.append((hi << 8) | lo)
+        lens_.append(jnp.where(pos < cnt, ln, 0))
+
+    va, la_, vb, lb, qlen = _w4_fuse(vals, lens_)
+    offs, row_base = _seg_excl_offsets(qlen, W4_ROWS)
+    _place_quad(
+        va, la_, vb, lb, offs, row_base, acc_ref, words_ref, bits_ref,
+        rows_per_seg=W4_ROWS, wt=wt, g=g, stride=1,
+    )
+
+
+def _rle_kernel_w4(lengths_ref, data_ref, words_ref, bits_ref, acc_ref,
+                   *, offset: int, wt: int, g: int):
+    c = pl.program_id(0)
+    w = data_ref[...]  # (g*W4_ROWS, 128) i32 LE-bitcast input words
+    rows = g * W4_ROWS
+    lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
+    row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
+    seg_idx = row // W4_ROWS
+    in_seg_row = row % W4_ROWS
+    p = _w4_planes(w, big_endian=False)
+
+    length = jnp.zeros((rows, LANES), _I32)
+    for gi in range(g):
+        length = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], length)
+    pos = [in_seg_row * 512 + lane * 4 + k for k in range(4)]
+
+    # prev byte per plane (plane 0's prev = previous element's plane 3,
+    # with row carry; segment start -> -1 sentinel)
+    rolled3 = pltpu.roll(p[3], 1, 1)
+    row_last = jnp.max(
+        jnp.where(lane == LANES - 1, p[3], _I32(-1)),
+        axis=1, keepdims=True,
+    )
+    prev_rows = jnp.concatenate(
+        [jnp.full((1, 1), _I32(-1)), row_last[:-1]], axis=0
+    )
+    prev0 = jnp.where(lane == 0, prev_rows, rolled3)
+    prev0 = jnp.where(pos[0] == 0, _I32(-1), prev0)
+    prev = [prev0, p[0], p[1], p[2]]
+    boundary = [
+        (p[k] != prev[k]) | (pos[k] == 0) | (pos[k] >= length)
+        for k in range(4)
+    ]
+
+    # next byte per plane (plane 3's next = next element's plane 0)
+    nxt3 = pltpu.roll(p[0], LANES - 1, 1)
+    row_first = jnp.min(
+        jnp.where(lane == 0, p[0], _I32(1 << 30)),
+        axis=1, keepdims=True,
+    )
+    next_rows = jnp.concatenate(
+        [row_first[1:], jnp.full((1, 1), _I32(-1))], axis=0
+    )
+    nxt3 = jnp.where(lane == LANES - 1, next_rows, nxt3)
+    nxt = [p[1], p[2], p[3], nxt3]
+    next_boundary = [
+        (nxt[k] != p[k]) | (pos[k] == SEG_BYTES - 1)
+        | (pos[k] + 1 >= length)
+        for k in range(4)
+    ]
+
+    # start-of-run: segmented cummax of boundary positions at ELEMENT
+    # granularity, then a 4-step plane chain inside the element
+    b_idx = [
+        jnp.where(boundary[k], pos[k], _I32(-1)) for k in range(4)
+    ]
+    m_elem = jnp.maximum(
+        jnp.maximum(b_idx[0], b_idx[1]), jnp.maximum(b_idx[2], b_idx[3])
+    )
+    m = m_elem
+    shift = 1
+    while shift < LANES:
+        sh = pltpu.roll(m, shift, 1)
+        m = jnp.maximum(m, jnp.where(lane >= shift, sh, _I32(-1)))
+        shift *= 2
+    rm = jnp.max(m, axis=1, keepdims=True)
+    shift = 1
+    while shift < W4_ROWS:
+        shifted = jnp.concatenate(
+            [jnp.full((shift, 1), _I32(-1)), rm[:-shift]], axis=0
+        )
+        rm = jnp.maximum(
+            rm,
+            jnp.where(in_seg_row[:, :1] >= shift, shifted, _I32(-1)),
+        )
+        shift *= 2
+    prev_row_max = jnp.concatenate(
+        [jnp.full((1, 1), _I32(-1)), rm[:-1]], axis=0
+    )
+    prev_row_max = jnp.where(
+        in_seg_row[:, :1] == 0, _I32(-1), prev_row_max
+    )
+    excl_in_row = jnp.where(lane == 0, _I32(-1), pltpu.roll(m, 1, 1))
+    excl_elem = jnp.maximum(excl_in_row, prev_row_max)
+    sor = []
+    acc = excl_elem
+    for k in range(4):
+        acc = jnp.maximum(acc, b_idx[k])
+        sor.append(acc)
+
+    # token emission per plane (pair-split: char pair at the run's
+    # penult position, vbyte at its end — every token <= 16 bits)
+    run_end = []
+    values = []
+    lens_ = []
+    for k in range(4):
+        piece_len = pos[k] - sor[k] + 1
+        is_end = next_boundary[k] & (pos[k] < length)
+        is_run = piece_len >= 2
+        run_end.append((is_end & is_run).astype(_I32))
+        v = jnp.maximum(piece_len - 2 + offset, 0)
+        two = v >= 128
+        b0 = (v & 0x7F) | jnp.where(two, _I32(0x80), _I32(0))
+        b1 = _srl(v, 7) & 0x7F
+        vb_val = jnp.where(two, (b0 << 8) | b1, b0)
+        vb_bits = jnp.where(two, 16, 8)
+        values.append(jnp.where(is_end & is_run, vb_val, p[k]))
+        lens_.append(
+            jnp.where(is_end, jnp.where(is_run, vb_bits, 8), 0)
+        )
+    # penult marker: next stream byte ends a run piece
+    re3 = pltpu.roll(run_end[0], LANES - 1, 1)
+    re_first = jnp.min(
+        jnp.where(lane == 0, run_end[0], _I32(1 << 30)),
+        axis=1, keepdims=True,
+    )
+    re_rows = jnp.concatenate(
+        [re_first[1:], jnp.zeros((1, 1), _I32)], axis=0
+    )
+    re3 = jnp.where(lane == LANES - 1, re_rows, re3)
+    pen_src = [run_end[1], run_end[2], run_end[3], re3]
+    for k in range(4):
+        penk = pen_src[k] == 1
+        cc = (p[k] << 8) | p[k]
+        values[k] = jnp.where(penk, cc, values[k])
+        lens_[k] = jnp.where(penk, 16, lens_[k])
+
+    va, la_, vb, lb, qlen = _w4_fuse(values, lens_)
+    offs, row_base = _seg_excl_offsets(qlen, W4_ROWS)
+    _place_quad(
+        va, la_, vb, lb, offs, row_base, acc_ref, words_ref, bits_ref,
+        rows_per_seg=W4_ROWS, wt=wt, g=g, stride=1,
+    )
+
+
+def be_words_from_bytes(rows_u8):
+    """Big-endian u32 stream words from byte rows ``u8[..., 4k]``
+    (byte 0 lands in the top byte of word 0) — one bitcast + swaps."""
+    le = lax.bitcast_convert_type(
+        rows_u8.reshape(*rows_u8.shape[:-1], rows_u8.shape[-1] // 4, 4),
+        jnp.uint32,
+    )
+    return (
+        ((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
+        | ((le >> 8) & 0xFF00) | (le >> 24)
+    )
+
+
+def rle_pack_segments_w4(data, lengths, *, offset: int = 0,
+                         interpret: bool | None = None):
+    """w4 variant of rle_pack_segments: identical contract/streams."""
+    assert 0 <= offset <= 125, offset
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc = data.shape[0]
+    return _rle_pack_w4_jit(
+        data, lengths, offset=offset, interpret=interpret,
+        g=_group(nc, interpret),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("offset", "interpret", "g")
+)
+def _rle_pack_w4_jit(data, lengths, *, offset: int, interpret: bool,
+                     g: int):
+    nc, n = data.shape
+    assert n == SEG_BYTES and nc % g == 0
+    words_le = lax.bitcast_convert_type(
+        data.reshape(nc, SEG_BYTES // 4, 4), jnp.uint32
+    )
+    data_w = lax.bitcast_convert_type(words_le, jnp.int32).reshape(
+        nc * W4_ROWS, LANES
+    )
+    kernel = functools.partial(
+        _rle_kernel_w4, offset=offset, wt=RLE_WT, g=g
+    )
+    words, bits = pl.pallas_call(
+        kernel,
+        grid=(nc // g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (g * W4_ROWS, LANES), lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, RLE_WT), lambda c: (c, 0)),
+            pl.BlockSpec((g, LANES), lambda c: (c, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, RLE_WT), jnp.int32),
+            jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g * 12, RLE_WT), jnp.float32)
+        ],
+        interpret=interpret,
+    )(lengths.astype(_I32), data_w)
+    return (
+        lax.bitcast_convert_type(words, jnp.uint32),
+        _srl(bits[:, 0], 3),
+    )
+
+
+def huffman_pack_segments_w4(words_be, counts, sym_code, sym_len, *,
+                             interpret: bool | None = None):
+    """w4 variant of huffman_pack_segments taking the rle STREAM WORDS
+    ``u32[NC, 512]`` (big-endian) instead of unpacked bytes."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    nc = words_be.shape[0]
+    return _huffman_pack_w4_jit(
+        words_be, counts, sym_code, sym_len, interpret=interpret,
+        g=_group(nc, interpret),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "g"))
+def _huffman_pack_w4_jit(words_be, counts, sym_code, sym_len, *,
+                         interpret: bool, g: int):
+    nc, n = words_be.shape
+    assert n == CAP_BYTES // 4 and nc % g == 0
+    data_w = lax.bitcast_convert_type(words_be, jnp.int32).reshape(
+        nc * W4_ROWS, LANES
+    )
+    code = sym_code.astype(jnp.uint32)
+    table = jnp.stack(
+        [
+            ((code >> 8) & 0xFF).astype(jnp.float32),
+            (code & 0xFF).astype(jnp.float32),
+            sym_len.astype(jnp.float32),
+        ]
+        + [jnp.zeros(256, jnp.float32)] * 5,
+        axis=0,
+    ).astype(jnp.bfloat16)
+    kernel = functools.partial(_huffman_kernel_w4, wt=HUF_WT, g=g)
+    words, bits = pl.pallas_call(
+        kernel,
+        grid=(nc // g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (g * W4_ROWS, LANES), lambda c: (c, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((g, HUF_WT), lambda c: (c, 0)),
+            pl.BlockSpec((g, LANES), lambda c: (c, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc, HUF_WT), jnp.int32),
+            jax.ShapeDtypeStruct((nc, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((g * 12, HUF_WT), jnp.float32)
+        ],
+        interpret=interpret,
+    )(counts.astype(_I32), data_w, table)
     return lax.bitcast_convert_type(words, jnp.uint32), bits[:, 0]
