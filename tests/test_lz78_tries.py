@@ -65,10 +65,22 @@ def test_python_tries_match_native(comp):
 def test_native_structures_agree():
     if not native.available():
         pytest.skip("native runtime unavailable")
-    for data in _corpus():
+    rng = np.random.default_rng(11)
+    # deep shared prefixes + 3-symbol alphabet: forces long double-array
+    # relocation chains in the cedar structure (many siblings per node
+    # appearing in adversarial insertion order)
+    adversarial = (
+        b"".join(
+            bytes(rng.integers(0, 3, 40, dtype=np.uint8))
+            for _ in range(4000)
+        )
+        + b"ab" * 20000
+        + bytes(rng.integers(0, 256, 30000, dtype=np.uint8))
+    )
+    for data in (*_corpus(), adversarial):
         for lzw in (False, True):
             base = native.lz78_parse(data, lzw=lzw, structure="hash")
-            for structure in ("ternary", "binary"):
+            for structure in ("ternary", "binary", "cedar"):
                 got = native.lz78_parse(data, lzw=lzw, structure=structure)
                 assert np.array_equal(got[0], base[0]), structure
                 if not lzw:  # LZW emits refs only; chars are unused

@@ -60,7 +60,45 @@ def test_graft_entry():
 
     out = jax.jit(fn)(*args)
     assert len(out) == 3
-    ge.dryrun_multichip(8)
+
+
+def test_graft_dryrun_multichip():
+    """Run the driver's multichip dryrun in a fresh interpreter.
+
+    In-process, this compile crashed the XLA:CPU backend after ~530
+    prior tests' live programs (state-dependent rc=139, round-3
+    verdict weak #1); the driver itself runs dryrun_multichip in its
+    own process, so a subprocess is the faithful reproduction AND the
+    isolation fix — same pattern as test_resume_sharded.
+    """
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    # the image's sitecustomize pins JAX_PLATFORMS to the tunneled TPU
+    # at interpreter start; jax.config.update wins over it as long as it
+    # runs before backend init (same dance as conftest.py)
+    child = (
+        "import os, sys; "
+        "os.environ['JAX_PLATFORMS'] = 'cpu'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "sys.path.insert(0, %r); "
+        "import __graft_entry__ as ge; "
+        "ge.dryrun_multichip(8); print('DRYRUN_OK')" % root
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, env=env, cwd=root, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "DRYRUN_OK" in r.stdout
 
 
 def test_factorize_blocks_sharded_matches_single():

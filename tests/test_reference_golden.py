@@ -13,6 +13,12 @@ and our decoder must consume them.
 
 (Distinct from test_golden.py, which pins self-produced streams to
 detect accidental format drift.)
+
+Coverage: every coder family has a reference-derived byte case here
+EXCEPT SLE, which is the one format intentionally not covered: our SLE
+is a re-designed, self-consistent format (documented divergence — see
+the coders/sle.py module docstring and the README parity table), so
+there is no reference byte stream it claims to reproduce.
 """
 
 from __future__ import annotations
@@ -382,3 +388,94 @@ def test_lzw_reference_bytes():
     bits = _b(97, 9) + _b(98, 9) + _b(256, 9) + _b(256, 9)
     assert c.compress(b"ababab") == _finish(bits)
     assert c.decompress(_finish(bits)) == b"ababab"
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic coder — reference ArithmeticCoder.hpp:72-144. Codebook
+# header (count_alphabet_literals + build_intervals + writeCodebook,
+# :52-146): literal total, codebook size, then (symbol, normalized
+# cumulative count) pairs where counts are cumulated then divided by the
+# minimum symbol count. Interval narrowing (setNewBounds, :96-117):
+# 64-bit [lower, upper), per literal
+#   offset = range <= total ? range*C[v]/total : range/total*C[v]
+#   upper = lower + offset(C[v]);  lower += offset(C[v-1])  (v != 0)
+# with flush-and-restart when range < min_range (write lower, reset to
+# [0, 2^64)), and postProcessing (:153-158) writing the final lower plus
+# an all-ones dummy code.
+#
+# Documented header divergences (coders/arithmetic.py module docstring):
+# our codebook-size field is 16 bits (reference: 8, wraps at 256) and
+# our literal total is the true count (reference: cumulative index 254,
+# dropping symbol 255). The cases below avoid symbols 0/255 so the
+# interval math is identical to the reference on every step.
+# ---------------------------------------------------------------------------
+
+def test_arithmetic_reference_bytes():
+    c = _comp("encode(arithmetic)")
+    # "abca": counts a=2 b=1 c=1; min over nonzero counts = 1; cum
+    # C[97]=2, C[98]=3, C[99..255]=4; total = 4 = min_range.
+    # Steps (all ranges > total, so offset = range/4*C):
+    #  'a': range=2^64-1, q=range/4=0x3fffffffffffffff ->
+    #       upper=2q=0x7ffffffffffffffe, lower=0 (C[96]=0)
+    #  'b': range=0x7ffffffffffffffe, q=0x1fffffffffffffff ->
+    #       lower=2q=0x3ffffffffffffffe, upper=0+3q=0x5ffffffffffffffd
+    #  'c': range=0x1fffffffffffffff, q=0x07ffffffffffffff ->
+    #       lower=0x3ffffffffffffffe+3q=0x57fffffffffffffb,
+    #       upper=0x3ffffffffffffffe+4q=0x5ffffffffffffffa
+    #  'a': range=0x07ffffffffffffff, q=0x01ffffffffffffff ->
+    #       upper=lower+2q=0x5bfffffffffffff9, lower unchanged
+    # postProcessing: write lower 0x57fffffffffffffb + dummy 2^64-1.
+    expect_bits = (
+        _b(4, 32)            # literal count (true total; see divergence)
+        + _b(3, 16)          # codebook size (16-bit field divergence)
+        + _b(97, 8) + _b(2, 32)
+        + _b(98, 8) + _b(3, 32)
+        + _b(99, 8) + _b(4, 32)
+        + _b(0x57FFFFFFFFFFFFFB, 64)
+        + _b((1 << 64) - 1, 64)
+    )
+    expect = _finish(expect_bits)
+    assert c.compress(b"abca") == expect
+    assert c.decompress(expect) == b"abca"
+
+
+def test_arithmetic_reference_flush_and_restart():
+    """The flush-and-restart block schedule (ArithmeticCoder.hpp:99-104):
+    when range < min_range the current lower flushes as a 64-bit code
+    and the interval restarts at [0, 2^64). "ab"*40: counts a=b=40,
+    min=40, C[97]=1, C[98]=2, total=2=min_range — every literal halves
+    the range (floor), so the restart fires once mid-stream and the
+    output carries THREE 64-bit codes (block, block, dummy). Expected
+    bytes come from a direct transcription of the reference recurrence
+    above (independent of tudocomp_tpu's encoder)."""
+    text = b"ab" * 40
+    U = (1 << 64) - 1
+    C = {96: 0, 97: 1, 98: 2}
+    total = 2
+    min_range = 2
+    codes = []
+    lower, upper = 0, U
+    for v in text:
+        rng = upper - lower
+        if rng < min_range:            # flush-and-restart (:99-104)
+            codes.append(lower)
+            lower, upper = 0, U
+            rng = U
+        def off(cv):                   # :110-113 two overflow regimes
+            return rng * cv // total if rng <= total else rng // total * cv
+        upper = lower + off(C[v])
+        if v != 0:
+            lower = lower + off(C[v - 1])
+    codes.append(lower)                # postProcessing (:153-158)
+    codes.append(U)
+    assert len(codes) == 3             # exactly one mid-stream flush
+    expect_bits = (
+        _b(80, 32) + _b(2, 16)
+        + _b(97, 8) + _b(1, 32)
+        + _b(98, 8) + _b(2, 32)
+        + "".join(_b(x, 64) for x in codes)
+    )
+    expect = _finish(expect_bits)
+    c = _comp("encode(arithmetic)")
+    assert c.compress(text) == expect
+    assert c.decompress(expect) == text

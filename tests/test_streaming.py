@@ -109,3 +109,35 @@ def test_cli_streams_without_blocks(tmp_path):
     dec = tmp_path / "out.bin"
     assert cli.main([str(out), "-d", "-f", "-o", str(dec)]) == 0
     assert dec.read_bytes() == data
+
+
+@pytest.mark.parametrize("chunk", [17, 4096])
+def test_lz78_lzw_stream_matches_buffered(chunk):
+    """LZ78/LZW one-pass streaming (trie + growing code width carried
+    across chunks) == buffered, incl. dict_size resets straddling chunk
+    edges (reference LZ78Compressor.hpp:67 / LZWCompressor.hpp:42)."""
+    from tudocomp_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime required for lz78/lzw streaming")
+    import tudocomp_tpu.compressors.lz78 as lz78_mod
+
+    old = lz78_mod.STREAM_CHUNK
+    lz78_mod.STREAM_CHUNK = chunk
+    try:
+        for algo in [
+            "lz78(coder=bit)", "lz78(coder=gamma)", "lz78(coder=ascii)",
+            "lz78(coder=bit, dict_size=300)",
+            "lzw(coder=bit)", "lzw(coder=ternary)",
+            "lzw(coder=delta, dict_size=400)",
+            "lzw(coder=bit, dict_size=300)",
+        ]:
+            c = REG.instantiate(algo)
+            for data in CASES:
+                expect = c.compress(data)
+                fout = io.BytesIO()
+                c.compress_stream(io.BytesIO(data), fout)
+                assert fout.getvalue() == expect, (algo, len(data))
+                assert c.decompress(expect) == data, (algo, len(data))
+    finally:
+        lz78_mod.STREAM_CHUNK = old

@@ -22,10 +22,22 @@ def _default_compile_cache() -> None:
         import jax
 
         if jax.config.jax_compilation_cache_dir is None:
-            jax.config.update(
-                "jax_compilation_cache_dir",
-                os.path.expanduser("~/.cache/jaxcomp"),
-            )
+            # CPU runs (tests, the driver's multichip dryrun) get a
+            # cache dir keyed by this host's CPU feature set: XLA:CPU
+            # AOT artifacts embed machine features, and sharing them
+            # across machines logs cpu_aot_loader mismatch errors and
+            # can SIGILL/segfault on stale reads. TPU artifacts target
+            # the chip, not the host, so the TPU dir stays shared.
+            platforms = os.environ.get("JAX_PLATFORMS", "")
+            if platforms.split(",")[0].strip().lower() == "cpu":
+                from tudocomp_tpu.utils.cachedir import cpu_cache_dir
+
+                cache = cpu_cache_dir(
+                    os.path.expanduser("~/.cache")
+                )
+            else:
+                cache = os.path.expanduser("~/.cache/jaxcomp")
+            jax.config.update("jax_compilation_cache_dir", cache)
             jax.config.update(
                 "jax_persistent_cache_min_compile_time_secs", 1.0
             )

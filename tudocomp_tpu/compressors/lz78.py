@@ -151,6 +151,11 @@ class LZ78Compressor(Compressor):
                 factor_count = 0
         return bytes(out)
 
+    supports_streaming = True
+
+    def compress_stream(self, fin, fout) -> None:
+        _lz78_compress_stream(self, fin, fout, lzw=False)
+
     @staticmethod
     def _decompress_bulk(reader) -> bytes | None:
         """Bulk BitCoder decode: factor widths are a known function of
@@ -186,3 +191,45 @@ class LZ78Compressor(Compressor):
             reader.pos = save  # leave the stream untouched for fallbacks
             return None
         return expanded
+
+
+#: streaming chunk size (state is the O(dict) trie handle; RSS stays
+#: O(CHUNK + dict))
+STREAM_CHUNK = 1 << 22
+
+#: coder name -> native int-code kind (TdcBitWr put_code)
+_CODE_KINDS = {"bit": 0, "gamma": 1, "delta": 2, "ternary": 3, "ascii": 4}
+
+
+def _lz78_compress_stream(self, fin, fout, *, lzw: bool) -> None:
+    """One-pass streaming encode for LZ78/LZW (reference ``as_stream()``
+    parity: ``LZ78Compressor.hpp:67`` / ``LZWCompressor.hpp:42`` read the
+    input byte stream once). The trie + growing code width carry across
+    chunks in a native handle (the mtf-table pattern with O(dict) state);
+    per-chunk bit runs splice through ``StreamBitSink`` — output
+    byte-identical to the buffered path for every chunking."""
+    from tudocomp_tpu import native
+    from tudocomp_tpu.io.bitio import StreamBitSink
+
+    kind = _CODE_KINDS.get(
+        self.env.env_for_option("coder").cls.meta().name
+    )
+    if kind is None or not native.available():
+        # no pure-VLC field format (huff needs a literal pre-pass) or no
+        # native runtime: buffered fallback
+        fout.write(self.compress(fin.read()))
+        return
+    dict_max = self.env.option("dict_size").as_int()
+    stream = native.Lz78Stream(lzw, dict_max, kind)
+    sink = StreamBitSink(fout)
+    try:
+        while True:
+            chunk = fin.read(STREAM_CHUNK)
+            final = not chunk
+            packed, nbits = stream.feed(chunk, final)
+            sink.append_packed(packed, nbits)
+            if final:
+                break
+    finally:
+        stream.close()
+    sink.close()

@@ -50,7 +50,8 @@ class LZ78Trie(Algorithm):
     """Interface: maps (node_id, byte) -> node_id, insertion-order ids
     (reference ``lz78/LZ78Trie.hpp:41-90``)."""
 
-    #: native structural class ("hash" | "ternary" | "binary" | None)
+    #: native structural class
+    #: ("hash" | "ternary" | "binary" | "cedar" | None)
     native_kind: str | None = None
 
     def __init__(self, env):

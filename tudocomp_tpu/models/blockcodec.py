@@ -94,7 +94,10 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
     ``(sel_words u32[NC, SEG_CAP//4] big-endian stream words of the
     escape-selected byte stream, counts i32[NC], rle_raw bool[NC],
     hist u32[256])``. Words are zero past ``counts`` so the container
-    bytes are deterministic. The inter-stage payload is WORDS (not
+    bytes are deterministic — on the ``rle_raw`` branch this holds
+    because callers MUST zero-pad ``seg_rows`` past ``seg_lens`` (all
+    do: split_segments / the sharded pipeline build zero-initialised
+    row buffers); the RLE branch masks internally. The inter-stage payload is WORDS (not
     unpacked bytes): the w4 kernels consume them directly, and the
     byte stream only materializes for the 1-in-8 histogram sample.
     """

@@ -280,6 +280,15 @@ def _load():
             ctypes.c_int64, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78_stream_decode.restype = ctypes.c_int64
+        lib.tdc_lz78s_new.argtypes = [ctypes.c_int, ctypes.c_int64]
+        lib.tdc_lz78s_new.restype = ctypes.c_void_p
+        lib.tdc_lz78s_free.argtypes = [ctypes.c_void_p]
+        lib.tdc_lz78s_free.restype = None
+        lib.tdc_lz78s_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78s_feed.restype = ctypes.c_int64
         lib.tdc_lzw_stream_decode.argtypes = \
             lib.tdc_lz78_stream_decode.argtypes
         lib.tdc_lzw_stream_decode.restype = ctypes.c_int64
@@ -1434,6 +1443,56 @@ def rle_decode_stream(chunk: np.ndarray, offset: int, prev: int,
         if got >= 0:
             return out[:got].tobytes(), int(consumed.value), int(prev_io.value)
         cap *= 4
+
+
+class Lz78Stream:
+    """Stateful streaming LZ78/LZW parse+encode (tdc_lz78s_*): the
+    dictionary, walk node, and factor counter live in a native handle;
+    each feed() returns the chunk's completed factors as a (packed,
+    nbits) bit run for StreamBitSink splicing. Byte-identical to the
+    buffered compressors for every chunking. None-constructible check
+    via native.available()."""
+
+    def __init__(self, lzw: bool, dict_limit: int, code_kind: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.tdc_lz78s_new(int(lzw), dict_limit)
+        if not self._h:
+            raise MemoryError("tdc_lz78s_new failed")
+        self._kind = code_kind
+
+    def feed(self, chunk: bytes, final: bool):
+        """Returns (packed u8[], nbits) for this chunk's factors."""
+        inp = np.frombuffer(chunk, np.uint8)
+        if inp.size == 0:
+            inp = np.zeros(1, np.uint8)  # ndpointer rejects NULL
+            n = 0
+        else:
+            n = inp.size
+        # worst case per factor: ascii ref (<= 20 digits + ':') + raw
+        # literal = 176 bits; plus the final flush factor
+        cap_bits = (n + 2) * 184 + 64
+        out = np.zeros((cap_bits + 7) // 8, np.uint8)
+        got = self._lib.tdc_lz78s_feed(
+            self._h, inp, n, 1 if final else 0, self._kind,
+            out, cap_bits,
+        )
+        if got < 0:
+            raise ValueError("lz78 stream encode overflow")
+        return out, int(got)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tdc_lz78s_free(self._h)
+            self._h = None
+
+    def __del__(self):  # belt and braces; close() is the real path
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def lzss_window_encode_stream(buf: np.ndarray, start: int, abs_base: int,

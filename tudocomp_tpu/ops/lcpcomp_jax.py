@@ -27,11 +27,14 @@ sequential algorithm data-parallel:
    factorization the reference's arrays strategy could emit, inheriting
    its invariants (disjoint targets, resolvable chains).
 
-Selection and covering use log-depth sliding-window maxima over
-doubling tables (static levels, traced window width) — zero scatters,
-zero per-element loops.  Factor lengths are capped at ``max_len``
-(4096): one prefix-doubling rank level per doubling, same trade as the
-exact device LZ77.
+Selection and covering are each ONE cumulative max: "leftmost of the
+class within any overlapping window" is equivalent to "previous class
+member at least ``cur_max`` away", and "covered by some selected
+interval" to "last selected start within ``cur_max``" — zero scatters,
+zero gathers, zero per-element loops (the round-3 doubling-table
+windows cost ~580 ms/round on chip; scans are ~2 ms).  Factor lengths
+are capped at ``max_len`` (4096): one prefix-doubling rank level per
+doubling, same trade as the exact device LZ77.
 """
 
 from __future__ import annotations
@@ -44,35 +47,6 @@ import numpy as np
 from jax import lax
 
 _I32 = jnp.int32
-
-
-def _win_max(table, start, width, t):
-    """Max over [start, start+width) per element; ``width``/``t`` are
-    traced scalars with ``2**t <= width < 2**(t+1)``; ``table`` is the
-    stacked doubling table [LOG+1, m] (suffix-aligned windows)."""
-    row = lax.dynamic_index_in_dim(table, t, axis=0, keepdims=False)
-    p2 = jnp.left_shift(jnp.asarray(1, _I32), t)
-    a = row[start]
-    b = row[start + width - p2]
-    return jnp.maximum(a, b)
-
-
-def _doubling_table(x, levels):
-    rows = [x]
-    shift = 1
-    zero = jnp.zeros(1 << levels, x.dtype)
-    for _ in range(levels):
-        cur = rows[-1]
-        shifted = jnp.concatenate([cur[shift:], zero[:shift]])
-        rows.append(jnp.maximum(cur, shifted))
-        shift *= 2
-    return jnp.stack(rows)
-
-
-def _ilog2(x):
-    # exact for x < 2**24
-    return jnp.floor(jnp.log2(jnp.maximum(x, 1).astype(jnp.float32))) \
-        .astype(_I32)
 
 
 @functools.partial(
@@ -89,10 +63,6 @@ def _rounds(covered, chosen, lcp0_p, threshold, *, max_len: int,
     """
     n = covered.shape[0]
     pos = jnp.arange(n, dtype=_I32)
-    pad = max_len + 1
-    levels = 1
-    while (1 << levels) < 2 * max_len:
-        levels += 1
 
     def one_round(state):
         covered, chosen = state
@@ -102,33 +72,59 @@ def _rounds(covered, chosen, lcp0_p, threshold, *, max_len: int,
         el = jnp.minimum(lcp0_p, ncov - pos)
         active = el >= threshold
         cur_max = jnp.max(jnp.where(active, el, 0))
+
+        # The whole upper band [ceil(cur_max/2), cur_max] emits in one
+        # round (a max-class-only schedule needs one round per distinct
+        # length — thousands on repetitive inputs; round 3 measured
+        # 22 s/MiB that way). Selection rules keep every emission one
+        # the reference's decreasing-length pop order could produce:
+        #
+        # - *max-class rule* (progress guarantee): a length-cur_max
+        #   candidate with no CLASS member within cur_max to its left —
+        #   the leftmost max candidate always qualifies, so every round
+        #   emits at least one factor;
+        # - *band rule*: any band candidate with (a) no band member
+        #   within cur_max to its left and (b) no band member inside
+        #   its own target interval.
+        #
+        # Legality: any selected pair is disjoint (left gaps >= cur_max
+        # >= every band length; (b) clears the right side), and every
+        # PENDING longer candidate is disjoint from every selection —
+        # inside a selection's target is excluded by (b), overlapping
+        # from the left would need el > cur_max — so the round's
+        # emissions commute with all pending pops of greater length.
+        band = active & (2 * el >= cur_max)
         cls = active & (el == cur_max)
 
-        # leftmost-dominant selection within the class: key is unique
-        key = jnp.where(cls, n - pos, 0)
-        kpad = jnp.concatenate([
-            jnp.zeros(pad, _I32), key, jnp.zeros(pad + 2 * max_len, _I32),
-        ])
-        ktab = _doubling_table(kpad, levels)
-        width = 2 * cur_max - 1
-        t = _ilog2(width)
-        start = pos + pad - (cur_max - 1)
-        win = _win_max(ktab, start, width, t)
-        selected = cls & (key == win)
+        def prev_excl_of(members):
+            mpos = jnp.where(members, pos, -(1 << 30))
+            prev_incl = lax.cummax(mpos)
+            return jnp.concatenate(
+                [jnp.full(1, -(1 << 30), _I32), prev_incl[:-1]]
+            )
 
-        # covered |= union of [p, p+cur_max) for selected p: a position
-        # x is newly covered iff some selected p lies in
-        # (x - cur_max, x] — another window max, zero scatters
-        spad = jnp.concatenate([
-            jnp.zeros(pad, _I32), selected.astype(_I32),
-            jnp.zeros(pad + 2 * max_len, _I32),
-        ])
-        stab = _doubling_table(spad, levels)
-        t2 = _ilog2(cur_max)
-        cov_add = _win_max(stab, pos + pad - (cur_max - 1), cur_max, t2)
+        npos = jnp.where(band, pos, 1 << 30)
+        nxt_incl = lax.cummin(npos, reverse=True)
+        nxt_excl = jnp.concatenate(
+            [nxt_incl[1:], jnp.full(1, 1 << 30, _I32)]
+        )
+        sel_cls = cls & (pos - prev_excl_of(cls) >= cur_max)
+        sel_band = (
+            band
+            & (pos - prev_excl_of(band) >= cur_max)
+            & (nxt_excl >= pos + el)
+        )
+        selected = sel_cls | sel_band
+
+        # covered |= union of selected targets [p, p+el[p]): position x
+        # is newly covered iff the max selected interval end at or
+        # before x exceeds x — one more inclusive cummax
+        send = jnp.where(selected, pos + el, -(1 << 30))
+        last_end = lax.cummax(send)
+        cov_add = last_end > pos
         any_sel = cur_max >= threshold
-        covered = jnp.where(any_sel, covered | (cov_add > 0), covered)
-        chosen = jnp.where(selected & any_sel, cur_max, chosen)
+        covered = jnp.where(any_sel, covered | cov_add, covered)
+        chosen = jnp.where(selected & any_sel, el, chosen)
         return covered, chosen
 
     def body(state, _):

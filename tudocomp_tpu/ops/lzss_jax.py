@@ -200,26 +200,200 @@ def _match_device(text, *, max_len: int):
 
 
 def _psv_indices(A):
-    """All-nearest-smaller-values by pointer doubling: for each index
-    ``j`` of ``A``, the nearest ``j' < j`` with ``A[j'] < A[j]`` (-1 if
-    none).  Invariant: every element strictly between ``jump[j]`` and
-    ``j`` is ``>= A[j]``, so jumping to ``jump[jump[j]]`` while
-    ``A[jump[j]] >= A[j]`` never overshoots, and frozen-pointer rounds
-    double the hop distance (converges in ~log n rounds)."""
+    """All-nearest-smaller-values slots: see ``_psv_smaller``."""
+    return _psv_smaller(A)[0]
+
+
+def _psv_smaller(A):
+    """All-nearest-smaller-values: for each index ``j`` of ``A`` (a
+    permutation of values < 2**24), the nearest ``j' < j`` with
+    ``A[j'] < A[j]`` — returns ``(slot, value)`` = (j', A[j']), both -1
+    if none.  The value rides along for free (packed into the in-chunk
+    dominance max, carried as a scan payload in the merge), saving the
+    caller a 10 ms/M ``A[slot]`` gather.
+
+    Sort/scan formulation (v5e: elementwise gathers run ~100M lookups/s
+    while ``lax.sort`` moves ~500M elem/s — the round-3 pointer-doubling
+    version spent 1.6 s/MiB in ~40 gather rounds; this one does zero):
+
+    1. **In-chunk** (chunks of 128): full (C, C) dominance compare per
+       chunk — ``psv_in`` = max lane ``l' < l`` with a smaller value.
+    2. **Chunk routing**: the cross-chunk answer lives in the nearest
+       chunk ``c' < c`` whose minimum is below ``A[j]`` (chunks between
+       have no smaller element); one masked broadcast-max over chunk
+       minima finds it.
+    3. **Merge**: elements keyed by their own chunk and queries keyed by
+       their target chunk co-sort on (chunk, value, tag); a segmented
+       running max of element positions then hands every query the last
+       position in its chunk with a strictly smaller value (queries
+       sort before equal-valued elements, and values are distinct
+       anyway). One sort back restores query order.
+
+    The final answer is the max of the in-chunk and cross-chunk
+    candidates (in-chunk positions always dominate when present).
+    """
     m = A.shape[0]
+    C = 128
+    if m % C:  # pad with +inf values: never smaller, never chosen
+        pad = ((m + C - 1) // C) * C - m
+        Ap = jnp.concatenate([A, jnp.full(pad, 1 << 30, A.dtype)])
+        s, v = _psv_smaller(Ap)
+        return s[:m], v[:m]
+    R = m // C
     j = jnp.arange(m, dtype=_I32)
+    Ar = A.reshape(R, C)
+    VS = 24  # packing shift: lane (7 bits) above value (< 2**24)
 
-    def body(state):
-        jump, _ = state
-        jc = jnp.clip(jump, 0, m - 1)
-        walk = (jump >= 0) & (A[jc] >= A)
-        nxt = jnp.where(walk, jump[jc], jump)
-        return nxt, jnp.any(nxt != jump)
-
-    jump, _ = lax.while_loop(
-        lambda s: s[1], body, (j - 1, jnp.asarray(True))
+    # 1) in-chunk dominance, value packed under the lane key
+    lane = lax.broadcasted_iota(_I32, (C, C), 1)
+    tri = lane < lax.broadcasted_iota(_I32, (C, C), 0)
+    lt = Ar[:, None, :] < Ar[:, :, None]  # [r, l, l'] = A[l'] < A[l]
+    packed = (lane[None] << VS) + jnp.broadcast_to(
+        Ar[:, None, :], (R, C, C)
     )
-    return jump
+    best = jnp.max(
+        jnp.where(lt & tri[None], packed, -1), axis=2
+    )  # (R, C)
+    row_base = lax.broadcasted_iota(_I32, (R, C), 0) * C
+    has_in = best >= 0
+    psv_in = jnp.where(
+        has_in, row_base + _srl_i32(jnp.maximum(best, 0), VS), -1
+    ).reshape(m)
+    val_in = jnp.where(
+        has_in, jnp.maximum(best, 0) & ((1 << VS) - 1), -1
+    ).reshape(m)
+
+    # 2) nearest previous chunk with min < A[j]
+    mins = jnp.min(Ar, axis=1)  # (R,)
+    ridx = jnp.arange(R, dtype=_I32)
+    okc = (mins[None, :] < A[:, None]) & (
+        ridx[None, :] < (j // C)[:, None]
+    )
+    cprime = jnp.max(jnp.where(okc, ridx[None, :], -1), axis=1)
+
+    # 3) merge elements and queries per target chunk
+    keys = jnp.concatenate([j // C + 1, cprime + 1])
+    vals = jnp.concatenate([A, A])
+    tags = jnp.concatenate(
+        [jnp.ones(m, _I32), jnp.zeros(m, _I32)]
+    )  # queries (tag 0) sort before equal-keyed elements
+    pays = jnp.concatenate([j + 1, jnp.zeros(m, _I32)])
+    qid = jnp.concatenate([jnp.full(m, m, _I32), j])
+    sk, sv, st, sp, sq = lax.sort(
+        (keys, vals, tags, pays, qid), num_keys=3
+    )
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), sk[1:] != sk[:-1]]
+    )
+    pay_elem = jnp.where(st == 1, sp, 0)
+    val_elem = jnp.where(st == 1, sv, 0)
+
+    def segmax(a, b):
+        fa, pa, va = a
+        fb, pb, vb = b
+        pick_b = pb >= pa
+        return (
+            fa | fb,
+            jnp.where(fb, pb, jnp.maximum(pa, pb)),
+            jnp.where(fb, vb, jnp.where(pick_b, vb, va)),
+        )
+
+    _, runmax, runval = lax.associative_scan(
+        segmax, (seg_start, pay_elem, val_elem)
+    )
+    _, _, rm, rv = lax.sort((st, sq, runmax, runval), num_keys=2)
+    psv_cross = rm[:m] - 1
+    val_cross = jnp.where(psv_cross >= 0, rv[:m], -1)
+    take_in = psv_in >= psv_cross
+    return (
+        jnp.maximum(psv_in, psv_cross),
+        jnp.where(take_in, val_in, val_cross),
+    )
+
+
+def _fetch_aligned_words(T4, i):
+    """64 big-endian text words (256 bytes) starting at BYTE index
+    ``i``, per row: one 128-lane row fetch from the overlapping word
+    table (row r covers bytes [128r, 128r+512)), then a per-row lane
+    alignment by 5 conditional STATIC lane shifts (word offset) and a
+    per-row variable BIT shift (byte-in-word offset) — variable lane
+    rolls would be gathers, variable bit shifts are plain VPU ops."""
+    rows = T4[_srl_i32(i, 7)]  # (n, 128) i32
+    woff = _srl_i32(i & 127, 2)  # word offset in [0, 32)
+    boff = (i & 3) << 3  # bit offset: 0/8/16/24
+    r = rows
+    for k in (16, 8, 4, 2, 1):
+        shifted = jnp.concatenate(
+            [r[:, k:], jnp.zeros((r.shape[0], k), r.dtype)], axis=1
+        )
+        r = jnp.where((woff[:, None] & k) != 0, shifted, r)
+    w = r[:, :65]  # 65 words: byte alignment peeks one word ahead
+    w_next = jnp.concatenate(
+        [w[:, 1:], jnp.zeros((w.shape[0], 1), w.dtype)], axis=1
+    )
+    b = boff[:, None]
+    lo = jnp.where(
+        b == 0, 0,
+        _srl(w_next, jnp.broadcast_to(32 - b, w_next.shape))
+    )
+    return jnp.where(b == 0, w, (w << b) | lo)[:, :64]
+
+
+def _srl(x, s):
+    return lax.shift_right_logical(x, s)
+
+
+def _refine_exact(text, T4, pos, cand, l0, limit, ranks, L: int):
+    """Exact lcp(text[pos:], text[cand:]) given the level floor ``l0``
+    (true lcp in [l0, 2*l0), both a verified common prefix and a
+    bracket): rank-probe descent brings the residual under 256, then
+    ONE 256-byte word-window round compares text directly — two
+    128-lane row fetches total instead of 2 elementwise gathers per
+    descent level (v5e: row fetches stream ~6x the elementwise-gather
+    rate, and word packing does 4 bytes per lane op)."""
+    n = text.shape[0]
+    has = cand >= 0
+    length = jnp.minimum(jnp.where(has, l0, 0), limit)
+    cb = jnp.clip(cand, 0, n - 1)
+    # residual < l0 <= L/2: probe q = L/4 .. 256 to get it under 256
+    q = L // 4
+    while q >= 256:
+        rq = ranks[q]
+        a = pos + length
+        b = cb + length
+        in_rng = (a <= n - q) & (b <= n - q)
+        ok = (
+            has & in_rng
+            & (rq[jnp.clip(a, 0, n - 1)] == rq[jnp.clip(b, 0, n - 1)])
+            & (length + q <= limit)
+        )
+        length = jnp.where(ok, length + q, length)
+        q //= 2
+    # one 256-byte (64-word) window settles the whole residual
+    wa = _fetch_aligned_words(T4, pos + length)
+    wb = _fetch_aligned_words(T4, cb + length)
+    lane64 = lax.broadcasted_iota(_I32, (n, 64), 1)
+    neq = wa != wb
+    first_w = jnp.min(jnp.where(neq, lane64, 64), axis=1)
+    # the mismatching word pair, selected by one-hot sum
+    onehot = lane64 == first_w[:, None]
+    xa = jnp.sum(jnp.where(onehot, wa, 0), axis=1)
+    xb = jnp.sum(jnp.where(onehot, wb, 0), axis=1)
+    x = xa ^ xb
+    lead = jnp.where(
+        _srl_i32(x, 24) != 0, 0,
+        jnp.where(
+            (_srl_i32(x, 16) & 0xFF) != 0, 1,
+            jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
+        ),
+    )
+    matched = jnp.where(first_w == 64, 256, first_w * 4 + lead)
+    add = jnp.clip(jnp.minimum(matched, limit - length), 0, None)
+    return jnp.where(has, length + add, 0)
+
+
+def _srl_i32(x, k: int):
+    return lax.shift_right_logical(x, jnp.full(x.shape, k, x.dtype))
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
@@ -227,42 +401,108 @@ def _match_exact_device(text, *, max_len: int):
     """Exact longest-previous-factor matching (the classical SA+ANSV
     LZ77 formulation): for every position, the longest match among ALL
     previous positions — the reference PSV/NSV answer
-    (``LZSSLCPCompressor.hpp:60-115``) — computed as a device array
-    program: device suffix array, all-nearest-smaller-values by pointer
-    doubling over SA order, and binary-lifted LCP extension on
-    prefix-doubling ranks.  Lengths are capped at ``max_len``."""
+    (``LZSSLCPCompressor.hpp:60-115``) — as a sort/scan array program:
+
+    - device suffix array + ISA (co-sorts);
+    - all-nearest-smaller-values over SA order via the chunked
+      merge-sort formulation (``_psv_indices``, zero gather rounds);
+    - per-pair LCP **level floors computed elementwise**: in SA order
+      the level-q rank groups are contiguous, so "same q-group as my
+      PSV/NSV neighbor" is just ``group_start_q <= psv`` /
+      ``group_end_q >= nsv`` — group starts/ends come from two
+      segmented scans per level, no gathers at all;
+    - exact refinement from the floor by direct 128-byte window
+      compares (``_refine_exact``).
+
+    Lengths are capped at ``max_len``. Round 3 measured the old
+    pointer-doubling + binary-lifting version at 2.6 s/MiB batched
+    (gather-bound); this formulation replaces ~70 elementwise gather
+    rounds with sorts, scans, and 8 row fetches.
+    """
     from tudocomp_tpu.ops.suffix_jax import isa_device, suffix_array_device
 
     n = text.shape[0]
     pos = jnp.arange(n, dtype=_I32)
+    slot = pos
 
     sa = suffix_array_device(text)
     isa = isa_device(sa)
 
     # nearest SA-neighbor with a smaller text position, on each side:
     # among all previous text positions these two share the longest
-    # common prefix with suffix i (SA adjacency)
-    psv = _psv_indices(sa)
-    rev = _psv_indices(sa[::-1])[::-1]
+    # common prefix with suffix i (SA adjacency). The neighbor's VALUE
+    # (= the candidate text position) rides out of the ANSV for free.
+    psv, cu = _psv_smaller(sa)
+    rev, rval = _psv_smaller(sa[::-1])
+    rev, rval = rev[::-1], rval[::-1]
     nsv = jnp.where(rev >= 0, n - 1 - rev, -1)
-
-    def cand_of(nbr):
-        at = nbr[isa]
-        return jnp.where(at >= 0, sa[jnp.clip(at, 0, n - 1)], -1)
-
-    cand_up = cand_of(psv)
-    cand_dn = cand_of(nsv)
+    cd = jnp.where(rev >= 0, rval, -1)
 
     L = 4
     while L < max_len:
         L *= 2
     ranks = rank_tables(text, L)
+    levels = sorted(ranks.keys())
+
+    # all rank levels to SA order in ONE multi-operand co-sort
+    sorted_ = lax.sort(
+        (isa,) + tuple(ranks[q] for q in levels), num_keys=1
+    )
+    r_sa = dict(zip(levels, sorted_[1:]))
+
+    # level floor per side, fully elementwise: same q-group as the
+    # PSV/NSV neighbor iff the group reaches that slot
+    l_up = jnp.zeros(n, _I32)
+    l_dn = jnp.zeros(n, _I32)
+    for q in levels:
+        change = jnp.concatenate(
+            [jnp.ones(1, jnp.bool_), r_sa[q][1:] != r_sa[q][:-1]]
+        )
+        gstart = lax.associative_scan(
+            jnp.maximum, jnp.where(change, slot, -1)
+        )
+        change_n = jnp.concatenate(
+            [r_sa[q][1:] != r_sa[q][:-1], jnp.ones(1, jnp.bool_)]
+        )
+        gend = lax.associative_scan(
+            jnp.minimum, jnp.where(change_n, slot, n), reverse=True
+        )
+        l_up = jnp.where((psv >= 0) & (gstart <= psv), q, l_up)
+        l_dn = jnp.where((nsv >= 0) & (gend >= nsv), q, l_dn)
+
+    # everything back to text order in one co-sort by sa
+    _, cu_t, cd_t, lu_t, ld_t = lax.sort(
+        (sa, cu, cd, l_up, l_dn), num_keys=1
+    )
+
+    # overlapping big-endian word rows for the window compares: row r
+    # holds the 128 words of bytes [128r, 128r+512)
+    R2 = (n + 127) // 128
+    textp = jnp.concatenate(
+        [text, jnp.zeros(R2 * 128 + 512 - n, jnp.uint8)]
+    )
+    le = lax.bitcast_convert_type(
+        textp.reshape(-1, 4), jnp.uint32
+    )
+    W = lax.bitcast_convert_type(
+        ((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
+        | ((le >> 8) & 0xFF00) | (le >> 24),
+        jnp.int32,
+    )  # (R2*32 + 128,) big-endian words
+    T4 = jnp.concatenate(
+        [
+            W[32 * k : 32 * k + 32 * R2].reshape(R2, 32)
+            for k in range(4)
+        ],
+        axis=1,
+    )
+
     limit = jnp.minimum(n - 1 - pos, max_len)
-    l1 = lifted_lcp(ranks, L, text, cand_up, limit)
-    l2 = lifted_lcp(ranks, L, text, cand_dn, limit)
+    l1 = _refine_exact(text, T4, pos, cu_t, lu_t, limit, ranks, L)
+    l2 = _refine_exact(text, T4, pos, cd_t, ld_t, limit, ranks, L)
     take2 = l2 > l1
     return (
-        jnp.where(take2, cand_dn, cand_up),
+        jnp.where(take2, cd_t, cu_t),
         jnp.where(take2, l2, l1),
     )
 
