@@ -123,42 +123,45 @@ def main() -> None:
         )
     lens = jnp.full(ENC_LANES, SEG, jnp.int32)
 
-    from tudocomp_tpu.ops.huffman_jax import device_table_build
+    from tudocomp_tpu.models.blockcodec import HIST_SEGS
 
-    # The full encode chain is ONE jitted program (rle over every batch
-    # -> histogram merge -> device canonical table -> huffman over every
-    # batch): a single dispatch instead of ~24, which matters through
-    # the axon tunnel where each host->device call carries fixed latency.
-    @jax.jit
-    def encode_jit(*bs):
-        stage1 = [rle_stage(b, lens, offset=0, sample=True) for b in bs]
-        hist = stage1[0][3]
-        for s in stage1[1:]:
-            hist = hist + s[3]
-        # canonical table built ON DEVICE (bit-exact vs the host path,
-        # tests/test_huffman_device_table.py) — the whole encode is one
-        # dependency chain with a single host sync at the end
-        sym_code, sym_len = device_table_build(
-            hist.astype(jnp.int32) + 1, max_len=16,
-            min_len=codec._min_code_len(),
-        )
+    # Encode schedule (mirrors BlockCodec.compress): queue every RLE
+    # batch async, then pull batch 0's capped histogram — the tunnel
+    # round trip + ~13 ms host table build overlap with batches 1..N
+    # still draining on device — then queue the Huffman batches. The
+    # TPU executes one program's ops serially, so the former
+    # single-jit chain paid its ~17 ms device table build on the
+    # critical path; only a HOST build can truly overlap. The
+    # histogram caps at the first HIST_SEGS segments (16 MiB), the
+    # same rule as the library/sharded paths, so batches 1..N skip
+    # histogram work entirely.
+    def encode_all():
+        stage1 = []
+        hist_dev = None
+        for i, b in enumerate(seg_batches):
+            rows, counts, rleraw, h = rle_stage(
+                b, lens, offset=0, sample=True, hist=(i == 0),
+                hist_limit=jnp.int32(HIST_SEGS) if i == 0 else None,
+            )
+            stage1.append((rows, counts, rleraw))
+            if i == 0:
+                hist_dev = h
+        hist = np.asarray(hist_dev, np.int64)
+        table = codec._table_from_hist(hist, True)
+        sym_code, sym_len = codec._device_table(table)
         out = [
             huff_stage(rows, counts, sym_code, sym_len)
-            for rows, counts, _, _ in stage1
+            for rows, counts, _ in stage1
         ]
-        return hist, stage1, out
-
-    def encode_all():
-        hist, stage1, out = encode_jit(*seg_batches)
-        # one honest sync: pull one scalar that depends on the last output
+        # one honest end sync: a scalar depending on the last output
         np.asarray(out[-1][1][0])
-        return hist, stage1, out
+        return hist, table, stage1, out
 
     encode_all()  # compile
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        hist, stage1, out = encode_all()
+        hist, table, stage1, out = encode_all()
         times.append(time.perf_counter() - t0)
     t_enc = min(times)
 
@@ -180,9 +183,8 @@ def main() -> None:
         flush=True,
     )
 
-    # container header table: rebuilt on host from the pulled histogram
-    # (untimed assembly I/O, identical to the device-built table)
-    table = codec._table_from_hist(np.asarray(hist, np.int64), True)
+    # container assembly from the measured run's outputs (untimed I/O,
+    # like the reference's file write)
     container = codec._assemble(
         len(data), table,
         np.concatenate([np.asarray(s[1]) for s in stage1]),

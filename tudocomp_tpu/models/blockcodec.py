@@ -72,6 +72,15 @@ PAYLOAD_WORDS = 512
 #: segments per device batch (16 MiB of output per batch)
 BATCH_LANES = 8192
 
+#: table-histogram cap (segments): when sampling is on, only the first
+#: HIST_SEGS segments (16 MiB) feed the 1-in-8 histogram — zstd-style
+#: bounded sampling. This makes the canonical table a function of the
+#: FIRST dispatch batch alone, so the host can pull that histogram and
+#: build the table while later RLE batches drain on device (the TPU
+#: executes one program's ops serially, so a device-side table build
+#: would sit ~17 ms on the encode critical path instead).
+HIST_SEGS = 8192
+
 
 def _bucket(n: int, full: int = BATCH_LANES) -> int:
     """Batch-shape bucket. On TPU every batch pads to the one full
@@ -86,8 +95,11 @@ def _bucket(n: int, full: int = BATCH_LANES) -> int:
     return max(8, 1 << max(0, (n - 1)).bit_length())
 
 
-@functools.partial(jax.jit, static_argnames=("offset", "sample"))
-def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
+@functools.partial(
+    jax.jit, static_argnames=("offset", "sample", "hist")
+)
+def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool,
+              hist: bool = True, hist_limit=None):
     """Stage 1: per-segment device RLE + escape + table histogram.
 
     seg_rows: u8[NC, SEG], seg_lens: i32[NC]. Returns
@@ -100,6 +112,12 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
     row buffers); the RLE branch masks internally. The inter-stage payload is WORDS (not
     unpacked bytes): the w4 kernels consume them directly, and the
     byte stream only materializes for the 1-in-8 histogram sample.
+
+    ``hist=False`` skips the histogram entirely (batches past the
+    HIST_SEGS cap); ``hist_limit`` (traced i32) masks segments at
+    LOCAL index >= limit out of the histogram so a batch straddling
+    the global cap contributes exactly its first ``hist_limit``
+    segments. Both leave sel/counts/rle_raw untouched.
     """
     pack = rle_pack_segments_w4 if _w4_mode() else rle_pack_segments
     words, rle_lens = pack(seg_rows, seg_lens, offset=offset)
@@ -111,13 +129,18 @@ def rle_stage(seg_rows, seg_lens, *, offset: int, sample: bool):
         rle_raw[:, None], input_words, words[:, : SEG_CAP // 4]
     )
     counts = jnp.where(rle_raw, seg_lens, rle_lens).astype(jnp.int32)
+    if not hist:
+        return sel, counts, rle_raw, jnp.zeros(256, jnp.uint32)
     if sample:  # 1-in-8 segments feed the table histogram (zstd-style)
-        sub, subc = sel[::8], counts[::8]
+        sub, subc, stride = sel[::8], counts[::8], 8
     else:
-        sub, subc = sel, counts
+        sub, subc, stride = sel, counts, 1
+    if hist_limit is not None:
+        idx = jnp.arange(subc.shape[0], dtype=jnp.int32) * stride
+        subc = jnp.where(idx < hist_limit, subc, 0)
     sub_rows = bytes_from_words(sub, SEG_CAP)
-    hist = histogram_chunks(sub_rows, subc, tile=SEG_CAP)
-    return sel, counts, rle_raw, hist
+    h = histogram_chunks(sub_rows, subc, tile=SEG_CAP)
+    return sel, counts, rle_raw, h
 
 
 @jax.jit
@@ -192,7 +215,10 @@ class BlockCodec:
         # so the container bytes are identical across batch splits,
         # backends, and mesh shapes (parallel/pipeline.py uses the
         # same rule); batches start at multiples of 8, so per-batch
-        # rows[::8] equals the global 1-in-8 segment sample
+        # rows[::8] equals the global 1-in-8 segment sample. When
+        # sampled, the histogram additionally caps at the FIRST
+        # HIST_SEGS segments (same global rule in the sharded paths),
+        # so only batches intersecting [0, HIST_SEGS) compute one.
         sampled = self.sample_rule(nseg)
         for lo in range(0, nseg, self.batch_lanes):
             hi = min(lo + self.batch_lanes, nseg)
@@ -201,43 +227,36 @@ class BlockCodec:
             br[: hi - lo] = seg_rows[lo:hi]
             bl = np.zeros(b, np.int32)
             bl[: hi - lo] = seg_lens[lo:hi]
+            hist_on = (not sampled) or lo < HIST_SEGS
+            limit = None
+            if sampled and hist_on and lo + b > HIST_SEGS:
+                limit = jnp.int32(HIST_SEGS - lo)
             rows, counts, rleraw, h = rle_stage(
                 jnp.asarray(br), jnp.asarray(bl),
                 offset=self.offset, sample=sampled,
+                hist=hist_on, hist_limit=limit,
             )
             rows_l.append(rows)
             counts_l.append(counts)
             rleraw_l.append(rleraw)
-            hist_dev = h if hist_dev is None else hist_dev + h
-        # sampled inputs always have a full-alphabet table (hist+1), so
-        # the canonical build can run entirely ON DEVICE — no mid-stream
-        # host sync (ops/huffman_jax.py device_table_build, bit-exact
-        # vs the host path per tests/test_huffman_device_table.py). The
-        # host table object (for the container header) is rebuilt from
-        # the pulled histogram during untimed assembly below.
-        table = None
-        if sampled:
-            from tudocomp_tpu.ops.huffman_jax import device_table_build
-
-            sym_code, sym_len = device_table_build(
-                hist_dev.astype(jnp.int32) + 1, max_len=16,
-                min_len=self._min_code_len(),
-            )
-        else:
-            table = self._table_from_hist(
-                np.asarray(hist_dev, np.int64), sampled
-            )
-            sym_code, sym_len = self._device_table(table)
+            if hist_on:
+                hist_dev = h if hist_dev is None else hist_dev + h
+        # host table build: the histogram pull only waits for the first
+        # batch (HIST_SEGS cap) while the remaining queued RLE batches
+        # keep the device busy through the tunnel round trip + ~13 ms
+        # build — true host/device overlap, unlike a device-side build
+        # (the TPU runs one program's ops serially, so the in-chain
+        # device_table_build sat ~17 ms on the encode critical path).
+        table = self._table_from_hist(
+            np.asarray(hist_dev, np.int64), sampled
+        )
+        sym_code, sym_len = self._device_table(table)
         words_l, bits_l, hraw_l = [], [], []
         for rows, counts in zip(rows_l, counts_l):
             w, b, hr = huff_stage(rows, counts, sym_code, sym_len)
             words_l.append(np.asarray(w))
             bits_l.append(np.asarray(b))
             hraw_l.append(np.asarray(hr))
-        if sampled:
-            table = self._table_from_hist(
-                np.asarray(hist_dev, np.int64), sampled
-            )
         counts_np = np.concatenate(
             [np.asarray(c) for c in counts_l]
         )[:nseg]

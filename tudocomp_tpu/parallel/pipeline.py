@@ -41,34 +41,54 @@ def shard_segments(mesh: Mesh, seg_rows, seg_lens):
 
 
 def sharded_rle_stage(mesh: Mesh, seg_rows, seg_lens, *, offset: int,
-                      sample: bool = False):
+                      sample: bool = False, hist: bool = True,
+                      global_base: int = 0):
     """Stage 1 sharded: local RLE + escapes, mesh-psum'd histogram.
 
     Returns ``(rows, counts, rle_raw)`` sharded over the mesh and a
     replicated u32[256] histogram. With ``sample``, each shard
     histograms its local rows[::8]; shard chunks are multiples of 8
     segments, so the union equals the single-device global 1-in-8
-    sample and the table (hence the container) is identical.
+    sample and the table (hence the container) is identical — including
+    the ``HIST_SEGS`` cap: each shard masks segments whose GLOBAL index
+    (``global_base`` + shard offset + local index) falls at or past the
+    cap, reproducing the single-device "first 16 MiB only" histogram at
+    any mesh shape. ``hist=False`` skips histogram work for batches
+    entirely past the cap.
     """
+    nloc = seg_rows.shape[0] // mesh.size
+    sp_size = mesh.shape["sp"]
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(("dp", "sp")), P(("dp", "sp"))),
+        in_specs=(P(("dp", "sp")), P(("dp", "sp")), P()),
         out_specs=(
             P(("dp", "sp")), P(("dp", "sp")), P(("dp", "sp")), P(),
         ),
         check_vma=False,  # pallas_call inside shard_map
     )
-    def fn(rows, lens):
-        from tudocomp_tpu.models.blockcodec import rle_stage
+    def fn(rows, lens, gbase):
+        from tudocomp_tpu.models.blockcodec import HIST_SEGS, rle_stage
 
+        limit = None
+        if hist and sample:
+            i = (
+                jax.lax.axis_index("dp") * sp_size
+                + jax.lax.axis_index("sp")
+            )
+            base = gbase[0] + i * nloc
+            limit = jnp.clip(HIST_SEGS - base, 0, nloc).astype(
+                jnp.int32
+            )
         r, c, rr, h = rle_stage(
-            rows, lens, offset=offset, sample=sample
+            rows, lens, offset=offset, sample=sample, hist=hist,
+            hist_limit=limit,
         )
         return r, c, rr, jax.lax.psum(h, ("dp", "sp"))
 
-    return jax.jit(fn)(seg_rows, seg_lens)
+    gbase = jnp.asarray([global_base], jnp.int32)
+    return jax.jit(fn)(seg_rows, seg_lens, gbase)
 
 
 def sharded_huff_stage(mesh: Mesh, rows, counts, sym_code, sym_len):
@@ -326,13 +346,22 @@ def compress_sharded_resumable(codec, mesh: Mesh, src_path: str,
         return rows, lens, hi - lo
 
     if hist is None:
-        # pass 1: sampled histogram over every batch (device work only)
+        # pass 1: sampled histogram (device work only). With sampling
+        # on, only batches intersecting [0, HIST_SEGS) contribute
+        # (blockcodec.HIST_SEGS cap — identical to the single-device
+        # and one-shot sharded rules), so the pass ends early.
+        from tudocomp_tpu.models.blockcodec import HIST_SEGS
+
         acc = None
         for bi in range(n_batches):
+            lo_seg = bi * batch_segments
+            if sampled and lo_seg >= HIST_SEGS:
+                break
             rows, lens, _ = read_batch(bi)
             r, l = shard_segments(mesh, rows, lens)
             _, _, _, h = sharded_rle_stage(
-                mesh, r, l, offset=codec.offset, sample=sampled
+                mesh, r, l, offset=codec.offset, sample=sampled,
+                global_base=lo_seg,
             )
             h = np.asarray(h, np.int64)
             acc = h if acc is None else acc + h
@@ -374,7 +403,8 @@ def compress_sharded_resumable(codec, mesh: Mesh, src_path: str,
             rows, lens, take = read_batch(bi)
             r, l = shard_segments(mesh, rows, lens)
             rr, cc, rl, _ = sharded_rle_stage(
-                mesh, r, l, offset=codec.offset, sample=sampled
+                mesh, r, l, offset=codec.offset, sample=sampled,
+                hist=False,  # table is fixed; skip histogram work
             )
             ww, bb, hh = sharded_huff_stage(
                 mesh, rr, cc, sym_code, sym_len
