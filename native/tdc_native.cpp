@@ -1168,7 +1168,8 @@ struct DigramEntry {
     uint64_t key;
     int64_t count;
     int32_t head, tail;
-    int64_t best;  // high-water count already pushed into the heap
+    int64_t best;   // high-water count already pushed into the heap
+    int64_t epoch;  // last rule index that touched this entry
 };
 
 struct DigramMap {
@@ -1190,7 +1191,7 @@ struct DigramMap {
             int32_t e = table[s];
             if (e < 0) {
                 table[s] = int32_t(entries.size());
-                entries.push_back({key, 0, -1, -1, 0});
+                entries.push_back({key, 0, -1, -1, 0, -1});
                 return table[s];
             }
             if (entries[size_t(e)].key == key) return e;
@@ -1213,59 +1214,76 @@ int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
     using repair_detail::DigramMap;
     if (n <= 0) { *start_len_out = 0; return 0; }
     size_t un = size_t(n);
-    std::vector<int32_t> sym(un), nxt(un), prv(un);
-    std::vector<int32_t> od_nxt(size_t(n), -1), od_prv(size_t(n), -1);
+    // Interleaved per-position records: the replacement loop hops the
+    // text list (sym/nxt/prv) and the occurrence list (od_*) at random
+    // positions, so splitting these across six arrays cost ~6 cache
+    // lines per hop; two 12-byte structs cost at most two. od_ent
+    // memoizes the digram-map entry a position is linked under, so
+    // occ_remove needs NO hash probe (the round-3 version re-hashed
+    // the digram on every removal — ~3 probes per replacement).
+    struct Node { int32_t sym, nxt, prv; };
+    struct Occ { int32_t od_nxt, od_prv, od_ent; };
+    std::vector<Node> nd(un);
+    std::vector<Occ> oc(un, {-1, -1, -1});
     for (int64_t i = 0; i < n; i++) {
-        sym[size_t(i)] = text[i];
-        nxt[size_t(i)] = (i + 1 < n) ? int32_t(i + 1) : -1;
-        prv[size_t(i)] = int32_t(i - 1);
+        nd[size_t(i)].sym = text[i];
+        nd[size_t(i)].nxt = (i + 1 < n) ? int32_t(i + 1) : -1;
+        nd[size_t(i)].prv = int32_t(i - 1);
     }
     DigramMap map(n);
     std::priority_queue<uint64_t> heap;  // count<<32 | entry idx
 
     auto key_at = [&](int64_t i) -> uint64_t {
-        return (uint64_t(uint32_t(sym[size_t(i)])) << 32) |
-               uint32_t(sym[size_t(nxt[size_t(i)])]);
+        return (uint64_t(uint32_t(nd[size_t(i)].sym)) << 32) |
+               uint32_t(nd[size_t(nd[size_t(i)].nxt)].sym);
+    };
+    auto link = [&](int64_t i, int32_t e) {
+        auto& en = map.entries[size_t(e)];
+        oc[size_t(i)] = {-1, en.tail, e};
+        if (en.tail >= 0) oc[size_t(en.tail)].od_nxt = int32_t(i);
+        else en.head = int32_t(i);
+        en.tail = int32_t(i);
+        en.count++;
+    };
+    // Deferred heap maintenance: pops only ever happen between rules
+    // (the replacement loop never pops), so pushing intermediate
+    // high-water counts during a rule is pure churn — the round-3
+    // version pushed every increment and paid 31M stale pops on
+    // english.10MB (97% of all pops, ~70% of total runtime). Instead,
+    // each rule records the set of touched entries (epoch-deduped) and
+    // pushes ONE key per entry whose live count exceeds its pushed
+    // high-water after the rule completes. The lazy-deletion invariant
+    // (every entry keeps a heap key >= its live count; stale pops
+    // re-arm the live count) and therefore the valid-pop order are
+    // byte-for-byte unchanged.
+    std::vector<int32_t> touched;
+    int64_t epoch = 0;
+    auto touch = [&](int32_t e) {
+        auto& en = map.entries[size_t(e)];
+        if (en.epoch != epoch) {
+            en.epoch = epoch;
+            touched.push_back(e);
+        }
     };
     auto occ_append = [&](int64_t i) {
         int32_t e = map.find_or_add(key_at(i));
-        auto& en = map.entries[size_t(e)];
-        od_prv[size_t(i)] = en.tail;
-        od_nxt[size_t(i)] = -1;
-        if (en.tail >= 0) od_nxt[size_t(en.tail)] = int32_t(i);
-        else en.head = int32_t(i);
-        en.tail = int32_t(i);
-        en.count++;
-        // push only on a fresh high-water count: every entry always
-        // keeps a heap key >= its live count (appends push new maxima,
-        // stale pops re-push the live count), so the max live key is
-        // always present and the valid-pop order is unchanged
-        if (en.count > en.best) {
-            en.best = en.count;
-            heap.push((uint64_t(en.count) << 32) | uint32_t(e));
-        }
-    };
-    auto occ_append_nopush = [&](int64_t i) {
-        int32_t e = map.find_or_add(key_at(i));
-        auto& en = map.entries[size_t(e)];
-        od_prv[size_t(i)] = en.tail;
-        od_nxt[size_t(i)] = -1;
-        if (en.tail >= 0) od_nxt[size_t(en.tail)] = int32_t(i);
-        else en.head = int32_t(i);
-        en.tail = int32_t(i);
-        en.count++;
+        link(i, e);
+        touch(e);
     };
     auto occ_remove = [&](int64_t i) {
-        int32_t e = map.find_or_add(key_at(i));
+        auto& o = oc[size_t(i)];
+        int32_t e = o.od_ent;
         auto& en = map.entries[size_t(e)];
-        int32_t p = od_prv[size_t(i)], q = od_nxt[size_t(i)];
-        if (p >= 0) od_nxt[size_t(p)] = q; else en.head = q;
-        if (q >= 0) od_prv[size_t(q)] = p; else en.tail = p;
-        od_prv[size_t(i)] = od_nxt[size_t(i)] = -1;
+        int32_t p = o.od_prv, q = o.od_nxt;
+        if (p >= 0) oc[size_t(p)].od_nxt = q; else en.head = q;
+        if (q >= 0) oc[size_t(q)].od_prv = p; else en.tail = p;
+        o = {-1, -1, -1};
         en.count--;
+        touch(e);
     };
 
-    for (int64_t i = 0; i + 1 < n; i++) occ_append_nopush(i);
+    for (int64_t i = 0; i + 1 < n; i++)
+        link(i, map.find_or_add(key_at(i)));
     for (size_t e = 0; e < map.entries.size(); e++) {
         auto& en = map.entries[e];
         en.best = en.count;
@@ -1296,31 +1314,40 @@ int64_t tdc_repair(const uint8_t* text, int64_t n, int64_t max_rules,
         rules_out[2 * num_rules + 1] = b;
         num_rules++;
         occs.clear();
-        for (int32_t it = en.head; it >= 0; it = od_nxt[size_t(it)])
+        for (int32_t it = en.head; it >= 0; it = oc[size_t(it)].od_nxt)
             occs.push_back(it);
         std::sort(occs.begin(), occs.end());
         for (int64_t i : occs) {
             // re-validate: an earlier replacement this round (overlap
             // like "aaa") may have destroyed this occurrence
-            if (sym[size_t(i)] != a) continue;
-            int32_t j = nxt[size_t(i)];
-            if (j < 0 || sym[size_t(j)] != b) continue;
-            int32_t l = prv[size_t(i)], r = nxt[size_t(j)];
+            if (nd[size_t(i)].sym != a) continue;
+            int32_t j = nd[size_t(i)].nxt;
+            if (j < 0 || nd[size_t(j)].sym != b) continue;
+            int32_t l = nd[size_t(i)].prv, r = nd[size_t(j)].nxt;
             if (l >= 0) occ_remove(l);
             if (r >= 0) occ_remove(j);
             occ_remove(i);
-            sym[size_t(i)] = fresh;
-            sym[size_t(j)] = -1;
-            nxt[size_t(i)] = r;
-            if (r >= 0) prv[size_t(r)] = int32_t(i);
+            nd[size_t(i)].sym = fresh;
+            nd[size_t(j)].sym = -1;
+            nd[size_t(i)].nxt = r;
+            if (r >= 0) nd[size_t(r)].prv = int32_t(i);
             if (l >= 0) occ_append(l);
             if (r >= 0) occ_append(i);
         }
+        for (int32_t te : touched) {
+            auto& ten = map.entries[size_t(te)];
+            if (ten.count > ten.best) {
+                ten.best = ten.count;
+                heap.push((uint64_t(ten.count) << 32) | uint32_t(te));
+            }
+        }
+        touched.clear();
+        epoch++;
     }
 
     int64_t m = 0;
-    for (int32_t i = 0; i >= 0; i = nxt[size_t(i)])
-        start_out[m++] = sym[size_t(i)];
+    for (int32_t i = 0; i >= 0; i = nd[size_t(i)].nxt)
+        start_out[m++] = nd[size_t(i)].sym;
     *start_len_out = m;
     return num_rules;
 }

@@ -49,17 +49,18 @@ from jax import lax
 _I32 = jnp.int32
 
 
-@functools.partial(
-    jax.jit, static_argnames=("max_len", "rounds_per_dispatch")
-)
-def _rounds(covered, chosen, lcp0_p, threshold, *, max_len: int,
-            rounds_per_dispatch: int):
-    """Run a fixed number of max-class selection rounds.
+@functools.partial(jax.jit, static_argnames=("max_len",))
+def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
+    """Run max-class selection rounds to convergence in ONE dispatch.
 
     covered  bool[n]   — union of emitted target intervals
     chosen   i32[n]    — emitted factor length at its start (0 = none)
     lcp0_p   i32[n]    — LCP with the SA-predecessor, by text position
-    Returns (covered, chosen, cur_max) after the dispatch.
+    Returns (covered, chosen, rounds). The convergence test
+    (``cur_max < threshold``) runs on device inside a
+    ``lax.while_loop`` — the round-3/4 formulation pulled ``cur_max``
+    to the host every 16 rounds, paying a tunnel round trip per
+    dispatch on a loop that runs dozens of times.
     """
     n = covered.shape[0]
     pos = jnp.arange(n, dtype=_I32)
@@ -127,17 +128,28 @@ def _rounds(covered, chosen, lcp0_p, threshold, *, max_len: int,
         chosen = jnp.where(selected & any_sel, el, chosen)
         return covered, chosen
 
-    def body(state, _):
-        return one_round(state), None
+    def residual_max(covered):
+        ncov = lax.cummin(jnp.where(covered, pos, n), reverse=True)
+        el = jnp.minimum(lcp0_p, ncov - pos)
+        return jnp.max(jnp.where(el >= threshold, el, 0))
 
-    (covered, chosen), _ = lax.scan(
-        body, (covered, chosen), None, length=rounds_per_dispatch
+    def cond(state):
+        covered, chosen, cur_max, i = state
+        # i < n is an unreachable safety bound (each round emits >= 1
+        # factor, factors are disjoint non-empty intervals)
+        return (cur_max >= threshold) & (i < n)
+
+    def body(state):
+        covered, chosen, _, i = state
+        covered, chosen = one_round((covered, chosen))
+        return covered, chosen, residual_max(covered), i + 1
+
+    covered, chosen, _, rounds = lax.while_loop(
+        cond,
+        body,
+        (covered, chosen, residual_max(covered), jnp.zeros((), _I32)),
     )
-    # recompute the residual max for the host loop condition
-    ncov = lax.cummin(jnp.where(covered, pos, n), reverse=True)
-    el = jnp.minimum(lcp0_p, ncov - pos)
-    cur_max = jnp.max(jnp.where(el >= threshold, el, 0))
-    return covered, chosen, cur_max
+    return covered, chosen, rounds
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
@@ -177,18 +189,12 @@ def factorize_device(text: np.ndarray, threshold: int,
     covered = jnp.zeros(n, bool)
     chosen = jnp.zeros(n, _I32)
     thr = jnp.asarray(threshold, _I32)
-    dispatches = 0
-    while True:
-        covered, chosen, cur_max = _rounds(
-            covered, chosen, lcp0_p, thr,
-            max_len=max_len, rounds_per_dispatch=16,
-        )
-        dispatches += 1
-        if int(cur_max) < threshold:
-            break
+    covered, chosen, rounds = _all_rounds(
+        covered, chosen, lcp0_p, thr, max_len=max_len
+    )
     from tudocomp_tpu.stats import StatPhase
 
-    StatPhase.log("device_round_dispatches", dispatches)
+    StatPhase.log("device_rounds", int(rounds))
     chosen = np.asarray(chosen, np.int64)
     src = np.asarray(src_p, np.int64)
     starts = np.flatnonzero(chosen > 0)
