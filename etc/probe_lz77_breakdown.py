@@ -1,8 +1,14 @@
 """Stage breakdown for the exact device LZ77 matcher (VERDICT r3 #2).
 
 Times each ingredient of _match_exact_device batched over 16 x 64 KiB
-blocks on the real chip: SA, ISA, ANSV (pointer doubling), rank tables,
-lifted LCP — to find where the 2.6 s/MiB (vs host 0.13) actually goes.
+blocks on the real chip, after the round-4 rewrite (fused SA+ISA+rank
+levels, sort/scan ANSV, elementwise level floors, word-window refine):
+
+  sa+isa+ranks  one doubling chain producing all three
+  +ansv         + both-side all-nearest-smaller-values
+  +floors       + per-level group-start/end scans -> LCP floors
+  full          the complete matcher (adds T4 build + 2 refines + the
+                final to-text-order co-sort)
 
 Usage: python -u etc/probe_lz77_breakdown.py [corpus]
 """
@@ -34,6 +40,7 @@ def main() -> None:
     jax.config.update("jax_compilation_cache_dir", "/root/.cache/jaxcomp")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    from jax import lax
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from etc import datasets
@@ -53,91 +60,69 @@ def main() -> None:
         return x
 
     from tudocomp_tpu.ops.lzss_jax import (
-        _psv_indices, lifted_lcp, rank_tables,
+        _match_exact_device, _psv_smaller,
     )
-    from tudocomp_tpu.ops.suffix_jax import isa_device, suffix_array_device
+    from tudocomp_tpu.ops.suffix_jax import suffix_array_isa_ranks
 
     print(f"corpus={name}, 16 x 64 KiB batched", flush=True)
+    L = 512
+    _I32 = jnp.int32
 
-    f_sa = jax.jit(jax.vmap(suffix_array_device))
-    t = timeit(lambda: f_sa(bj), sync)
-    print(f"sa:          {t*1e3:8.1f} ms/MiB", flush=True)
+    def sir(x):
+        sa, isa, ranks = suffix_array_isa_ranks(x, L=L)
+        return sa, isa, ranks[L]
 
-    def sa_isa(x):
-        sa = suffix_array_device(x)
-        return sa, isa_device(sa)
-
-    f_si = jax.jit(jax.vmap(sa_isa))
-    t = timeit(lambda: f_si(bj), sync)
-    print(f"sa+isa:      {t*1e3:8.1f} ms/MiB", flush=True)
+    t = timeit(lambda: jax.jit(jax.vmap(sir))(bj), sync)
+    print(f"sa+isa+ranks: {t*1e3:8.1f} ms/MiB", flush=True)
 
     def ansv(x):
-        sa = suffix_array_device(x)
-        psv = _psv_indices(sa)
-        rev = _psv_indices(sa[::-1])[::-1]
-        return psv, rev
+        sa, isa, _ = suffix_array_isa_ranks(x, L=L)
+        psv, cu = _psv_smaller(sa)
+        rev, rval = _psv_smaller(sa[::-1])
+        return psv, rev, cu, rval
 
-    f_ansv = jax.jit(jax.vmap(ansv))
-    t = timeit(lambda: f_ansv(bj), sync)
-    print(f"sa+ansv:     {t*1e3:8.1f} ms/MiB", flush=True)
+    t = timeit(lambda: jax.jit(jax.vmap(ansv))(bj), sync)
+    print(f"+ansv:        {t*1e3:8.1f} ms/MiB", flush=True)
 
-    def ranks_only(x):
-        r = rank_tables(x, 512)
-        return r[512]
-
-    f_rk = jax.jit(jax.vmap(ranks_only))
-    t = timeit(lambda: f_rk(bj), sync)
-    print(f"ranks(512):  {t*1e3:8.1f} ms/MiB", flush=True)
-
-    def floors_only(x):
-        # SA + ANSV + rank co-sort + level floors (everything except
-        # candidate glue and refinement)
+    def floors(x):
         n = x.shape[0]
-        sa = suffix_array_device(x)
-        isa = isa_device(sa)
-        psv = _psv_indices(sa)
-        rev = _psv_indices(sa[::-1])[::-1]
-        nsv = jnp.where(rev >= 0, n - 1 - rev, -1)
-        ranks = rank_tables(x, 512)
+        slot = jnp.arange(n, dtype=_I32)
+        sa, isa, ranks = suffix_array_isa_ranks(x, L=L)
+        psv, cu = _psv_smaller(sa)
+        rev, rval = _psv_smaller(sa[::-1])
+        nsv = jnp.where(rev >= 0, n - 1 - rev, -1)[::-1]
         levels = sorted(ranks.keys())
-        import jax.lax as lax
         sorted_ = lax.sort(
             (isa,) + tuple(ranks[q] for q in levels), num_keys=1
         )
         r_sa = dict(zip(levels, sorted_[1:]))
-        slot = jnp.arange(n, dtype=jnp.int32)
-        l_up = jnp.zeros(n, jnp.int32)
+        l_up = jnp.zeros(n, _I32)
+        l_dn = jnp.zeros(n, _I32)
         for q in levels:
             change = jnp.concatenate(
-                [jnp.ones(1, jnp.bool_), r_sa[q][1:] != r_sa[q][:-1]])
+                [jnp.ones(1, jnp.bool_), r_sa[q][1:] != r_sa[q][:-1]]
+            )
             gstart = lax.associative_scan(
-                jnp.maximum, jnp.where(change, slot, -1))
+                jnp.maximum, jnp.where(change, slot, -1)
+            )
+            change_n = jnp.concatenate(
+                [r_sa[q][1:] != r_sa[q][:-1], jnp.ones(1, jnp.bool_)]
+            )
+            gend = lax.associative_scan(
+                jnp.minimum, jnp.where(change_n, slot, n), reverse=True
+            )
             l_up = jnp.where((psv >= 0) & (gstart <= psv), q, l_up)
-        return l_up
+            l_dn = jnp.where((nsv >= 0) & (gend >= nsv), q, l_dn)
+        return l_up, l_dn
 
-    f_fl = jax.jit(jax.vmap(floors_only))
-    t = timeit(lambda: f_fl(bj), sync)
-    print(f"sa+ansv+floor:{t*1e3:8.1f} ms/MiB", flush=True)
-
-    def lift_only(x):
-        n = x.shape[0]
-        ranks = rank_tables(x, 512)
-        pos = jnp.arange(n, dtype=jnp.int32)
-        cand = jnp.maximum(pos - 17, -1)  # synthetic candidates
-        limit = jnp.minimum(n - 1 - pos, 512)
-        return lifted_lcp(ranks, 512, x, cand, limit)
-
-    f_lf = jax.jit(jax.vmap(lift_only))
-    t = timeit(lambda: f_lf(bj), sync)
-    print(f"ranks+lift:  {t*1e3:8.1f} ms/MiB", flush=True)
-
-    from tudocomp_tpu.ops.lzss_jax import _match_exact_device
+    t = timeit(lambda: jax.jit(jax.vmap(floors))(bj), sync)
+    print(f"+floors:      {t*1e3:8.1f} ms/MiB", flush=True)
 
     f_all = jax.jit(jax.vmap(
         lambda x: jnp.stack(_match_exact_device(x, max_len=512))
     ))
     t = timeit(lambda: f_all(bj), sync)
-    print(f"full match:  {t*1e3:8.1f} ms/MiB", flush=True)
+    print(f"full match:   {t*1e3:8.1f} ms/MiB", flush=True)
 
 
 if __name__ == "__main__":

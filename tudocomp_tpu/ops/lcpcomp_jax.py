@@ -158,19 +158,17 @@ def _lcp_by_position(text, *, max_len: int):
     suffix-array predecessor (capped at max_len) and that predecessor's
     position — the reference's candidate set (pos=sa[i], src=sa[i-1],
     len=lcp[i]) indexed by text position."""
-    from tudocomp_tpu.ops.lzss_jax import lifted_lcp, rank_tables
-    from tudocomp_tpu.ops.suffix_jax import isa_device, suffix_array_device
+    from tudocomp_tpu.ops.lzss_jax import lifted_lcp
+    from tudocomp_tpu.ops.suffix_jax import suffix_array_isa_ranks
 
     n = text.shape[0]
     pos = jnp.arange(n, dtype=_I32)
-    sa = suffix_array_device(text)
-    isa = isa_device(sa)
-    src = jnp.where(isa >= 1, sa[jnp.clip(isa - 1, 0, n - 1)], -1)
-
     L = 4
     while L < max_len:
         L *= 2
-    ranks = rank_tables(text, L)
+    sa, isa, ranks = suffix_array_isa_ranks(text, L=L)
+    src = jnp.where(isa >= 1, sa[jnp.clip(isa - 1, 0, n - 1)], -1)
+
     limit = jnp.minimum(n - 1 - pos, max_len)
     return lifted_lcp(ranks, L, text, src, limit), src
 

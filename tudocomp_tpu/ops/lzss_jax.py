@@ -419,14 +419,19 @@ def _match_exact_device(text, *, max_len: int):
     (gather-bound); this formulation replaces ~70 elementwise gather
     rounds with sorts, scans, and 8 row fetches.
     """
-    from tudocomp_tpu.ops.suffix_jax import isa_device, suffix_array_device
+    from tudocomp_tpu.ops.suffix_jax import suffix_array_isa_ranks
 
     n = text.shape[0]
     pos = jnp.arange(n, dtype=_I32)
     slot = pos
 
-    sa = suffix_array_device(text)
-    isa = isa_device(sa)
+    L = 4
+    while L < max_len:
+        L *= 2
+    # SA + ISA + all q-gram rank levels from ONE doubling chain — the
+    # separate rank_tables build re-paid seven co-sorts the SA already
+    # ran (~45 ms/MiB at round-4 scale)
+    sa, isa, ranks = suffix_array_isa_ranks(text, L=L)
 
     # nearest SA-neighbor with a smaller text position, on each side:
     # among all previous text positions these two share the longest
@@ -438,10 +443,6 @@ def _match_exact_device(text, *, max_len: int):
     nsv = jnp.where(rev >= 0, n - 1 - rev, -1)
     cd = jnp.where(rev >= 0, rval, -1)
 
-    L = 4
-    while L < max_len:
-        L *= 2
-    ranks = rank_tables(text, L)
     levels = sorted(ranks.keys())
 
     # all rank levels to SA order in ONE multi-operand co-sort

@@ -79,6 +79,78 @@ def suffix_array_device(text: jnp.ndarray) -> jnp.ndarray:
     return sa
 
 
+@functools.partial(jax.jit, static_argnames=("L",))
+def suffix_array_isa_ranks(text: jnp.ndarray, *, L: int):
+    """(sa, isa, {q: rank_q for q = 4..L}) in one doubling chain.
+
+    The LZ77/lcpcomp matchers need the SA, the ISA, and exact q-gram
+    equivalence classes at q = 4, 8, ..., L (``lzss_jax.rank_tables``).
+    The doubling SA construction computes all of these as by-products:
+    its round-k ranks ARE dense 2k-gram classes for every position with
+    2k in-range characters (induction over rounds: two in-range grams
+    compare equal iff their half-gram rank pairs do; truncated tails
+    may alias each other under the -1 pad, unlike rank_tables' unique
+    negative ids, but every consumer guards probes with
+    ``pos <= n - q``), and its final distinct rank IS the ISA. The
+    fused form saves rank_tables' seven co-sorts plus isa_device's one
+    (~45 ms/MiB of the exact matcher's round-4 cost).
+
+    The first log2(L) rounds are statically unrolled to capture the
+    level snapshots; the remaining rounds run in the usual while_loop.
+    """
+    n = text.shape[0]
+    idx = jnp.arange(n, dtype=_I32)
+
+    def densify(keys1, keys2):
+        s1, s2, s_idx = lax.sort(
+            (keys1, keys2, idx), dimension=0, num_keys=2, is_stable=True
+        )
+        changed = jnp.concatenate(
+            [
+                jnp.zeros(1, _I32),
+                ((s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])).astype(_I32),
+            ]
+        )
+        new_rank_sorted = jnp.cumsum(changed)
+        _, rank = lax.sort(
+            (s_idx, new_rank_sorted), dimension=0, num_keys=1,
+            is_stable=True,
+        )
+        return rank
+
+    def shifted(rank, k: int):
+        if k >= n:
+            return jnp.full(n, -1, _I32)
+        return jnp.concatenate([rank[k:], jnp.full(k, -1, _I32)])
+
+    rank = densify(text.astype(_I32), jnp.zeros(n, _I32))
+    ranks = {}
+    k = 1
+    while 2 * k <= L:
+        rank = densify(rank, shifted(rank, min(k, n)))
+        k *= 2
+        if k >= 4:
+            ranks[k] = rank
+
+    def round_body(state):
+        rank, k = state
+        padded = jnp.concatenate([rank, jnp.full(n, -1, _I32)])
+        key2 = lax.dynamic_slice(padded, (k,), (n,))
+        return densify(rank, key2), k * 2
+
+    def not_done(state):
+        rank, k = state
+        return (jnp.max(rank) < n - 1) & (k < 2 * n)
+
+    rank, _ = lax.while_loop(
+        not_done, round_body, (rank, jnp.asarray(k, _I32))
+    )
+    _, sa = lax.sort(
+        (rank, idx), dimension=0, num_keys=1, is_stable=True
+    )
+    return sa, rank, ranks
+
+
 @jax.jit
 def isa_device(sa: jnp.ndarray) -> jnp.ndarray:
     """Inverse permutation without scatter: co-sort iota by sa."""
