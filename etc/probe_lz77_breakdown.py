@@ -72,7 +72,8 @@ def main() -> None:
         sa, isa, ranks = suffix_array_isa_ranks(x, L=L)
         return sa, isa, ranks[L]
 
-    t = timeit(lambda: jax.jit(jax.vmap(sir))(bj), sync)
+    f_sir = jax.jit(jax.vmap(sir))
+    t = timeit(lambda: f_sir(bj), sync)
     print(f"sa+isa+ranks: {t*1e3:8.1f} ms/MiB", flush=True)
 
     def ansv(x):
@@ -81,7 +82,8 @@ def main() -> None:
         rev, rval = _psv_smaller(sa[::-1])
         return psv, rev, cu, rval
 
-    t = timeit(lambda: jax.jit(jax.vmap(ansv))(bj), sync)
+    f_ansv = jax.jit(jax.vmap(ansv))
+    t = timeit(lambda: f_ansv(bj), sync)
     print(f"+ansv:        {t*1e3:8.1f} ms/MiB", flush=True)
 
     def floors(x):
@@ -115,7 +117,8 @@ def main() -> None:
             l_dn = jnp.where((nsv >= 0) & (gend >= nsv), q, l_dn)
         return l_up, l_dn
 
-    t = timeit(lambda: jax.jit(jax.vmap(floors))(bj), sync)
+    f_fl = jax.jit(jax.vmap(floors))
+    t = timeit(lambda: f_fl(bj), sync)
     print(f"+floors:      {t*1e3:8.1f} ms/MiB", flush=True)
 
     f_all = jax.jit(jax.vmap(

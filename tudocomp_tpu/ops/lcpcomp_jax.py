@@ -65,6 +65,13 @@ def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
     n = covered.shape[0]
     pos = jnp.arange(n, dtype=_I32)
 
+    # dyadic window levels: candidate lengths are capped at max_len,
+    # so attacks come from distances <= max_len and the right check
+    # needs one window of size >= max_len
+    n_levels = 1
+    while (1 << n_levels) < max_len:
+        n_levels += 1
+
     def one_round(state):
         covered, chosen = state
         ncov = lax.cummin(
@@ -74,48 +81,66 @@ def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
         active = el >= threshold
         cur_max = jnp.max(jnp.where(active, el, 0))
 
-        # The whole upper band [ceil(cur_max/2), cur_max] emits in one
-        # round (a max-class-only schedule needs one round per distinct
-        # length — thousands on repetitive inputs; round 3 measured
-        # 22 s/MiB that way). Selection rules keep every emission one
-        # the reference's decreasing-length pop order could produce:
+        # **Local-dominance selection** (Luby-MIS shape). Order pops by
+        # decreasing (el, -pos) — a valid order of the reference's
+        # per-bucket pops. Candidate p emits this round iff it beats
+        # every candidate whose target interval overlaps p's:
         #
-        # - *max-class rule* (progress guarantee): a length-cur_max
-        #   candidate with no CLASS member within cur_max to its left —
-        #   the leftmost max candidate always qualifies, so every round
-        #   emits at least one factor;
-        # - *band rule*: any band candidate with (a) no band member
-        #   within cur_max to its left and (b) no band member inside
-        #   its own target interval.
+        #   right: no q in (p, p+el[p])        with el[q] >  el[p]
+        #   left:  no q with q + el[q] > p     with el[q] >= el[p]
         #
-        # Legality: any selected pair is disjoint (left gaps >= cur_max
-        # >= every band length; (b) clears the right side), and every
-        # PENDING longer candidate is disjoint from every selection —
-        # inside a selection's target is excluded by (b), overlapping
-        # from the left would need el > cur_max — so the round's
-        # emissions commute with all pending pops of greater length.
-        band = active & (2 * el >= cur_max)
-        cls = active & (el == cur_max)
+        # (ties break leftmost, so a left tie blocks and a right tie
+        # does not). Such a p is popped before every overlapping
+        # competitor, and no earlier pop can truncate it (an earlier
+        # overlapping pop would be a dominating competitor), so the
+        # round's emissions form a prefix of that pop order: legality
+        # and the reference's invariants are inherited, while every
+        # neighborhood makes progress simultaneously instead of the
+        # whole text waiting on the single global max class (the
+        # round-3 band rule ran thousands of rounds = 34 s/MiB).
+        #
+        # Both checks evaluate gather-free via dyadic windowed maxima:
+        # T_k[i] = max el over [i, i+2^k), built by log-shift maxima;
+        # queries are STATIC shifts of T_k. Windows over-approximate
+        # the exact ranges, which can only block extra candidates —
+        # legal (they stay pending) — never admit an illegal one:
+        # attacks are tested with thresholds <= the exact condition.
+        # Progress: the leftmost global max has no left >=-attacker
+        # (leftmost) and no right >-attacker (max), so it always emits.
+        elm = jnp.where(active, el, 0)
 
-        def prev_excl_of(members):
-            mpos = jnp.where(members, pos, -(1 << 30))
-            prev_incl = lax.cummax(mpos)
-            return jnp.concatenate(
-                [jnp.full(1, -(1 << 30), _I32), prev_incl[:-1]]
+        def shift_r(x, k):  # x[i - k], zero-pad (no attacker)
+            if k >= n:
+                return jnp.zeros_like(x)
+            return jnp.concatenate([jnp.zeros(k, _I32), x[:-k]])
+
+        def shift_l(x, k):  # x[i + k], zero-pad
+            if k >= n:
+                return jnp.zeros_like(x)
+            return jnp.concatenate([x[k:], jnp.zeros(k, _I32)])
+
+        tk = elm
+        left_atk = shift_r(elm, 1) >= jnp.maximum(el, 2)  # d = 1 exact
+        right_atk = jnp.zeros(n, bool)
+        for k in range(n_levels + 1):
+            w = 1 << k
+            if k > 0:
+                tk = jnp.maximum(tk, shift_l(tk, w // 2))
+            # tk[i] = max elm over [i, i + 2^k)
+            # left attackers at distance d in (2^k, 2^(k+1)] need
+            # el[q] >= max(el[p], d + 1) >= max(el[p], 2^k + 1)
+            left_atk = left_atk | (
+                shift_r(tk, 2 * w) >= jnp.maximum(el, w + 1)
             )
-
-        npos = jnp.where(band, pos, 1 << 30)
-        nxt_incl = lax.cummin(npos, reverse=True)
-        nxt_excl = jnp.concatenate(
-            [nxt_incl[1:], jnp.full(1, 1 << 30, _I32)]
-        )
-        sel_cls = cls & (pos - prev_excl_of(cls) >= cur_max)
-        sel_band = (
-            band
-            & (pos - prev_excl_of(band) >= cur_max)
-            & (nxt_excl >= pos + el)
-        )
-        selected = sel_cls | sel_band
+            # right attackers strictly inside (p, p + el[p]): one
+            # window [p+1, p+1+2^k) with 2^k >= el[p] covers it
+            is_level = (el <= 1) if k == 0 else (
+                (el > w // 2) & (el <= w)
+            )
+            right_atk = right_atk | (
+                is_level & (shift_l(tk, 1) > el)
+            )
+        selected = active & ~left_atk & ~right_atk
 
         # covered |= union of selected targets [p, p+el[p]): position x
         # is newly covered iff the max selected interval end at or

@@ -311,14 +311,17 @@ def _psv_smaller(A):
     )
 
 
-def _fetch_aligned_words(T4, i):
-    """64 big-endian text words (256 bytes) starting at BYTE index
+def _fetch_aligned_words(T4, i, w: int = 64):
+    """``w`` big-endian text words (4w bytes) starting at BYTE index
     ``i``, per row: one 128-lane row fetch from the overlapping word
     table (row r covers bytes [128r, 128r+512)), then a per-row lane
     alignment by 5 conditional STATIC lane shifts (word offset) and a
     per-row variable BIT shift (byte-in-word offset) — variable lane
-    rolls would be gathers, variable bit shifts are plain VPU ops."""
-    rows = T4[_srl_i32(i, 7)]  # (n, 128) i32
+    rolls would be gathers, variable bit shifts are plain VPU ops.
+    ``w <= 64``: the needed words live at [woff, woff + w + 1) with
+    woff < 32, so lanes beyond w + 32 drop right after the row fetch
+    and every alignment op runs at the narrow width."""
+    rows = T4[_srl_i32(i, 7)][:, : min(128, w + 33)]
     woff = _srl_i32(i & 127, 2)  # word offset in [0, 32)
     boff = (i & 3) << 3  # bit offset: 0/8/16/24
     r = rows
@@ -327,16 +330,16 @@ def _fetch_aligned_words(T4, i):
             [r[:, k:], jnp.zeros((r.shape[0], k), r.dtype)], axis=1
         )
         r = jnp.where((woff[:, None] & k) != 0, shifted, r)
-    w = r[:, :65]  # 65 words: byte alignment peeks one word ahead
+    wv = r[:, : w + 1]  # +1: byte alignment peeks one word ahead
     w_next = jnp.concatenate(
-        [w[:, 1:], jnp.zeros((w.shape[0], 1), w.dtype)], axis=1
+        [wv[:, 1:], jnp.zeros((wv.shape[0], 1), wv.dtype)], axis=1
     )
     b = boff[:, None]
     lo = jnp.where(
         b == 0, 0,
         _srl(w_next, jnp.broadcast_to(32 - b, w_next.shape))
     )
-    return jnp.where(b == 0, w, (w << b) | lo)[:, :64]
+    return jnp.where(b == 0, wv, (wv << b) | lo)[:, :w]
 
 
 def _srl(x, s):
@@ -369,12 +372,15 @@ def _refine_exact(text, T4, pos, cand, l0, limit, ranks, L: int):
         )
         length = jnp.where(ok, length + q, length)
         q //= 2
-    # one 256-byte (64-word) window settles the whole residual
-    wa = _fetch_aligned_words(T4, pos + length)
-    wb = _fetch_aligned_words(T4, cb + length)
-    lane64 = lax.broadcasted_iota(_I32, (n, 64), 1)
+    # one word-window round settles the whole residual: after the
+    # probes the residual is < min(l0, 256) <= 4W bytes, so W words
+    # suffice (W = 64 at cap 512; halves to 32 at cap 256)
+    W = max(16, min(64, L // 8))
+    wa = _fetch_aligned_words(T4, pos + length, W)
+    wb = _fetch_aligned_words(T4, cb + length, W)
+    lane64 = lax.broadcasted_iota(_I32, (n, W), 1)
     neq = wa != wb
-    first_w = jnp.min(jnp.where(neq, lane64, 64), axis=1)
+    first_w = jnp.min(jnp.where(neq, lane64, W), axis=1)
     # the mismatching word pair, selected by one-hot sum
     onehot = lane64 == first_w[:, None]
     xa = jnp.sum(jnp.where(onehot, wa, 0), axis=1)
@@ -387,7 +393,7 @@ def _refine_exact(text, T4, pos, cand, l0, limit, ranks, L: int):
             jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
         ),
     )
-    matched = jnp.where(first_w == 64, 256, first_w * 4 + lead)
+    matched = jnp.where(first_w == W, 4 * W, first_w * 4 + lead)
     add = jnp.clip(jnp.minimum(matched, limit - length), 0, None)
     return jnp.where(has, length + add, 0)
 
