@@ -263,9 +263,12 @@ def _group_dedup(keys, seqpos, blk_valid):
     )
     head_at = lax.cummax(jnp.where(head, idx, -1), axis=0)
     first_sorted = s_idx[head_at]  # original row of the group head
-    is_new = jnp.zeros(N, bool).at[s_idx].set(head & (s_idx >= 0))
-    first_idx = jnp.zeros(N, I32).at[s_idx].set(first_sorted)
-    return is_new & blk_valid, first_idx
+    # back to original row order by ONE co-sort on the permutation
+    # s_idx (permute-via-sort; scatters serialize on TPU)
+    _, is_new_i, first_idx = lax.sort(
+        (s_idx, head.astype(I32), first_sorted), num_keys=1
+    )
+    return (is_new_i == 1) & blk_valid, first_idx
 
 
 @functools.partial(jax.jit, static_argnames=("ilog",))
@@ -344,10 +347,19 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
     """Full ESP on the device: grammar bit-identical to ``esp_rounds``.
 
     Big rounds run on the accelerator at pow2-padded shapes (one
-    compilation per (bucket, ilog)); once the layer shrinks below
-    ``tail_cutoff`` the remaining rounds use the host array program
-    (``esp_vec.esp_round_vec``) — the tail is microseconds of work and
-    not worth a device dispatch. Returns (rules int64[R,2], root, empty).
+    compilation per (bucket, ilog)), and the layer stays **device
+    resident** between rounds: each round's ``s_next`` feeds the next
+    round through a static slice to the next pow2 bucket (block merge
+    guarantees nb <= n/2, so buckets shrink monotonically and the
+    slice is always in range). Per round the host pulls only the
+    ``(nb, R)`` scalar pair — needed anyway for the loop condition and
+    the exact ``iter_log(base)`` round structure — plus the R new rule
+    pairs (KBs); the round-3 version round-tripped the whole layer
+    through the host (~4 MB of d2h at tunnel speed per round). Once
+    the layer shrinks below ``tail_cutoff`` the remaining rounds use
+    the host array program (``esp_vec.esp_round_vec``) — the tail is
+    microseconds of work and not worth a device dispatch. Returns
+    (rules int64[R,2], root, empty).
     """
     s_host = np.frombuffer(data, np.uint8).astype(np.int64)
     if s_host.size == 0:
@@ -356,29 +368,36 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
         raise ValueError("device ESP requires len(data) < 2**30")
     chunks = []
     base = 256
-    while s_host.size > 1:
-        ilog = iter_log(base)
-        if s_host.size > tail_cutoff:
-            N = _pad_pow2(s_host.size)
-            pad = np.zeros(N, np.int32)
-            pad[: s_host.size] = s_host
+    if s_host.size > tail_cutoff:
+        N = _pad_pow2(s_host.size)
+        pad = np.zeros(N, np.int32)
+        pad[: s_host.size] = s_host
+        s_dev = jnp.asarray(pad)
+        n_cur = jnp.int32(s_host.size)
+        while True:
             s_next, nb, rules, R = _esp_round(
-                jnp.asarray(pad), jnp.int32(s_host.size),
-                jnp.int32(base), ilog=ilog,
+                s_dev, n_cur, jnp.int32(base), ilog=iter_log(base)
             )
-            nb = int(nb)
-            R = int(R)
-            rules_np = np.asarray(rules[:R], np.int64)
-            s_host = np.asarray(s_next[:nb], np.int64)
-        else:
-            top, rules_rel = esp_vec.esp_round_vec(s_host, base)
-            a = rules_rel[:, 0]
-            rules_rel[:, 0] = np.where(a < 0, base + (-a - 1), a)
-            rules_np = rules_rel
-            R = rules_np.shape[0]
-            s_host = base + top
-        chunks.append(rules_np)
-        base += R
+            nb_i, r_i = (
+                int(v) for v in np.asarray(jnp.stack([nb, R]))
+            )
+            chunks.append(np.asarray(rules[:r_i], np.int64))
+            base += r_i
+            if nb_i <= tail_cutoff:
+                s_host = np.asarray(
+                    s_next[: max(nb_i, 1)], np.int64
+                )[:nb_i]
+                break
+            N = _pad_pow2(nb_i)
+            s_dev = s_next[:N]  # static in-range slice, zero-padded
+            n_cur = nb
+    while s_host.size > 1:
+        top, rules_rel = esp_vec.esp_round_vec(s_host, base)
+        a = rules_rel[:, 0]
+        rules_rel[:, 0] = np.where(a < 0, base + (-a - 1), a)
+        chunks.append(rules_rel)
+        s_host = base + top
+        base += rules_rel.shape[0]
     all_rules = (
         np.concatenate(chunks) if chunks else np.zeros((0, 2), np.int64)
     )

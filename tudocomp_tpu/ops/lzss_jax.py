@@ -436,8 +436,12 @@ def _match_exact_device(text, *, max_len: int):
         L *= 2
     # SA + ISA + all q-gram rank levels from ONE doubling chain — the
     # separate rank_tables build re-paid seven co-sorts the SA already
-    # ran (~45 ms/MiB at round-4 scale)
-    sa, isa, ranks = suffix_array_isa_ranks(text, L=L)
+    # ran (~45 ms/MiB at round-4 scale). full=False: matches are
+    # capped at max_len <= L, so the TRUNCATED order (position ties
+    # inside equal-L-gram groups) gives the exact capped answer and
+    # skips the residual log(n/L) doubling rounds (sources stay strict
+    # back-references: ANSV candidates are smaller text positions).
+    sa, isa, ranks = suffix_array_isa_ranks(text, L=L, full=False)
 
     # nearest SA-neighbor with a smaller text position, on each side:
     # among all previous text positions these two share the longest
@@ -505,12 +509,61 @@ def _match_exact_device(text, *, max_len: int):
     )
 
     limit = jnp.minimum(n - 1 - pos, max_len)
-    l1 = _refine_exact(text, T4, pos, cu_t, lu_t, limit, ranks, L)
-    l2 = _refine_exact(text, T4, pos, cd_t, ld_t, limit, ranks, L)
-    take2 = l2 > l1
+    if L > 512:
+        # rank-probe descent differs per side: two full refines
+        l1 = _refine_exact(text, T4, pos, cu_t, lu_t, limit, ranks, L)
+        l2 = _refine_exact(text, T4, pos, cd_t, ld_t, limit, ranks, L)
+        take2 = l2 > l1
+        return (
+            jnp.where(take2, cd_t, cu_t),
+            jnp.where(take2, l2, l1),
+        )
+    # Floor dominance: floors are power-of-two levels, so the side
+    # with the strictly larger floor wins outright (lcp_hi >= l0_hi
+    # >= 2*l0_lo > lcp_lo); only FLOOR TIES need the other side, and
+    # on a tie both refines start from the same base — the pos-side
+    # window fetch is shared: 3 row fetches instead of 4.
+    hi_up = lu_t >= ld_t
+    cand_hi = jnp.where(hi_up, cu_t, cd_t)
+    cand_lo = jnp.where(hi_up, cd_t, cu_t)
+    l0 = jnp.maximum(lu_t, ld_t)
+    has_hi = cand_hi >= 0
+    has_lo = cand_lo >= 0
+    base = jnp.minimum(jnp.where(has_hi, l0, 0), limit)
+    W = max(16, min(64, L // 8))
+    wa = _fetch_aligned_words(T4, pos + base, W)
+
+    def settle(cand, has):
+        wb = _fetch_aligned_words(
+            T4, jnp.clip(cand, 0, n - 1) + base, W
+        )
+        lane = lax.broadcasted_iota(_I32, (n, W), 1)
+        neq = wa != wb
+        first_w = jnp.min(jnp.where(neq, lane, W), axis=1)
+        onehot = lane == first_w[:, None]
+        x = jnp.sum(jnp.where(onehot, wa, 0), axis=1) ^ jnp.sum(
+            jnp.where(onehot, wb, 0), axis=1
+        )
+        lead = jnp.where(
+            _srl_i32(x, 24) != 0, 0,
+            jnp.where(
+                (_srl_i32(x, 16) & 0xFF) != 0, 1,
+                jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
+            ),
+        )
+        matched = jnp.where(first_w == W, 4 * W, first_w * 4 + lead)
+        add = jnp.clip(jnp.minimum(matched, limit - base), 0, None)
+        return jnp.where(has, base + add, 0)
+
+    l_hi = settle(cand_hi, has_hi)
+    # lo result is consulted ONLY on floor ties (base then equals the
+    # lo side's own start, so the shared wa is exact there); elsewhere
+    # hi wins strictly and the lo garbage is discarded
+    l_lo = settle(cand_lo, has_lo)
+    tie_lo = (lu_t == ld_t) & (l_lo > l_hi)
     return (
-        jnp.where(take2, cd_t, cu_t),
-        jnp.where(take2, l2, l1),
+        jnp.where(tie_lo, cand_lo, cand_hi),
+        jnp.where(tie_lo, l_lo, l_hi),
     )
 
 

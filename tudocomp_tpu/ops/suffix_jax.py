@@ -79,9 +79,22 @@ def suffix_array_device(text: jnp.ndarray) -> jnp.ndarray:
     return sa
 
 
-@functools.partial(jax.jit, static_argnames=("L",))
-def suffix_array_isa_ranks(text: jnp.ndarray, *, L: int):
+@functools.partial(jax.jit, static_argnames=("L", "full"))
+def suffix_array_isa_ranks(text: jnp.ndarray, *, L: int,
+                           full: bool = True):
     """(sa, isa, {q: rank_q for q = 4..L}) in one doubling chain.
+
+    ``full=False`` stops doubling at L and orders equal-L-gram groups
+    by text position ("truncated suffix array"). For consumers that
+    cap match lengths at L this is EXACT: suffixes with lcp < L sit in
+    distinct L-groups (true lexicographic order), and within a group
+    every pair's capped lcp is L, so any group-adjacent neighbor is an
+    optimal capped candidate. The LZ77 matcher qualifies (its factors
+    are strict back-references, src < pos, so decode order never needs
+    the true rank); the lcpcomp candidate builder does NOT — its
+    forward-factor acyclicity proof hops along strictly decreasing
+    TRUE suffix ranks — and keeps ``full=True``. Skipping the residual
+    doubling rounds saves ~log(n/L) co-sort pairs per block.
 
     The LZ77/lcpcomp matchers need the SA, the ISA, and exact q-gram
     equivalence classes at q = 4, 8, ..., L (``lzss_jax.rank_tables``).
@@ -131,6 +144,17 @@ def suffix_array_isa_ranks(text: jnp.ndarray, *, L: int):
         k *= 2
         if k >= 4:
             ranks[k] = rank
+
+    if not full:
+        # truncated order: (rank_L, position) — position ties inside
+        # equal-L-gram groups; isa by inverting sa with one co-sort
+        _, sa = lax.sort(
+            (rank, idx), dimension=0, num_keys=2, is_stable=True
+        )
+        _, isa = lax.sort(
+            (sa, idx), dimension=0, num_keys=1, is_stable=True
+        )
+        return sa, isa, ranks
 
     def round_body(state):
         rank, k = state
