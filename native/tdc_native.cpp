@@ -3805,3 +3805,174 @@ int64_t tdc_lz78s_feed(void* h, const uint8_t* in, int64_t n,
 }
 
 }  // extern "C"
+
+// ---- streaming LZ78/LZW decode ------------------------------------------
+// One-pass decode parity with the reference decompressors
+// (LZ78Compressor.hpp:16-38 replays (ref, literal) pairs;
+// LZWCompressor.hpp uses lzw::decode_step): a heap-held handle carries
+// the undecoded bit tail plus the O(dict) expansion state across
+// chunks. Factor expansion walks the (parent, char) chains backward —
+// no reliance on output history, so output streams out chunk by chunk
+// (total walk cost equals the output size). The final-byte convention
+// (io/spec.md Finalization) needs the stream's last two bytes, so two
+// bytes are held back until the final feed. Token decode rolls back to
+// the token start on bit underrun (the VLC readers return -1 and the
+// fixed-width reader overshoots nbits detectably).
+
+struct TdcLz78DS {
+    std::vector<uint8_t> pend;  // undecoded payload tail
+    int64_t bit_off = 0;        // consumed bits within pend[0]
+    int lzw = 0;
+    int code_kind = 0;
+    int64_t dict_max = 0;
+    // LZ78: factor (ref, char); LZW: (pref, lastc) + open prev code
+    std::vector<int32_t> ref;
+    std::vector<uint8_t> ch;
+    std::vector<int32_t> pref;
+    std::vector<uint8_t> lastc;
+    int64_t lzw_prev = -1;
+    int64_t fc = 0, counter = 0;
+    std::vector<uint8_t> tmp, out;
+
+    void lzw_reset() {
+        pref.assign(256, -1);
+        lastc.resize(256);
+        for (int j = 0; j < 256; j++) lastc[size_t(j)] = (uint8_t)j;
+    }
+};
+
+extern "C" {
+
+void* tdc_lz78ds_new(int lzw, int64_t dict_max, int code_kind) {
+    TdcLz78DS* s = new (std::nothrow) TdcLz78DS();
+    if (!s) return nullptr;
+    s->lzw = lzw;
+    s->dict_max = dict_max;
+    s->code_kind = code_kind;
+    if (lzw) s->lzw_reset();
+    return s;
+}
+
+void tdc_lz78ds_free(void* h) { delete static_cast<TdcLz78DS*>(h); }
+
+// Feed a compressed chunk; decoded bytes accumulate in the handle
+// (drain with tdc_lz78ds_take). Returns the number of decoded bytes
+// now available, or -2 on a malformed stream.
+int64_t tdc_lz78ds_feed(void* h, const uint8_t* in, int64_t n,
+                        int final_chunk) {
+    TdcLz78DS* s = static_cast<TdcLz78DS*>(h);
+    s->pend.insert(s->pend.end(), in, in + n);
+    int64_t nbits;
+    const int hold = 2;  // final-byte convention needs the last bytes
+    if (final_chunk) {
+        // io/bitio.py parse_stream over the full remaining tail
+        int64_t nb = int64_t(s->pend.size());
+        if (nb == 0) return int64_t(s->out.size());
+        int f = s->pend[size_t(nb - 1)] & 7;
+        if (f >= 6) nbits = 8 * (nb - 2) + f;
+        else if (f) nbits = 8 * (nb - 1) + f;
+        else nbits = 8 * (nb - 1);
+        if (nbits < 0) nbits = 0;
+    } else {
+        if (int64_t(s->pend.size()) <= hold)
+            return int64_t(s->out.size());
+        nbits = 8 * (int64_t(s->pend.size()) - hold);
+    }
+    BitRd rd{s->pend.data(), nbits, s->bit_off};
+    while (rd.pos < nbits) {
+        int64_t save = rd.pos;
+        if (!s->lzw) {
+            int64_t r = rd.read_code(
+                s->code_kind, int(tdc_bits_for((uint64_t)s->fc)));
+            if (r < 0 || rd.pos >= nbits) { rd.pos = save; break; }
+            int64_t c;
+            if (s->code_kind == 1 || s->code_kind == 2 ||
+                s->code_kind == 3) {
+                c = rd.read_code(s->code_kind, 8);
+            } else {
+                c = rd.read(8);
+            }
+            if (c < 0 || rd.pos > nbits) { rd.pos = save; break; }
+            if (c > 255 || r > s->fc) return -2;  // malformed
+            // expand: chain walk (no output-history dependence)
+            s->tmp.clear();
+            s->tmp.push_back((uint8_t)c);
+            for (int64_t k = r; k > 0; k = s->ref[size_t(k - 1)])
+                s->tmp.push_back(s->ch[size_t(k - 1)]);
+            s->out.insert(s->out.end(), s->tmp.rbegin(),
+                          s->tmp.rend());
+            s->ref.push_back(int32_t(r));
+            s->ch.push_back((uint8_t)c);
+            s->fc++;
+            // trie size = factors + root
+            if (s->dict_max && s->fc + 1 == s->dict_max) {
+                s->ref.clear();
+                s->ch.clear();
+                s->fc = 0;
+            }
+        } else {
+            if (s->dict_max > 256 &&
+                s->counter == s->dict_max - 256) {
+                s->lzw_reset();
+                s->counter = 0;
+                s->lzw_prev = -1;
+            }
+            int64_t k = rd.read_code(
+                s->code_kind,
+                int(tdc_bits_for((uint64_t)(s->counter + 256))));
+            if (k < 0 || rd.pos > nbits) { rd.pos = save; break; }
+            int64_t have = int64_t(s->pref.size());
+            if (k > have) return -2;  // malformed
+            s->counter++;
+            // rebuild string of code k (or prev + first(prev) for the
+            // self-referential fresh-code case), reference
+            // lzw/LZWDecoding.hpp:13-49
+            s->tmp.clear();
+            if (k == have) {
+                if (s->lzw_prev < 0) return -2;
+                int64_t q = s->lzw_prev;
+                while (q >= 0) {
+                    s->tmp.push_back(s->lastc[size_t(q)]);
+                    q = s->pref[size_t(q)];
+                }
+                uint8_t first = s->tmp.back();
+                std::reverse(s->tmp.begin(), s->tmp.end());
+                s->tmp.push_back(first);
+            } else {
+                int64_t q = k;
+                while (q >= 0) {
+                    s->tmp.push_back(s->lastc[size_t(q)]);
+                    q = s->pref[size_t(q)];
+                }
+                std::reverse(s->tmp.begin(), s->tmp.end());
+            }
+            s->out.insert(s->out.end(), s->tmp.begin(), s->tmp.end());
+            if (s->lzw_prev >= 0) {
+                s->pref.push_back(int32_t(s->lzw_prev));
+                s->lastc.push_back(s->tmp.front());
+            }
+            s->lzw_prev = k;
+        }
+    }
+    s->bit_off = rd.pos;
+    // drop fully-consumed bytes from the tail
+    int64_t drop = s->bit_off >> 3;
+    if (drop > 0) {
+        s->pend.erase(s->pend.begin(), s->pend.begin() + drop);
+        s->bit_off &= 7;
+    }
+    if (final_chunk && rd.pos < nbits) return -2;  // stuck mid-stream
+    return int64_t(s->out.size());
+}
+
+// Copy and clear the decoded bytes accumulated by feed().
+int64_t tdc_lz78ds_take(void* h, uint8_t* dst, int64_t cap) {
+    TdcLz78DS* s = static_cast<TdcLz78DS*>(h);
+    int64_t m = int64_t(s->out.size());
+    if (m > cap) return -1;
+    if (m) memcpy(dst, s->out.data(), size_t(m));
+    s->out.clear();
+    return m;
+}
+
+}  // extern "C"

@@ -115,7 +115,10 @@ def test_cli_streams_without_blocks(tmp_path):
 def test_lz78_lzw_stream_matches_buffered(chunk):
     """LZ78/LZW one-pass streaming (trie + growing code width carried
     across chunks) == buffered, incl. dict_size resets straddling chunk
-    edges (reference LZ78Compressor.hpp:67 / LZWCompressor.hpp:42)."""
+    edges (reference LZ78Compressor.hpp:67 / LZWCompressor.hpp:42);
+    the decode direction streams too (undecoded bit tail + (parent,
+    char) dict carried in the native handle, token rollback at chunk
+    edges), byte-identical to the buffered decompressors."""
     from tudocomp_tpu import native
 
     if not native.available():
@@ -139,5 +142,8 @@ def test_lz78_lzw_stream_matches_buffered(chunk):
                 c.compress_stream(io.BytesIO(data), fout)
                 assert fout.getvalue() == expect, (algo, len(data))
                 assert c.decompress(expect) == data, (algo, len(data))
+                dout = io.BytesIO()
+                c.decompress_stream(io.BytesIO(expect), dout)
+                assert dout.getvalue() == data, (algo, len(data))
     finally:
         lz78_mod.STREAM_CHUNK = old

@@ -156,6 +156,9 @@ class LZ78Compressor(Compressor):
     def compress_stream(self, fin, fout) -> None:
         _lz78_compress_stream(self, fin, fout, lzw=False)
 
+    def decompress_stream(self, fin, fout) -> None:
+        _lz78_decompress_stream(self, fin, fout, lzw=False)
+
     @staticmethod
     def _decompress_bulk(reader) -> bytes | None:
         """Bulk BitCoder decode: factor widths are a known function of
@@ -233,3 +236,35 @@ def _lz78_compress_stream(self, fin, fout, *, lzw: bool) -> None:
     finally:
         stream.close()
     sink.close()
+
+
+def _lz78_decompress_stream(self, fin, fout, *, lzw: bool) -> None:
+    """One-pass streaming decode for LZ78/LZW, mirroring the reference
+    decompressors' single pass (``LZ78Compressor.hpp:16-38`` replays
+    (ref, literal) pairs; ``lzw/LZWDecoding.hpp:13-49`` decode_step).
+    The undecoded bit tail + the O(dict) (parent, char) expansion state
+    carry across chunks in a native handle; factor expansion walks
+    chains backward so output streams out without output-history
+    buffering — byte-identical to the buffered decode at every
+    chunking."""
+    from tudocomp_tpu import native
+
+    kind = _CODE_KINDS.get(
+        self.env.env_for_option("coder").cls.meta().name
+    )
+    if kind is None or not native.available():
+        fout.write(self.decompress(fin.read()))
+        return
+    dict_max = self.env.option("dict_size").as_int()
+    stream = native.Lz78DecStream(lzw, dict_max, kind)
+    try:
+        while True:
+            chunk = fin.read(STREAM_CHUNK)
+            final = not chunk
+            out = stream.feed(chunk, final)
+            if out:
+                fout.write(out)
+            if final:
+                break
+    finally:
+        stream.close()

@@ -154,6 +154,13 @@ class LZWCompressor(Compressor):
 
         _lz78_compress_stream(self, fin, fout, lzw=True)
 
+    def decompress_stream(self, fin, fout) -> None:
+        from tudocomp_tpu.compressors.lz78 import (
+            _lz78_decompress_stream,
+        )
+
+        _lz78_decompress_stream(self, fin, fout, lzw=True)
+
     # -- bulk fast paths (canonical parse; bit coder widths are a known
     #    function of the factor index) --------------------------------------
 

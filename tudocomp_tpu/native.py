@@ -289,6 +289,20 @@ def _load():
             ctypes.c_int, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78s_feed.restype = ctypes.c_int64
+        lib.tdc_lz78ds_new.argtypes = [
+            ctypes.c_int, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.tdc_lz78ds_new.restype = ctypes.c_void_p
+        lib.tdc_lz78ds_free.argtypes = [ctypes.c_void_p]
+        lib.tdc_lz78ds_free.restype = None
+        lib.tdc_lz78ds_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.tdc_lz78ds_feed.restype = ctypes.c_int64
+        lib.tdc_lz78ds_take.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78ds_take.restype = ctypes.c_int64
         lib.tdc_lzw_stream_decode.argtypes = \
             lib.tdc_lz78_stream_decode.argtypes
         lib.tdc_lzw_stream_decode.restype = ctypes.c_int64
@@ -1489,6 +1503,54 @@ class Lz78Stream:
             self._h = None
 
     def __del__(self):  # belt and braces; close() is the real path
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class Lz78DecStream:
+    """Stateful streaming LZ78/LZW decode (tdc_lz78ds_*): the bit tail
+    and the O(dict) (parent, char) expansion state live in a native
+    handle; each feed() decodes every token completed inside the chunk
+    (rolling back to the token start on bit underrun) and take()
+    drains the decoded bytes. Byte-identical to the buffered
+    decompressors for every chunking."""
+
+    def __init__(self, lzw: bool, dict_limit: int, code_kind: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.tdc_lz78ds_new(int(lzw), dict_limit, code_kind)
+        if not self._h:
+            raise MemoryError("tdc_lz78ds_new failed")
+
+    def feed(self, chunk: bytes, final: bool) -> bytes:
+        inp = np.frombuffer(chunk, np.uint8)
+        if inp.size == 0:
+            inp = np.zeros(1, np.uint8)
+            n = 0
+        else:
+            n = inp.size
+        got = self._lib.tdc_lz78ds_feed(
+            self._h, inp, n, 1 if final else 0
+        )
+        if got == -2:
+            raise ValueError("malformed lz78/lzw stream")
+        if got < 0:
+            raise ValueError("lz78 stream decode failure")
+        out = np.zeros(max(1, int(got)), np.uint8)
+        took = self._lib.tdc_lz78ds_take(self._h, out, int(got))
+        assert took == got
+        return out[:got].tobytes()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tdc_lz78ds_free(self._h)
+            self._h = None
+
+    def __del__(self):
         try:
             self.close()
         except Exception:
