@@ -3976,3 +3976,114 @@ int64_t tdc_lz78ds_take(void* h, uint8_t* dst, int64_t cap) {
 }
 
 }  // extern "C"
+
+// ---- streaming LZSS sliding-window decode --------------------------------
+// One-pass decode of the lzss window token stream (flag, delta, len |
+// flag, literal): back-copies reach at most `window` bytes, so the
+// handle keeps an O(window) output tail plus the undecoded bit tail.
+// Field widths follow the ABSOLUTE output position (the encoder's
+// Range(fpos) convention, LZSSSlidingWindowCompressor.hpp:86).
+
+struct TdcLzssDS {
+    std::vector<uint8_t> pend;
+    int64_t bit_off = 0;
+    int64_t window = 0;
+    int code_kind = 0;
+    int64_t abs = 0;          // absolute output cursor
+    std::vector<uint8_t> buf; // O(window) history + undrained output
+    int64_t drained = 0;      // buf[0..drained) already returned
+};
+
+extern "C" {
+
+void* tdc_lzssds_new(int64_t window, int code_kind) {
+    if (window < 1) return nullptr;
+    TdcLzssDS* s = new (std::nothrow) TdcLzssDS();
+    if (!s) return nullptr;
+    s->window = window;
+    s->code_kind = code_kind;
+    return s;
+}
+
+void tdc_lzssds_free(void* h) { delete static_cast<TdcLzssDS*>(h); }
+
+int64_t tdc_lzssds_feed(void* h, const uint8_t* in, int64_t n,
+                        int final_chunk) {
+    TdcLzssDS* s = static_cast<TdcLzssDS*>(h);
+    s->pend.insert(s->pend.end(), in, in + n);
+    int64_t nbits;
+    const int hold = 2;
+    if (final_chunk) {
+        int64_t nb = int64_t(s->pend.size());
+        if (nb == 0) return int64_t(s->buf.size()) - s->drained;
+        int f = s->pend[size_t(nb - 1)] & 7;
+        if (f >= 6) nbits = 8 * (nb - 2) + f;
+        else if (f) nbits = 8 * (nb - 1) + f;
+        else nbits = 8 * (nb - 1);
+        if (nbits < 0) nbits = 0;
+    } else {
+        if (int64_t(s->pend.size()) <= hold)
+            return int64_t(s->buf.size()) - s->drained;
+        nbits = 8 * (int64_t(s->pend.size()) - hold);
+    }
+    BitRd rd{s->pend.data(), nbits, s->bit_off};
+    const int w_len = int(tdc_bits_for((uint64_t)s->window));
+    while (rd.pos < nbits) {
+        int64_t save = rd.pos;
+        int64_t flag = rd.read_flag(s->code_kind);
+        if (flag < 0 || rd.pos > nbits) { rd.pos = save; break; }
+        if (flag) {
+            int64_t delta = rd.read_code(
+                s->code_kind, int(tdc_bits_for((uint64_t)s->abs)));
+            if (delta < 0 || rd.pos > nbits) { rd.pos = save; break; }
+            int64_t len = rd.read_code(s->code_kind, w_len);
+            if (len < 0 || rd.pos > nbits) { rd.pos = save; break; }
+            if (delta < 1 || delta > s->abs || delta > s->window ||
+                len < 1 || len > s->window)
+                return -2;
+            for (int64_t k = 0; k < len; k++) {
+                s->buf.push_back(
+                    s->buf[s->buf.size() - size_t(delta)]
+                );
+            }
+            s->abs += len;
+        } else {
+            int64_t c;
+            if (s->code_kind == 1 || s->code_kind == 2 ||
+                s->code_kind == 3) {
+                c = rd.read_code(s->code_kind, 8);
+            } else {
+                c = rd.read(8);
+            }
+            if (c < 0 || rd.pos > nbits) { rd.pos = save; break; }
+            if (c > 255) return -2;
+            s->buf.push_back((uint8_t)c);
+            s->abs += 1;
+        }
+    }
+    s->bit_off = rd.pos;
+    int64_t drop = s->bit_off >> 3;
+    if (drop > 0) {
+        s->pend.erase(s->pend.begin(), s->pend.begin() + drop);
+        s->bit_off &= 7;
+    }
+    if (final_chunk && rd.pos < nbits) return -2;
+    return int64_t(s->buf.size()) - s->drained;
+}
+
+int64_t tdc_lzssds_take(void* h, uint8_t* dst, int64_t cap) {
+    TdcLzssDS* s = static_cast<TdcLzssDS*>(h);
+    int64_t m = int64_t(s->buf.size()) - s->drained;
+    if (m > cap) return -1;
+    if (m) memcpy(dst, s->buf.data() + s->drained, size_t(m));
+    s->drained = int64_t(s->buf.size());
+    // trim: keep only the last `window` bytes of history
+    if (int64_t(s->buf.size()) > s->window) {
+        int64_t cut = int64_t(s->buf.size()) - s->window;
+        s->buf.erase(s->buf.begin(), s->buf.begin() + cut);
+        s->drained -= cut;
+    }
+    return m;
+}
+
+}  // extern "C"

@@ -89,6 +89,8 @@ def test_lzss_stream_matches_buffered(chunk):
             got = _stream(c, data, "compress_stream", chunk)
             assert got == expect, (algo, len(data))
             assert c.decompress(got) == data
+            dec = _stream(c, got, "decompress_stream", chunk)
+            assert dec == data, (algo, len(data))
 
 
 def test_cli_streams_without_blocks(tmp_path):

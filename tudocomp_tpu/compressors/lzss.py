@@ -793,5 +793,33 @@ def _lzss_compress_stream(self, fin, fout) -> None:
     sink.close()
 
 
+def _lzss_decompress_stream(self, fin, fout) -> None:
+    """One-pass O(window)-memory streaming decode: back-copies reach
+    at most ``window`` bytes, so the native handle keeps just the
+    output tail + the undecoded bit tail across chunks (token rollback
+    at chunk edges; absolute-position delta widths). Byte-identical to
+    the buffered decode at every chunking."""
+    from tudocomp_tpu import native
+
+    window = self.env.option("window").as_int()
+    kind = self._code_kind()
+    if kind is None or not native.available():
+        fout.write(self.decompress(fin.read()))
+        return
+    stream = native.LzssDecStream(window, kind)
+    try:
+        while True:
+            chunk = fin.read(STREAM_CHUNK)
+            final = not chunk
+            out = stream.feed(chunk, final)
+            if out:
+                fout.write(out)
+            if final:
+                break
+    finally:
+        stream.close()
+
+
 LZSSSlidingWindowCompressor.supports_streaming = True
 LZSSSlidingWindowCompressor.compress_stream = _lzss_compress_stream
+LZSSSlidingWindowCompressor.decompress_stream = _lzss_decompress_stream

@@ -303,6 +303,18 @@ def _load():
             ctypes.c_void_p, u8p, ctypes.c_int64,
         ]
         lib.tdc_lz78ds_take.restype = ctypes.c_int64
+        lib.tdc_lzssds_new.argtypes = [ctypes.c_int64, ctypes.c_int]
+        lib.tdc_lzssds_new.restype = ctypes.c_void_p
+        lib.tdc_lzssds_free.argtypes = [ctypes.c_void_p]
+        lib.tdc_lzssds_free.restype = None
+        lib.tdc_lzssds_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.tdc_lzssds_feed.restype = ctypes.c_int64
+        lib.tdc_lzssds_take.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int64,
+        ]
+        lib.tdc_lzssds_take.restype = ctypes.c_int64
         lib.tdc_lzw_stream_decode.argtypes = \
             lib.tdc_lz78_stream_decode.argtypes
         lib.tdc_lzw_stream_decode.restype = ctypes.c_int64
@@ -1548,6 +1560,51 @@ class Lz78DecStream:
     def close(self) -> None:
         if self._h:
             self._lib.tdc_lz78ds_free(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class LzssDecStream:
+    """Stateful streaming LZSS sliding-window decode (tdc_lzssds_*):
+    O(window) output tail + undecoded bit tail in a native handle;
+    byte-identical to the buffered decode for every chunking."""
+
+    def __init__(self, window: int, code_kind: int):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        self._lib = lib
+        self._h = lib.tdc_lzssds_new(window, code_kind)
+        if not self._h:
+            raise MemoryError("tdc_lzssds_new failed")
+
+    def feed(self, chunk: bytes, final: bool) -> bytes:
+        inp = np.frombuffer(chunk, np.uint8)
+        if inp.size == 0:
+            inp = np.zeros(1, np.uint8)
+            n = 0
+        else:
+            n = inp.size
+        got = self._lib.tdc_lzssds_feed(
+            self._h, inp, n, 1 if final else 0
+        )
+        if got == -2:
+            raise ValueError("malformed lzss stream")
+        if got < 0:
+            raise ValueError("lzss stream decode failure")
+        out = np.zeros(max(1, int(got)), np.uint8)
+        took = self._lib.tdc_lzssds_take(self._h, out, int(got))
+        assert took == got
+        return out[:got].tobytes()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.tdc_lzssds_free(self._h)
             self._h = None
 
     def __del__(self):
