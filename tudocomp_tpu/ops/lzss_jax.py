@@ -159,33 +159,25 @@ def _match_device(text, *, max_len: int):
         base = jnp.where(cq >= 0, q, base)
 
     limit = jnp.minimum(n - 1 - pos, max_len)
-    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
+    assert max_len <= 256, "device_fast caps matches at 256"
+    # Extension by ONE shared word-window round (round 4): both
+    # candidates share the same verified base (the largest matching
+    # class level), so the pos-side fetch is shared — 3 row fetches
+    # and two compare trees replace the former binary-lifting descent
+    # (~44 elementwise gathers: 417 ms/MiB measured on v5e).
+    T4 = _word_table(text)
+    W = 64  # residual <= 256 - base < 4W bytes
+    base_l = jnp.minimum(jnp.where(cand >= 0, base, 0), limit)
+    wa = _fetch_aligned_words(T4, pos + base_l, W)
 
-    def match_len(cand):
-        has = cand >= 0
-        length = jnp.minimum(base, limit)
-
-        def extend(length, q):
-            rq = ranks[q]
-            a = pos + length
-            b = cand + length
-            in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
-            ra = rq[jnp.clip(a, 0, n - 1)]
-            rb = rq[jnp.clip(b, 0, n - 1)]
-            ok = has & in_rng & (ra == rb) & (length + q <= limit)
-            return jnp.where(ok, length + q, length)
-
-        for _ in range(max(1, max_len // 64)):
-            length = extend(length, 64)
-        for q in (32, 16, 8, 4):
-            length = extend(length, q)
-        # settle the final 0-3 bytes
-        for _ in range(3):
-            a = tb[jnp.clip(pos + length, 0, n)]
-            b = tb[jnp.clip(cand + length, 0, n)]
-            ok = has & (length < limit) & (a == b) & (cand + length < n)
-            length = jnp.where(ok, length + 1, length)
-        return jnp.where(has, length, 0)
+    def match_len(c):
+        has = c >= 0
+        wb = _fetch_aligned_words(
+            T4, jnp.clip(c, 0, n - 1) + base_l, W
+        )
+        matched = _window_settle(wa, wb, W)
+        add = jnp.clip(jnp.minimum(matched, limit - base_l), 0, None)
+        return jnp.where(has, base_l + add, 0)
 
     l1 = match_len(cand)
     l2 = match_len(cand2)
@@ -311,6 +303,49 @@ def _psv_smaller(A):
     )
 
 
+def _word_table(text):
+    """Overlapping big-endian word rows for the window compares: row r
+    holds the 128 words of bytes [128r, 128r+512)."""
+    n = text.shape[0]
+    R2 = (n + 127) // 128
+    textp = jnp.concatenate(
+        [text, jnp.zeros(R2 * 128 + 512 - n, jnp.uint8)]
+    )
+    le = lax.bitcast_convert_type(textp.reshape(-1, 4), jnp.uint32)
+    W = lax.bitcast_convert_type(
+        ((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
+        | ((le >> 8) & 0xFF00) | (le >> 24),
+        jnp.int32,
+    )
+    return jnp.concatenate(
+        [
+            W[32 * k : 32 * k + 32 * R2].reshape(R2, 32)
+            for k in range(4)
+        ],
+        axis=1,
+    )
+
+
+def _window_settle(wa, wb, W: int):
+    """Matched byte count of two aligned W-word windows (0..4W)."""
+    n = wa.shape[0]
+    lane = lax.broadcasted_iota(_I32, (n, W), 1)
+    neq = wa != wb
+    first_w = jnp.min(jnp.where(neq, lane, W), axis=1)
+    onehot = lane == first_w[:, None]
+    x = jnp.sum(jnp.where(onehot, wa, 0), axis=1) ^ jnp.sum(
+        jnp.where(onehot, wb, 0), axis=1
+    )
+    lead = jnp.where(
+        _srl_i32(x, 24) != 0, 0,
+        jnp.where(
+            (_srl_i32(x, 16) & 0xFF) != 0, 1,
+            jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
+        ),
+    )
+    return jnp.where(first_w == W, 4 * W, first_w * 4 + lead)
+
+
 def _fetch_aligned_words(T4, i, w: int = 64):
     """``w`` big-endian text words (4w bytes) starting at BYTE index
     ``i``, per row: one 128-lane row fetch from the overlapping word
@@ -378,22 +413,7 @@ def _refine_exact(text, T4, pos, cand, l0, limit, ranks, L: int):
     W = max(16, min(64, L // 8))
     wa = _fetch_aligned_words(T4, pos + length, W)
     wb = _fetch_aligned_words(T4, cb + length, W)
-    lane64 = lax.broadcasted_iota(_I32, (n, W), 1)
-    neq = wa != wb
-    first_w = jnp.min(jnp.where(neq, lane64, W), axis=1)
-    # the mismatching word pair, selected by one-hot sum
-    onehot = lane64 == first_w[:, None]
-    xa = jnp.sum(jnp.where(onehot, wa, 0), axis=1)
-    xb = jnp.sum(jnp.where(onehot, wb, 0), axis=1)
-    x = xa ^ xb
-    lead = jnp.where(
-        _srl_i32(x, 24) != 0, 0,
-        jnp.where(
-            (_srl_i32(x, 16) & 0xFF) != 0, 1,
-            jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
-        ),
-    )
-    matched = jnp.where(first_w == W, 4 * W, first_w * 4 + lead)
+    matched = _window_settle(wa, wb, W)
     add = jnp.clip(jnp.minimum(matched, limit - length), 0, None)
     return jnp.where(has, length + add, 0)
 
@@ -486,27 +506,7 @@ def _match_exact_device(text, *, max_len: int):
         (sa, cu, cd, l_up, l_dn), num_keys=1
     )
 
-    # overlapping big-endian word rows for the window compares: row r
-    # holds the 128 words of bytes [128r, 128r+512)
-    R2 = (n + 127) // 128
-    textp = jnp.concatenate(
-        [text, jnp.zeros(R2 * 128 + 512 - n, jnp.uint8)]
-    )
-    le = lax.bitcast_convert_type(
-        textp.reshape(-1, 4), jnp.uint32
-    )
-    W = lax.bitcast_convert_type(
-        ((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
-        | ((le >> 8) & 0xFF00) | (le >> 24),
-        jnp.int32,
-    )  # (R2*32 + 128,) big-endian words
-    T4 = jnp.concatenate(
-        [
-            W[32 * k : 32 * k + 32 * R2].reshape(R2, 32)
-            for k in range(4)
-        ],
-        axis=1,
-    )
+    T4 = _word_table(text)
 
     limit = jnp.minimum(n - 1 - pos, max_len)
     if L > 512:
@@ -537,21 +537,7 @@ def _match_exact_device(text, *, max_len: int):
         wb = _fetch_aligned_words(
             T4, jnp.clip(cand, 0, n - 1) + base, W
         )
-        lane = lax.broadcasted_iota(_I32, (n, W), 1)
-        neq = wa != wb
-        first_w = jnp.min(jnp.where(neq, lane, W), axis=1)
-        onehot = lane == first_w[:, None]
-        x = jnp.sum(jnp.where(onehot, wa, 0), axis=1) ^ jnp.sum(
-            jnp.where(onehot, wb, 0), axis=1
-        )
-        lead = jnp.where(
-            _srl_i32(x, 24) != 0, 0,
-            jnp.where(
-                (_srl_i32(x, 16) & 0xFF) != 0, 1,
-                jnp.where((_srl_i32(x, 8) & 0xFF) != 0, 2, 3),
-            ),
-        )
-        matched = jnp.where(first_w == W, 4 * W, first_w * 4 + lead)
+        matched = _window_settle(wa, wb, W)
         add = jnp.clip(jnp.minimum(matched, limit - base), 0, None)
         return jnp.where(has, base + add, 0)
 
