@@ -30,6 +30,29 @@ def test_sharded_matches_single_device():
     assert codec.decompress(single) == data
 
 
+def test_hist_cap_batchsplit_and_mesh_invariance(monkeypatch):
+    """With the HIST_SEGS cap ACTIVE (patched low so >16 MiB inputs
+    aren't needed), the table histogram covers exactly the first
+    HIST_SEGS segments: containers must be byte-identical across batch
+    splits (incl. a batch straddling the cap -> hist_limit mask) and
+    across mesh shapes (per-shard global-index mask)."""
+    import tudocomp_tpu.models.blockcodec as bc
+
+    monkeypatch.setattr(bc, "HIST_SEGS", 48)
+    data = (_data() * 32)[: 100 * 2048]
+    nseg = -(-len(data) // 2048)
+    assert BlockCodec.sample_rule(nseg)
+    # batch_lanes=32: batches at 0/32/64/96 -> lo=32 straddles the cap
+    # (hist_limit=16), lo>=64 skips histogram work entirely
+    split = BlockCodec(batch_lanes=32).compress(data)
+    single = BlockCodec().compress(data)
+    assert split == single
+    assert BlockCodec().decompress(single) == data
+    for sp in (1, 2):
+        mesh = make_mesh(8, sp=sp)
+        assert compress_sharded(BlockCodec(), mesh, data) == single, sp
+
+
 def test_sharded_matches_single_device_sampled():
     """>= 64 segments: the histogram runs sampled (1-in-8); byte
     identity must survive because the per-shard sample unions to the
