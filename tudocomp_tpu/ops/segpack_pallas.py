@@ -25,6 +25,19 @@ Shared structure per step (rows = G * rows_per_segment, 128 lanes):
 
 Outputs are big-endian u32 word rows per segment plus total bits —
 bit-identical to the chunked kernels and the host spec.
+
+Fusion note (round 4): a single-pass RLE->Huffman kernel (huff-map
+each RLE token byte at emission, one placement instead of two) was
+designed and rejected. The blocker is worst-case per-ROW expansion:
+runs of two emit 3 stream bytes per 2 input bytes (cc pair + vbyte),
+so an input word row can emit 768 symbols = 12,288 bits = 384 words —
+the placement window must grow from 384 to 512 words and the
+placement one-hot volume grows ~2.2x, eating the saved second pass.
+The two-stage split avoids this because the Huffman stage reads the
+COMPACTED stream (rows are stream rows, bounded 512 symbols). The
+intermediate sel_words HBM round trip the fusion would remove costs
+<1 ms at 64 MiB; the encode critical path is placement compute, not
+traffic.
 """
 
 from __future__ import annotations
