@@ -91,3 +91,92 @@ def test_unbwt_device_matches_host():
         want = bwt_decode(bwt.tobytes())
         got = np.asarray(unbwt_device(jnp.asarray(bwt))).tobytes()
         assert got == want, len(data)
+
+
+def test_suffix_array_isa_ranks_full_and_truncated():
+    """The fused doubling chain: full mode reproduces the plain SA and
+    a true ISA, rank levels are exact q-gram equivalence classes for
+    in-range positions AND collision-free for truncated tails;
+    truncated mode orders by (L-gram class, position)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tudocomp_tpu.ops.suffix_jax import (
+        suffix_array_device, suffix_array_isa_ranks,
+    )
+
+    rng = np.random.default_rng(17)
+    for n, L in ((1, 8), (7, 8), (200, 16), (515, 32)):
+        text = rng.integers(97, 101, n, dtype=np.uint8)
+        tj = jnp.asarray(text)
+        sa, isa, ranks = (
+            np.asarray(x) if not isinstance(x, dict) else x
+            for x in suffix_array_isa_ranks(tj, L=L)
+        )
+        assert np.array_equal(sa, np.asarray(suffix_array_device(tj)))
+        assert np.array_equal(isa[sa], np.arange(n))
+        for q, r in ranks.items():
+            r = np.asarray(r)
+            grams = [text[i : i + q].tobytes() for i in range(n)]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    eq_rank = r[i] == r[j]
+                    if i + q <= n and j + q <= n:
+                        assert eq_rank == (grams[i] == grams[j]), (q, i, j)
+                    else:
+                        # truncated tails never alias anything
+                        assert not eq_rank, (q, i, j)
+        # truncated mode: (rank_L, position) order
+        sa_t, isa_t, ranks_t = suffix_array_isa_ranks(
+            tj, L=L, full=False
+        )
+        sa_t = np.asarray(sa_t)
+        rL = np.asarray(ranks_t[max(ranks_t)]) if ranks_t else None
+        assert np.array_equal(np.asarray(isa_t)[sa_t], np.arange(n))
+        if rL is not None:
+            keys = [(int(rL[p]), int(p)) for p in sa_t]
+            assert keys == sorted(keys)
+
+
+def test_window_fetch_and_settle():
+    """_fetch_aligned_words returns the exact byte windows at every
+    alignment, and _window_settle counts matched bytes exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tudocomp_tpu.ops.lzss_jax import (
+        _fetch_aligned_words, _window_settle, _word_table,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 700
+    text = rng.integers(0, 4, n, dtype=np.uint8)
+    T4 = _word_table(jnp.asarray(text))
+    idx = np.arange(n, dtype=np.int32)
+    for W in (16, 64):
+        got = np.asarray(
+            jax.jit(lambda i: _fetch_aligned_words(T4, i, W))(
+                jnp.asarray(idx)
+            )
+        )
+        padded = np.concatenate([text, np.zeros(4 * W + 8, np.uint8)])
+        for i in range(0, n, 37):
+            want = padded[i : i + 4 * W]
+            have = np.frombuffer(
+                np.ascontiguousarray(got[i], ">u4").tobytes(), np.uint8
+            )
+            assert np.array_equal(have, want), (W, i)
+    # settle: matched-byte counts against brute force
+    a = np.arange(n, dtype=np.int32)
+    b = np.minimum(a + 13, n - 1).astype(np.int32)
+    W = 16
+    wa = _fetch_aligned_words(T4, jnp.asarray(a), W)
+    wb = _fetch_aligned_words(T4, jnp.asarray(b), W)
+    m = np.asarray(_window_settle(wa, wb, W))
+    padded = np.concatenate([text, np.zeros(4 * W + 8, np.uint8)])
+    for i in range(0, n, 53):
+        k = 0
+        while k < 4 * W and padded[a[i] + k] == padded[b[i] + k]:
+            k += 1
+        assert int(m[i]) == k, i
