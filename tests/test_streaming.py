@@ -149,3 +149,36 @@ def test_lz78_lzw_stream_matches_buffered(chunk):
                 assert dout.getvalue() == data, (algo, len(data))
     finally:
         lz78_mod.STREAM_CHUNK = old
+
+
+def test_stream_decoders_reject_garbage():
+    """Malformed/truncated inputs into the native streaming decoders
+    must raise (or decode to *something*) without crashing the
+    process — the handles index dict/history state with
+    attacker-controlled values."""
+    from tudocomp_tpu import native
+
+    if not native.available():
+        pytest.skip("native runtime required")
+    rng = np.random.default_rng(99)
+    algos = [
+        "lz78(coder=bit)", "lz78(coder=gamma)",
+        "lzw(coder=bit)", "lzw(coder=delta, dict_size=300)",
+        "lzss(coder=bit)", "lzss(coder=gamma, window=64)",
+    ]
+    for algo in algos:
+        c = REG.instantiate(algo)
+        good = c.compress(_corpus(4, 20000))
+        cases = [
+            rng.integers(0, 256, 333, dtype=np.uint8).tobytes(),
+            good[: len(good) // 2],          # truncated
+            good[:-1],                        # lost final byte
+            bytes([b ^ 0x80 for b in good[:200]]) + good[200:],
+        ]
+        for i, bad in enumerate(cases):
+            fout = io.BytesIO()
+            try:
+                c.decompress_stream(io.BytesIO(bad), fout)
+            except (ValueError, IndexError):
+                pass  # clean rejection
+            # no crash == pass; output may be garbage for bit flips

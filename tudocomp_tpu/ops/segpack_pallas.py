@@ -953,7 +953,7 @@ def _huffman_kernel_w4(lengths_ref, data_ref, table_ref, words_ref,
                        bits_ref, acc_ref, *, wt: int, g: int):
     c = pl.program_id(0)
     w = data_ref[...]  # (g*W4_ROWS, 128) i32 big-endian rle-stream words
-    table = table_ref[:, :]  # (8, 256) bf16: hi/lo/len rows
+    table = table_ref[:, :]  # (16, 16) f32: T[hi, lo] = code<<8 | len
     rows = g * W4_ROWS
     lane = lax.broadcasted_iota(_I32, (rows, LANES), 1)
     row = lax.broadcasted_iota(_I32, (rows, LANES), 0)
@@ -965,41 +965,54 @@ def _huffman_kernel_w4(lengths_ref, data_ref, table_ref, words_ref,
     for gi in range(g):
         cnt = jnp.where(seg_idx == gi, lengths_ref[c * g + gi], cnt)
 
-    # per-byte (hi, lo, len) lookup: same blocked one-hot dots as the
-    # byte kernel — 4 plane chunks per word row, B word rows per dot
-    bins = lax.broadcasted_iota(_I32, (256, LANES), 0)
+    # per-byte (code, len) lookup via TWO-LEVEL nibble one-hots
+    # (round 4): the 256-bin one-hot cost 256 VPU compares per byte —
+    # the kernel's largest elementwise term. Instead the wrapper packs
+    # the table as T[hi, lo] = (code << 8 | len) < 2^24 (exact in
+    # f32); per block: M = T @ lo_onehot selects each byte's hi-ROW,
+    # then one masked sum over 16 hi rows picks the entry — 32
+    # compares + 16 multiply-adds per byte, ~4x less one-hot volume.
+    # table_ref here is (16, 16*LANES): row h holds T[h, lo] tiled.
+    bins16 = lax.broadcasted_iota(_I32, (16, LANES), 0)
     B = W4_ROWS
-    got_rows = [
-        {"hi": [], "lo": [], "ln": []} for _ in range(4)
-    ]
+    got_rows = [{"code": [], "ln": []} for _ in range(4)]
     for r0 in range(0, rows, B):
-        oh = jnp.concatenate(
+        cols = [
+            planes[k][r0 + i] for i in range(B) for k in range(4)
+        ]
+        lo_oh = jnp.concatenate(
             [
-                (bins == planes[k][r0 + i][None, :]).astype(jnp.bfloat16)
-                for i in range(B)
-                for k in range(4)
+                (bins16 == (c_ & 15)[None, :]).astype(jnp.float32)
+                for c_ in cols
             ],
             axis=1,
-        )  # (256, B*4*128)
-        got = lax.dot_general(
-            table, oh, (((1,), (0,)), ((), ())),
+        )  # (16, B*4*128)
+        m = lax.dot_general(
+            table, lo_oh, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
-        )
+        )  # (16, B*4*128): row h = packed T[h, lo_j]
         j = 0
         for i in range(B):
             for k in range(4):
-                sl = got[:, j * LANES : (j + 1) * LANES]
-                got_rows[k]["hi"].append(sl[0:1])
-                got_rows[k]["lo"].append(sl[1:2])
-                got_rows[k]["ln"].append(sl[2:3])
+                hi_n = _srl(cols[i * 4 + k], 4)  # byte >> 4
+                msl = m[:, j * LANES : (j + 1) * LANES]
+                sel = jnp.sum(
+                    jnp.where(
+                        bins16 == hi_n[None, :], msl, 0.0
+                    ),
+                    axis=0,
+                )
+                packed = sel.astype(_I32)[None, :]
+                got_rows[k]["code"].append(_srl(packed, 8))
+                got_rows[k]["ln"].append(packed & 0xFF)
                 j += 1
     vals, lens_ = [], []
     for k in range(4):
-        hi = jnp.concatenate(got_rows[k]["hi"], axis=0).astype(_I32)
-        lo = jnp.concatenate(got_rows[k]["lo"], axis=0).astype(_I32)
-        ln = jnp.concatenate(got_rows[k]["ln"], axis=0).astype(_I32)
+        code = jnp.concatenate(got_rows[k]["code"], axis=0)
+        ln = jnp.concatenate(got_rows[k]["ln"], axis=0)
         pos = in_seg_row * 512 + lane * 4 + k
-        vals.append((hi << 8) | lo)
+        vals.append(code)
         lens_.append(jnp.where(pos < cnt, ln, 0))
 
     va, la_, vb, lb, qlen = _w4_fuse(vals, lens_)
@@ -1237,16 +1250,14 @@ def _huffman_pack_w4_jit(words_be, counts, sym_code, sym_len, *,
     data_w = lax.bitcast_convert_type(words_be, jnp.int32).reshape(
         nc * W4_ROWS, LANES
     )
-    code = sym_code.astype(jnp.uint32)
-    table = jnp.stack(
-        [
-            ((code >> 8) & 0xFF).astype(jnp.float32),
-            (code & 0xFF).astype(jnp.float32),
-            sym_len.astype(jnp.float32),
-        ]
-        + [jnp.zeros(256, jnp.float32)] * 5,
-        axis=0,
-    ).astype(jnp.bfloat16)
+    # packed nibble table for the two-level lookup: T[hi, lo] =
+    # (code << 8) | len — codes <= 16 bits, so entries < 2^24 stay
+    # exact in f32 through the dot + masked-sum select
+    packed = (
+        (sym_code.astype(jnp.uint32) << 8)
+        | sym_len.astype(jnp.uint32)
+    ).astype(jnp.float32)
+    table = packed.reshape(16, 16)
     kernel = functools.partial(_huffman_kernel_w4, wt=HUF_WT, g=g)
     words, bits = pl.pallas_call(
         kernel,
