@@ -76,13 +76,37 @@ def test_sharded_decode_roundtrip():
 
 
 def test_graft_entry():
-    import __graft_entry__ as ge
+    """Compile-check the driver's single-chip entry in a FRESH
+    interpreter — the same way the driver itself runs it. In-process,
+    this jit compile segfaults the XLA:CPU backend after a few hundred
+    prior tests' live programs (state-dependent rc=139; the round-3
+    verdict hit the same bug on dryrun_multichip, and the round-4
+    nibble-lookup kernel moved the trigger here). Solo the compile
+    always passes, so the subprocess is both the faithful reproduction
+    and the isolation fix."""
+    import os
+    import subprocess
+    import sys
 
-    fn, args = ge.entry()
-    import jax
-
-    out = jax.jit(fn)(*args)
-    assert len(out) == 3
+    root = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    child = (
+        "import os, sys; "
+        "os.environ['JAX_PLATFORMS'] = 'cpu'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "sys.path.insert(0, %r); "
+        "import __graft_entry__ as ge; "
+        "fn, args = ge.entry(); "
+        "out = jax.jit(fn)(*args); "
+        "assert len(out) == 3; print('ENTRY_OK')" % root
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", child],
+        capture_output=True, text=True, env=env, cwd=root, timeout=900,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "ENTRY_OK" in r.stdout
 
 
 def test_graft_dryrun_multichip():
