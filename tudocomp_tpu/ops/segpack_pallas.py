@@ -418,6 +418,11 @@ def _place_quad(va, la, vb, lb, offs, row_base, acc_ref, out_ref,
     mid = spa | p1b
     w0 = _srl(offs, 5)
 
+    # Round-4 negative result: a kron-factored one-hot ([w0 == w] =
+    # [w0>>4 == s]*[w0&15 == b], dot against the 16-wide factor, ~2x
+    # less VPU compare volume) is rejected by Mosaic on real TPU —
+    # the (12*24, 16) -> (12, 384) result reshape is an unsupported
+    # sublane->lane shape cast (works in interpret mode only).
     acc_ref[:, :] = jnp.zeros((g * 12, wt), jnp.float32)
     a_planes = _byte_planes_bf16(p1a)
     m_planes = _byte_planes_bf16(mid)
