@@ -17,3 +17,17 @@ class NoopCompressor(Compressor):
 
     def decompress(self, data: bytes) -> bytes:
         return bytes(data)
+
+    # one-pass identity streaming (the reference's default
+    # mode="stream" copies Input::as_stream -> Output,
+    # NoopCompressor.hpp:29-44)
+    supports_streaming = True
+
+    def compress_stream(self, fin, fout) -> None:
+        while True:
+            chunk = fin.read(1 << 20)
+            if not chunk:
+                return
+            fout.write(chunk)
+
+    decompress_stream = compress_stream
