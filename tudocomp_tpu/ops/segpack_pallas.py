@@ -977,7 +977,8 @@ def _huffman_kernel_w4(lengths_ref, data_ref, table_ref, words_ref,
     # f32); per block: M = T @ lo_onehot selects each byte's hi-ROW,
     # then one masked sum over 16 hi rows picks the entry — 32
     # compares + 16 multiply-adds per byte, ~4x less one-hot volume.
-    # table_ref here is (16, 16*LANES): row h holds T[h, lo] tiled.
+    # table_ref here is (16, 16) f32 with T[hi, lo] = code<<8|len; the
+    # dot contracts the 16-wide lo axis directly.
     bins16 = lax.broadcasted_iota(_I32, (16, LANES), 0)
     B = W4_ROWS
     got_rows = [{"code": [], "ln": []} for _ in range(4)]

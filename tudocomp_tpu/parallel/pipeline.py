@@ -242,6 +242,12 @@ def factorize_blocks_sharded(mesh: Mesh, blocks: np.ndarray,
     from tudocomp_tpu.ops.lzss_jax import _match_exact_device, commit_walk
 
     b, n = blocks.shape
+    if n > 1 << 24:
+        # _psv_smaller packs lane<<24 + value into int32 (ADVICE r4):
+        # per-block positions must stay < 2**24
+        raise ValueError(
+            "exact device matcher requires block length <= 2**24"
+        )
     axes = _mesh_axes(mesh)
     spec = P(axes, None)
     arr = jax.device_put(
