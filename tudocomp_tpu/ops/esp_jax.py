@@ -1,29 +1,34 @@
-"""Device ESP rounds (JAX): the whole round as fixed-shape array passes.
+"""Device ESP rounds (JAX): ALL rounds fused into one XLA program.
 
-Op-for-op mirror of the numpy specification in ``ops/esp_vec.py``
-(itself pinned grammar-identical to the host ``esp_rounds``, reference
-``esp/EspContextImpl.hpp:14-165``), reformulated for XLA:
+Grammar-identical re-derivation of the host ESP round loop
+(``ops/esp_vec.py`` spec; reference ``esp/EspContextImpl.hpp:14-165``),
+shaped by round-5 measurements on the v5e:
 
-- everything runs at a static padded length ``N`` with a validity
-  scalar ``n`` — no data-dependent shapes inside ``jit``;
-- run/segment/region bookkeeping is per-position (start-position
-  cummax, next-boundary suffix cummin) instead of compacted run lists;
-- the per-region suffix-min (next-landmark lookup) is a segmented
-  associative scan instead of the numpy band trick;
-- rule dedup + first-encounter ranking uses two lexicographic
-  ``lax.sort`` passes (key columns + sequence position) instead of
-  ``np.unique``: within a sorted group the head row carries the
-  minimal sequence position, and global rule ids fall out of one
-  exclusive cumsum over interleaved "new inner / new outer" flags —
-  no 64-bit packed keys needed;
-- compactions (block starts, merged block lengths) are cumsum +
-  scatter with OOB-drop dump slots.
+- **One dispatch for the whole round chain.** Rounds halve the layer
+  (every block has length >= 2), so a static pow2 halving schedule
+  ``N0, N0/2, ...`` always fits the live layer; the fused program runs
+  every round back-to-back on device. The round-4 version paid a
+  ~28 ms tunnel sync plus a rules d2h PER ROUND (~450 ms of floor at
+  1 MiB); this version syncs twice total (scalars+tail, rules).
+- **No scatters, no symbol gathers.** Measured per 1M elements: scatter
+  ~50 ms, gather ~10 ms, 4-operand sort ~5 ms, scan ~1 ms. Hence:
+  block symbols (a, b, c) are *shifts* read at block-head positions
+  (the whole round works on the text domain, not a compacted block
+  domain); the 1-block merge emits flags via +-3-position shifts
+  instead of compaction; rules land in id order via ONE compaction
+  sort (targets are distinct ids) written into a global rules buffer
+  with ``dynamic_update_slice`` (contiguous copy, not scatter); the
+  next layer compacts by one 2-operand sort; dedup group heads
+  propagate by a last-valid ``associative_scan`` instead of a gather.
+- Remaining per-round gathers: the two first-encounter id lookups
+  (``idA_head[firstA]``, ``idB_head[firstB]``) — genuinely random
+  access.
 
-``esp_rounds_jax(data)`` runs the big early rounds on the device and
-finishes the short tail (below ``tail_cutoff`` symbols) with the host
-``esp_round_vec``, producing a grammar bit-identical to ``esp_rounds``.
-Symbols are int32 (requires ``len(data) < 2**30``, same class as the
-rest of the device paths).
+``esp_rounds_jax(data)`` pulls ``(nb, base, tail-layer)`` in one
+transfer and the concatenated rules (pow2-bucketed slice) in a second,
+then finishes layers below ``tail_cutoff`` with the host
+``esp_vec.esp_round_vec`` — bit-identical to the host ``esp_rounds``.
+Symbols are int32 (requires ``len(data) < 2**30``).
 """
 
 from __future__ import annotations
@@ -40,6 +45,20 @@ from tudocomp_tpu.ops import esp_vec
 
 I32 = jnp.int32
 INF = jnp.int32(2**31 - 1)
+
+
+def _shr(x, d, fill):
+    """Shift right by static d >= 1 (flag lands d positions later)."""
+    if d >= x.shape[0]:
+        return jnp.full(x.shape, fill, x.dtype)
+    return jnp.concatenate([jnp.full((d,), fill, x.dtype), x[:-d]])
+
+
+def _shl(x, d, fill):
+    """Shift left by static d >= 1 (reads d positions ahead)."""
+    if d >= x.shape[0]:
+        return jnp.full(x.shape, fill, x.dtype)
+    return jnp.concatenate([x[d:], jnp.full((d,), fill, x.dtype)])
 
 
 def _eager13_starts(k, L):
@@ -76,10 +95,7 @@ def _suffix_min(x):
 
 def _seg_suffix_min(v, reset):
     """out[i] = reset[i] ? v[i] : min(v[i], out[i+1]) — segmented
-    suffix min (reset = last-of-region). Implemented as a forward
-    segmented scan on the flipped arrays: the operator's reset flag
-    must sit on the element nearer the output position, so the flip is
-    explicit rather than relying on ``reverse=True`` orientation."""
+    suffix min (reset = last-of-region)."""
 
     def comb(a, b):
         av, af = a
@@ -90,8 +106,26 @@ def _seg_suffix_min(v, reset):
     return outv[::-1]
 
 
+def _prop_last(v, valid):
+    """out[i] = v at the nearest j <= i with valid[j] (last-valid
+    forward propagation; replaces a head-position gather)."""
+
+    def comb(a, b):
+        av, af = a
+        bv, bf = b
+        return jnp.where(bf, bv, av), af | bf
+
+    out, _ = lax.associative_scan(comb, (v, valid))
+    return out
+
+
 def _round_block_starts(s, n, ilog):
-    """Boolean block-start flags (padded length N; False past n)."""
+    """Boolean block-start flags (padded length N; False past n).
+
+    Pure shifts/scans/elementwise — the round-4 span-cut scatter is
+    gone: a cut after local position e starts the next span at
+    e_local + 1, which is always 1 or 2 positions ahead of the
+    landmark, so the flags are two static shifts."""
     N = s.shape[0]
     pos = jnp.arange(N, dtype=I32)
     valid = pos < n
@@ -136,19 +170,16 @@ def _round_block_starts(s, n, ilog):
     rem = in_seg & (k_seg >= p_seg)
     k2 = k_seg - p_seg
     rem_len = seg_len - p_seg
-    red = jnp.where(
-        rem, buf[jnp.clip(pos - ilog, 0, N - 1)], INF
-    )
+    # reduced labels are read at pos - ilog; rem rows always satisfy
+    # pos >= ilog (rem implies k_seg >= p_seg == ilog), so a static
+    # shift replaces the round-4 clipped gather
+    red = jnp.where(rem, _shr(buf, ilog, 0) if ilog else buf, INF)
     first = rem & (k2 == 0)
     last = rem & (pos == seg_end)
     # 6 -> 3 remap (neighbors within the region; sentinels at borders)
     for v in (3, 4, 5):
-        left = jnp.where(
-            first, -1, jnp.concatenate([jnp.full(1, -1, I32), red[:-1]])
-        )
-        right = jnp.where(
-            last, -1, jnp.concatenate([red[1:], jnp.full(1, -1, I32)])
-        )
+        left = jnp.where(first, -1, _shr(red, 1, I32(-1)))
+        right = jnp.where(last, -1, _shl(red, 1, I32(-1)))
         e = jnp.zeros(N, I32)
         for _ in range(2):
             e = jnp.where(left == e, e + 1, e)
@@ -157,43 +188,31 @@ def _round_block_starts(s, n, ilog):
 
     # landmarks
     m = rem_len
-    left = jnp.where(
-        first, -1, jnp.concatenate([jnp.full(1, -1, I32), red[:-1]])
-    )
-    right = jnp.where(
-        last, -1, jnp.concatenate([red[1:], jnp.full(1, -1, I32)])
-    )
+    left = jnp.where(first, -1, _shr(red, 1, I32(-1)))
+    right = jnp.where(last, -1, _shl(red, 1, I32(-1)))
     high = rem & (red > left) & (red > right)
-    lowl = jnp.where(
-        first, 4, jnp.concatenate([jnp.full(1, 4, I32), red[:-1]])
-    )
-    lowr = jnp.where(
-        last, 4, jnp.concatenate([red[1:], jnp.full(1, 4, I32)])
-    )
+    lowl = jnp.where(first, 4, _shr(red, 1, I32(4)))
+    lowr = jnp.where(last, 4, _shl(red, 1, I32(4)))
     low = rem & (red < lowl) & (red < lowr)
     lm = high
-    lm_l = jnp.where(
-        first, False, jnp.concatenate([jnp.zeros(1, bool), lm[:-1]])
-    )
-    lm_r = jnp.where(
-        last, False, jnp.concatenate([lm[1:], jnp.zeros(1, bool)])
-    )
+    lm_l = jnp.where(first, False, _shr(lm, 1, False))
+    lm_r = jnp.where(last, False, _shl(lm, 1, False))
     lm = lm | (low & ~lm_l & ~lm_r)
     lm = lm & (m > 1)
 
     # next landmark strictly after k within the region (segmented)
     w = jnp.where(lm, k2, INF)
-    shifted = jnp.where(
-        last | ~rem, INF, jnp.concatenate([w[1:], INF[None]])
-    )
+    shifted = jnp.where(last | ~rem, INF, _shl(w, 1, INF))
     nxt2 = _seg_suffix_min(shifted, last | ~rem)
     is_last_lm = lm & (nxt2 == INF)
     e_local = k2 + 1 - (nxt2 == k2 + 2).astype(I32)
     cut_after = lm & ~is_last_lm
-    # span starts: region firsts + position (region_start + e_local + 1)
-    tgt = jnp.where(cut_after, pos - k2 + e_local + 1, N)
-    span_flag = jnp.zeros(N, bool).at[tgt].set(True, mode="drop")
-    span_flag = span_flag | first
+    # span starts: region firsts + one position after each cut; the cut
+    # lands at local e_local in {k2, k2+1}, so the next span start is
+    # exactly 1 or 2 positions ahead of the landmark — static shifts
+    d1 = cut_after & (e_local == k2)
+    d2 = cut_after & (e_local == k2 + 1)
+    span_flag = first | _shr(d1, 1, False) | _shr(d2, 2, False)
     span_first = lax.cummax(jnp.where(span_flag & rem, pos, -1), axis=0)
     nxt_span = _suffix_min(
         jnp.concatenate(
@@ -207,17 +226,33 @@ def _round_block_starts(s, n, ilog):
     return starts
 
 
-def _merge_one_blocks(lens, nb):
-    """esp_vec.merge_one_blocks_vec at fixed shape; returns
-    (new lens padded with 0, new block count)."""
-    N = lens.shape[0]
-    i = jnp.arange(N, dtype=I32)
-    bvalid = i < nb
-    is1 = bvalid & (lens == 1)
-    pre1 = jnp.concatenate([jnp.zeros(1, bool), is1[:-1]]) & (i == 1)
-    post1 = jnp.concatenate([is1[1:], jnp.zeros(1, bool)])
-    keep = bvalid & ~is1
-    v = lens + pre1.astype(I32)
+def _merged_start_flags(starts0, n, N):
+    """Text-domain 1-block merge (esp_vec.merge_one_blocks_vec
+    semantics): block-start flags AFTER the merge, via shifts only.
+
+    Every kept (non-1) block absorbs a following 1-block (post1) and —
+    only for block index 1 — a preceding 1-block at position 0 (pre1),
+    then rewrites to one or two blocks of lengths 2/3 per the local
+    table. Flag positions relative to the kept block's start p:
+    the (possibly extended) first block starts at p - pre1, the second
+    at p - pre1 + first_len — offsets in {-1, 0, 1, 2, 3}."""
+    pos = jnp.arange(N, dtype=I32)
+    valid = pos < n
+    st = starts0 & valid
+    nxt = _suffix_min(
+        jnp.concatenate([jnp.where(st, pos, INF)[1:], INF[None]])
+    )
+    blen0 = jnp.minimum(nxt, n) - pos  # valid at start rows
+    is1 = st & (blen0 == 1)
+    kept = st & (blen0 > 1)
+
+    pre1 = kept & (pos == 1) & is1[0]
+    # next block is a 1-block: look blen0 in {2,3} positions ahead
+    post1 = kept & (
+        ((blen0 == 2) & _shl(is1, 2, False))
+        | ((blen0 == 3) & _shl(is1, 3, False))
+    )
+    v = blen0 + pre1.astype(I32)  # in {2, 3, 4} at kept rows
     fst = jnp.where(v == 4, 2, v)
     snd = jnp.where(v == 4, 2, 0)
     t = jnp.where(snd > 0, snd, fst) + 1
@@ -225,22 +260,20 @@ def _merge_one_blocks(lens, nb):
     snd2 = jnp.where(snd > 0, t, jnp.where(t == 4, 2, 0))
     out_fst = jnp.where(post1, fst2, fst)
     out_snd = jnp.where(post1, snd2, snd)
-    counts = keep.astype(I32) * (1 + (out_snd > 0).astype(I32))
-    off = jnp.cumsum(counts) - counts
-    total = off[-1] + counts[-1]
-    res = jnp.zeros(N, I32)
-    res = res.at[jnp.where(keep, off, N)].set(out_fst, mode="drop")
-    res = res.at[jnp.where(keep & (out_snd > 0), off + 1, N)].set(
-        out_snd, mode="drop"
-    )
-    return res, total
+
+    has2 = kept & (out_snd > 0)
+    d2 = out_fst - pre1.astype(I32)  # second-block offset in {1, 2, 3}
+    start1 = (kept & ~pre1) | _shl(kept & pre1, 1, False)
+    for d in (1, 2, 3):
+        start1 = start1 | _shr(has2 & (d2 == d), d, False)
+    return start1 & valid
 
 
 def _group_dedup(keys, seqpos, blk_valid):
     """Lexicographic-sort dedup with first-encounter bookkeeping.
 
-    keys: tuple of int32[N] columns; seqpos: int32[N] distinct sequence
-    positions; blk_valid: which rows participate. Returns
+    keys: tuple of int32[N] columns; seqpos: int32[N], distinct across
+    valid rows; blk_valid: which rows participate. Returns
     (is_new, first_idx): per original row, whether it is the first
     encounter of its key, and the row index of that first encounter.
     """
@@ -261,79 +294,115 @@ def _group_dedup(keys, seqpos, blk_valid):
             ),
         ]
     )
-    head_at = lax.cummax(jnp.where(head, idx, -1), axis=0)
-    first_sorted = s_idx[head_at]  # original row of the group head
-    # back to original row order by ONE co-sort on the permutation
-    # s_idx (permute-via-sort; scatters serialize on TPU)
+    # original row of the group head, propagated forward (scan, not
+    # gather), then back to original row order by ONE co-sort on the
+    # permutation s_idx (permute-via-sort; scatters serialize on TPU)
+    first_sorted = _prop_last(s_idx, head)
     _, is_new_i, first_idx = lax.sort(
         (s_idx, head.astype(I32), first_sorted), num_keys=1
     )
     return (is_new_i == 1) & blk_valid, first_idx
 
 
-@functools.partial(jax.jit, static_argnames=("ilog",))
-def _esp_round(s, n, base, ilog):
-    """One ESP round at padded length N. Returns
-    (s_next[N], nb, rules[N,2], R) — s_next holds the next layer's
-    symbols (base-offset applied) in its first nb slots; rules holds
-    this round's R new rules in id order (symbols final, incl. base
-    offsets on inner refs)."""
+def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
+    """One ESP round on the text domain at padded length N.
+
+    Returns (s_next[N] — next layer dense in its first nb slots,
+    nb, rules_buf with this round's R rules appended at rule_off,
+    rule_off + R). A layer of size n <= 1 passes through unchanged
+    (the host loop stops there; fixed fused schedules may overshoot).
+    """
     N = s.shape[0]
-    starts = _round_block_starts(s, n, ilog)
     pos = jnp.arange(N, dtype=I32)
-    starts = starts & (pos < n)
-    starts = starts | (pos == 0)
+    starts0 = _round_block_starts(s, n, ilog)
+    starts0 = (starts0 & (pos < n)) | (pos == 0)
 
-    bid = jnp.cumsum(starts.astype(I32)) - 1
-    nb0 = jnp.where(n > 0, jnp.max(jnp.where(starts, bid, -1)) + 1, 0)
-    bstart0 = jnp.zeros(N, I32).at[
-        jnp.where(starts, bid, N)
-    ].set(pos, mode="drop")
-    i = jnp.arange(N, dtype=I32)
-    bnext0 = jnp.concatenate([bstart0[1:], jnp.zeros(1, I32)])
-    lens0 = jnp.where(
-        i + 1 < nb0, bnext0 - bstart0, n - bstart0
+    head = _merged_start_flags(starts0, n, N)
+    valid = pos < n
+    bid = jnp.cumsum(head.astype(I32)) - 1
+    nb = jnp.where(n > 0, jnp.max(jnp.where(head, bid, -1)) + 1, 0)
+    nxt = _suffix_min(
+        jnp.concatenate([jnp.where(head, pos, INF)[1:], INF[None]])
     )
-    lens0 = jnp.where(i < nb0, lens0, 0)
+    blen = jnp.minimum(nxt, n) - pos  # merged block length at heads
 
-    lens, nb = _merge_one_blocks(lens0, nb0)
-    bstart = jnp.cumsum(lens) - lens
-    bvalid = i < nb
-    clamp = lambda x: jnp.clip(x, 0, N - 1)  # noqa: E731
-    a = s[clamp(bstart)]
-    b = s[clamp(jnp.minimum(bstart + 1, n - 1))]
-    c = s[clamp(jnp.minimum(bstart + 2, n - 1))]
-    is3 = bvalid & (lens == 3)
+    # block symbols as shifts at head rows (b/c reads stay inside the
+    # block for the rows that are used: len >= 2 covers b, is3 covers c)
+    a = s
+    b = _shl(s, 1, 0)
+    c = _shl(s, 2, 0)
+    is3 = head & valid & (blen == 3)
+    hvalid = head & valid
 
-    # phase A: inner keys (a, b) at sequence positions 2*i
-    posA = 2 * i
-    newA, firstA = _group_dedup((a, b), posA, bvalid)
-    # phase B: outer keys (A-group identity, c) at positions 2*i + 1;
+    # phase A: inner keys (a, b) at sequence positions 2*bid
+    newA, firstA = _group_dedup((a, b), 2 * bid, hvalid)
+    # phase B: outer keys (A-group identity, c) at positions 2*bid + 1;
     # the A-group identity is its first-encounter row (bijective)
-    posB = 2 * i + 1
-    newB, firstB = _group_dedup((firstA, c), posB, is3)
+    newB, firstB = _group_dedup((firstA, c), 2 * bid + 1, is3)
 
     # global first-encounter ranking: exclusive cumsum over the
-    # interleaved event sequence (A event at 2*i, B event at 2*i+1)
+    # interleaved event sequence (A event at 2*bid, B event at 2*bid+1)
     new_cnt = newA.astype(I32) + newB.astype(I32)
     pre = jnp.cumsum(new_cnt) - new_cnt
     idA_head = pre  # id of an A-group, valid at its head row
     idB_head = pre + newA.astype(I32)
     R = pre[-1] + new_cnt[-1]
+    clamp = lambda x: jnp.clip(x, 0, N - 1)  # noqa: E731
     idA = idA_head[clamp(firstA)]
     idB = idB_head[clamp(firstB)]
 
-    rules = jnp.zeros((N, 2), I32)
-    rules = rules.at[jnp.where(newA, idA_head, N)].set(
-        jnp.stack([a, b], axis=1), mode="drop"
-    )
-    rules = rules.at[jnp.where(newB, idB_head, N)].set(
-        jnp.stack([base + idA, c], axis=1), mode="drop"
+    # rules in id order by ONE compaction sort: targets are the
+    # (distinct) new-rule ids, payload the rule symbols; rows [0, R)
+    # of the sorted result are exactly this round's rules
+    tgt = jnp.stack(
+        [jnp.where(newA, idA_head, INF), jnp.where(newB, idB_head, INF)],
+        axis=1,
+    ).reshape(-1)
+    c1 = jnp.stack([a, base + idA], axis=1).reshape(-1)
+    c2 = jnp.stack([b, c], axis=1).reshape(-1)
+    _, c1s, c2s = lax.sort((tgt, c1, c2), num_keys=1)
+    round_rules = jnp.stack([c1s, c2s], axis=1)  # (2N, 2)
+    rules_buf = lax.dynamic_update_slice(
+        rules_buf, round_rules, (rule_off, jnp.int32(0))
     )
 
+    # next layer: per-block top symbol, compacted by one sort
     top = jnp.where(is3, idB, idA)
-    s_next = jnp.where(bvalid, base + top, 0)
-    return s_next, nb, rules, R
+    key = jnp.where(hvalid, bid, INF)
+    val = jnp.where(hvalid, base + top, 0)
+    _, s_next = lax.sort((key, val), num_keys=1)
+
+    # n <= 1 passes through untouched (no rules, same layer)
+    passthru = n <= 1
+    s_next = jnp.where(passthru, s, s_next)
+    nb = jnp.where(passthru, n, nb)
+    R = jnp.where(passthru, 0, R)
+    rule_off = rule_off + R
+    return s_next, nb, rules_buf, rule_off
+
+
+@functools.partial(jax.jit, static_argnames=("schedule",))
+def _esp_fused(s, n, schedule):
+    """All device rounds in one program. ``schedule`` is a static
+    tuple of (N_k, ilog_k) with N_{k+1} = N_k // 2 (valid because the
+    merged layer always satisfies nb <= n/2: every block has length
+    >= 2). Returns (packed scalars+tail int32[2 + N_last//2],
+    rules int32[2*N_0, 2]) — the caller slices rules[:base-256]."""
+    N0 = schedule[0][0]
+    rules_buf = jnp.zeros((2 * N0, 2), I32)
+    base = jnp.int32(256)
+    off = jnp.int32(0)
+    for (Nk, ilog) in schedule:
+        s = s[:Nk]
+        s, nb, rules_buf, off2 = _esp_round_body(
+            s, n, base, ilog, rules_buf, off
+        )
+        base = base + (off2 - off)
+        off = off2
+        n = nb
+    tail = s[: schedule[-1][0] // 2]
+    packed = jnp.concatenate([jnp.stack([n, base]), tail])
+    return packed, rules_buf
 
 
 def _pad_pow2(n, lo=256):
@@ -346,19 +415,12 @@ def _pad_pow2(n, lo=256):
 def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
     """Full ESP on the device: grammar bit-identical to ``esp_rounds``.
 
-    Big rounds run on the accelerator at pow2-padded shapes (one
-    compilation per (bucket, ilog)), and the layer stays **device
-    resident** between rounds: each round's ``s_next`` feeds the next
-    round through a static slice to the next pow2 bucket (block merge
-    guarantees nb <= n/2, so buckets shrink monotonically and the
-    slice is always in range). Per round the host pulls only the
-    ``(nb, R)`` scalar pair — needed anyway for the loop condition and
-    the exact ``iter_log(base)`` round structure — plus the R new rule
-    pairs (KBs); the round-3 version round-tripped the whole layer
-    through the host (~4 MB of d2h at tunnel speed per round). Once
-    the layer shrinks below ``tail_cutoff`` the remaining rounds use
-    the host array program (``esp_vec.esp_round_vec``) — the tail is
-    microseconds of work and not worth a device dispatch. Returns
+    One fused dispatch covers every big round (see ``_esp_fused``); the
+    host then pulls (nb, base, tail layer) in one transfer and the
+    concatenated rules in a second (pow2-bucketed slice so repeat calls
+    reuse the executable), and finishes layers below ``tail_cutoff``
+    with the host array program (``esp_vec.esp_round_vec``) — the tail
+    is microseconds of work and not worth a device dispatch. Returns
     (rules int64[R,2], root, empty).
     """
     s_host = np.frombuffer(data, np.uint8).astype(np.int64)
@@ -369,28 +431,27 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
     chunks = []
     base = 256
     if s_host.size > tail_cutoff:
-        N = _pad_pow2(s_host.size)
-        pad = np.zeros(N, np.int32)
-        pad[: s_host.size] = s_host
-        s_dev = jnp.asarray(pad)
-        n_cur = jnp.int32(s_host.size)
+        N0 = _pad_pow2(s_host.size, lo=max(256, 2 * tail_cutoff))
+        schedule = []
+        Nk, b = N0, 256
         while True:
-            s_next, nb, rules, R = _esp_round(
-                s_dev, n_cur, jnp.int32(base), ilog=iter_log(base)
-            )
-            nb_i, r_i = (
-                int(v) for v in np.asarray(jnp.stack([nb, R]))
-            )
-            chunks.append(np.asarray(rules[:r_i], np.int64))
-            base += r_i
-            if nb_i <= tail_cutoff:
-                s_host = np.asarray(
-                    s_next[: max(nb_i, 1)], np.int64
-                )[:nb_i]
+            schedule.append((Nk, iter_log(b)))
+            b = 257  # any alphabet > 256 -> ilog 4 (iter_log saturates)
+            if Nk <= 2 * tail_cutoff:
                 break
-            N = _pad_pow2(nb_i)
-            s_dev = s_next[:N]  # static in-range slice, zero-padded
-            n_cur = nb
+            Nk //= 2
+        pad = np.zeros(N0, np.int32)
+        pad[: s_host.size] = s_host
+        packed, rules_buf = _esp_fused(
+            jnp.asarray(pad), jnp.int32(s_host.size), tuple(schedule)
+        )
+        packed = np.asarray(packed)  # pull 1: scalars + tail layer
+        nb_i, base = int(packed[0]), int(packed[1])
+        r_total = base - 256
+        bucket = min(_pad_pow2(max(r_total, 1)), 2 * N0)
+        got = np.asarray(rules_buf[:bucket])  # pull 2: rules
+        chunks.append(got[:r_total].astype(np.int64))
+        s_host = packed[2 : 2 + nb_i].astype(np.int64)
     while s_host.size > 1:
         top, rules_rel = esp_vec.esp_round_vec(s_host, base)
         a = rules_rel[:, 0]
