@@ -121,6 +121,74 @@ def main() -> None:
     t = timeit(lambda: f_fl(bj), sync)
     print(f"+floors:      {t*1e3:8.1f} ms/MiB", flush=True)
 
+    # finer stages inside the refine (round-5): back-sort to text
+    # order, the shared wa fetch, one settle, then the full matcher
+    from tudocomp_tpu.ops.lzss_jax import (
+        _fetch_aligned_words, _window_settle, _word_table,
+    )
+
+    def upto(stage):
+        def f(x):
+            n = x.shape[0]
+            pos = jnp.arange(n, dtype=_I32)
+            slot = pos
+            sa, isa, ranks = suffix_array_isa_ranks(x, L=L, full=False)
+            psv, cu = _psv_smaller(sa)
+            rev, rval = _psv_smaller(sa[::-1])
+            rev, rval = rev[::-1], rval[::-1]
+            nsv = jnp.where(rev >= 0, n - 1 - rev, -1)
+            cd = jnp.where(rev >= 0, rval, -1)
+            levels = sorted(ranks.keys())
+            sorted_ = lax.sort(
+                (isa,) + tuple(ranks[q] for q in levels), num_keys=1
+            )
+            r_sa = dict(zip(levels, sorted_[1:]))
+            l_up = jnp.zeros(n, _I32)
+            l_dn = jnp.zeros(n, _I32)
+            for q in levels:
+                change = jnp.concatenate(
+                    [jnp.ones(1, jnp.bool_), r_sa[q][1:] != r_sa[q][:-1]]
+                )
+                gstart = lax.associative_scan(
+                    jnp.maximum, jnp.where(change, slot, -1)
+                )
+                change_n = jnp.concatenate(
+                    [r_sa[q][1:] != r_sa[q][:-1], jnp.ones(1, jnp.bool_)]
+                )
+                gend = lax.associative_scan(
+                    jnp.minimum, jnp.where(change_n, slot, n),
+                    reverse=True,
+                )
+                l_up = jnp.where((psv >= 0) & (gstart <= psv), q, l_up)
+                l_dn = jnp.where((nsv >= 0) & (gend >= nsv), q, l_dn)
+            _, cu_t, cd_t, lu_t, ld_t = lax.sort(
+                (sa, cu, cd, l_up, l_dn), num_keys=1
+            )
+            if stage == "backsort":
+                return cu_t, cd_t, lu_t, ld_t
+            T4 = _word_table(x)
+            limit = jnp.minimum(n - 1 - pos, 512)
+            hi_up = lu_t >= ld_t
+            cand_hi = jnp.where(hi_up, cu_t, cd_t)
+            l0 = jnp.maximum(lu_t, ld_t)
+            base = jnp.minimum(jnp.where(cand_hi >= 0, l0, 0), limit)
+            W = 64
+            wa = _fetch_aligned_words(T4, pos + base, W)
+            if stage == "wa":
+                return wa[:, 0]
+            wb = _fetch_aligned_words(
+                T4, jnp.clip(cand_hi, 0, n - 1) + base, W
+            )
+            matched = _window_settle(wa, wb, W)
+            return matched
+
+        return jax.jit(jax.vmap(f))
+
+    for st in ("backsort", "wa", "settle1"):
+        f = upto(st)
+        t = timeit(lambda: f(bj), sync)
+        print(f"+{st}:    {t*1e3:8.1f} ms/MiB", flush=True)
+
     f_all = jax.jit(jax.vmap(
         lambda x: jnp.stack(_match_exact_device(x, max_len=512))
     ))

@@ -49,18 +49,29 @@ void tdc_mtf_decode(const uint8_t* in, uint8_t* out, int64_t n) {
 // bwt: n bytes of the BWT of a 0-sentineled text (sentinel included).
 // out receives n-1 bytes (text without sentinel). Returns 0 on success.
 
-int tdc_bwt_decode(const uint8_t* bwt, uint8_t* out, int64_t n) {
-    if (n <= 1) return 0;
-    std::vector<int64_t> counts(257, 0);
+}  // extern "C"
+
+template <typename I>
+static void bwt_decode_impl(const uint8_t* bwt, uint8_t* out, int64_t n) {
+    std::vector<I> counts(257, 0);
     for (int64_t i = 0; i < n; i++) counts[bwt[i] + 1]++;
     for (int i = 0; i < 256; i++) counts[i + 1] += counts[i];
-    std::vector<int64_t> lf(n);
-    for (int64_t i = 0; i < n; i++) lf[i] = counts[bwt[i]]++;
-    int64_t p = 0;
+    std::vector<I> lf(static_cast<size_t>(n));
+    for (int64_t i = 0; i < n; i++) lf[size_t(i)] = counts[bwt[i]]++;
+    I p = 0;
     for (int64_t j = 1; j < n; j++) {
         out[n - 1 - j] = bwt[p];
-        p = lf[p];
+        p = lf[size_t(p)];
     }
+}
+
+extern "C" {
+
+int tdc_bwt_decode(const uint8_t* bwt, uint8_t* out, int64_t n) {
+    if (n <= 1) return 0;
+    // int32 LF halves the decode working set for any real input
+    if (n < (int64_t(1) << 31)) bwt_decode_impl<int32_t>(bwt, out, n);
+    else bwt_decode_impl<int64_t>(bwt, out, n);
     return 0;
 }
 
@@ -261,11 +272,14 @@ int64_t tdc_lz78_parse(const uint8_t* in, int64_t n, int lzw,
 // in compressors/lzss.py:factorize_lcp, reference
 // LZSSLCPCompressor.hpp:60-115). Returns factor count or -1 on overflow.
 
-int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
-                               const int64_t* lcp, int64_t n,
-                               int64_t threshold,
-                               int64_t* out_pos, int64_t* out_src,
-                               int64_t* out_len, int64_t cap) {
+}  // extern "C"
+
+template <typename I>
+static int64_t lzss_lcp_factorize_impl(const I* sa, const I* isa,
+                                       const I* lcp, int64_t n,
+                                       int64_t threshold,
+                                       I* out_pos, I* out_src,
+                                       I* out_len, int64_t cap) {
     int64_t count = 0;
     int64_t i = 0;
     while (i + 1 < n) {
@@ -293,9 +307,9 @@ int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
         if (max_lcp >= threshold) {
             int64_t max_pos = (max_lcp == psv_lcp) ? psv_pos : nsv_pos;
             if (count >= cap) return -1;
-            out_pos[count] = i;
+            out_pos[count] = I(i);
             out_src[count] = sa[max_pos];
-            out_len[count] = max_lcp;
+            out_len[count] = I(max_lcp);
             count++;
             i += max_lcp;
         } else {
@@ -303,6 +317,26 @@ int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
         }
     }
     return count;
+}
+
+extern "C" {
+
+int64_t tdc_lzss_lcp_factorize(const int64_t* sa, const int64_t* isa,
+                               const int64_t* lcp, int64_t n,
+                               int64_t threshold,
+                               int64_t* out_pos, int64_t* out_src,
+                               int64_t* out_len, int64_t cap) {
+    return lzss_lcp_factorize_impl<int64_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
+}
+
+int64_t tdc_lzss_lcp_factorize32(const int32_t* sa, const int32_t* isa,
+                                 const int32_t* lcp, int64_t n,
+                                 int64_t threshold,
+                                 int32_t* out_pos, int32_t* out_src,
+                                 int32_t* out_len, int64_t cap) {
+    return lzss_lcp_factorize_impl<int32_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
 }
 
 // ---- LZ78 phrase expansion -------------------------------------------
@@ -420,16 +454,23 @@ int64_t tdc_slp_derive(const int64_t* pairs, int64_t nrules,
 // lcpcomp/compress/ArraysComp.hpp; mirrors the Python spec in
 // compressors/lcpcomp.py exactly). Returns factor count or -1.
 
-int64_t tdc_lcpcomp_arrays(const int64_t* sa, const int64_t* isa,
-                           int64_t* lcp, int64_t n, int64_t threshold,
-                           int64_t* out_pos, int64_t* out_src,
-                           int64_t* out_len, int64_t cap) {
+}  // extern "C"
+
+template <typename I>
+static int64_t lcpcomp_arrays_impl(const I* sa, const I* isa,
+                                   I* lcp, int64_t n, int64_t threshold,
+                                   I* out_pos, I* out_src,
+                                   I* out_len, int64_t cap) {
     int64_t maxlcp = 0;
-    for (int64_t i = 0; i < n; i++) maxlcp = std::max(maxlcp, lcp[i]);
+    for (int64_t i = 0; i < n; i++)
+        maxlcp = std::max<int64_t>(maxlcp, lcp[i]);
     if (maxlcp < threshold) return 0;
-    std::vector<std::vector<int64_t>> cand(size_t(maxlcp + 1 - threshold));
+    // candidate buckets at index width I: english-class inputs push
+    // ~0.6 entries/char here, the kernel's biggest allocation
+    std::vector<std::vector<I>> cand(size_t(maxlcp + 1 - threshold));
     for (int64_t i = 0; i < n; i++) {
-        if (lcp[i] >= threshold) cand[size_t(lcp[i] - threshold)].push_back(i);
+        if (lcp[i] >= threshold)
+            cand[size_t(lcp[i] - threshold)].push_back(I(i));
     }
     int64_t count = 0;
     for (int64_t cur = maxlcp; cur >= threshold; cur--) {
@@ -438,20 +479,22 @@ int64_t tdc_lcpcomp_arrays(const int64_t* sa, const int64_t* isa,
             int64_t index = col[ci];
             int64_t lv = lcp[index];
             if (lv < cur) {
-                if (lv >= threshold) cand[size_t(lv - threshold)].push_back(index);
+                if (lv >= threshold)
+                    cand[size_t(lv - threshold)].push_back(I(index));
                 continue;
             }
             int64_t pos = sa[index];
             int64_t src = sa[index - 1];
             int64_t len = lv;
             if (count >= cap) return -1;
-            out_pos[count] = pos; out_src[count] = src; out_len[count] = len;
+            out_pos[count] = I(pos); out_src[count] = I(src);
+            out_len[count] = I(len);
             count++;
             for (int64_t k = 0; k < len; k++) lcp[isa[pos + k]] = 0;
             int64_t max_affect = std::min(len, pos);
             for (int64_t k = 1; k <= max_affect; k++) {
                 int64_t ind = isa[pos - k];
-                if (k < lcp[ind]) lcp[ind] = k;
+                if (k < lcp[ind]) lcp[ind] = I(k);
             }
         }
         col.clear();
@@ -460,17 +503,53 @@ int64_t tdc_lcpcomp_arrays(const int64_t* sa, const int64_t* isa,
     return count;
 }
 
-// ---- PLCP (Karkkainen phi-algorithm) ---------------------------------
+extern "C" {
 
-void tdc_plcp(const uint8_t* text, const int64_t* phi, int64_t n,
-              int64_t* plcp) {
+int64_t tdc_lcpcomp_arrays(const int64_t* sa, const int64_t* isa,
+                           int64_t* lcp, int64_t n, int64_t threshold,
+                           int64_t* out_pos, int64_t* out_src,
+                           int64_t* out_len, int64_t cap) {
+    return lcpcomp_arrays_impl<int64_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
+}
+
+int64_t tdc_lcpcomp_arrays32(const int32_t* sa, const int32_t* isa,
+                             int32_t* lcp, int64_t n, int64_t threshold,
+                             int32_t* out_pos, int32_t* out_src,
+                             int32_t* out_len, int64_t cap) {
+    return lcpcomp_arrays_impl<int32_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
+}
+
+// ---- PLCP (Karkkainen phi-algorithm) ---------------------------------
+// Templated on the index width: the int32 instantiation (n < 2^31)
+// halves the index-array footprint, the reference's IntVector /
+// CompressMode role on this path (ds/TextDS.hpp:140-147).
+
+}  // extern "C"
+
+template <typename I>
+static void tdc_plcp_impl(const uint8_t* text, const I* phi, int64_t n,
+                          I* plcp) {
     int64_t l = 0;
     for (int64_t i = 0; i < n; i++) {
         int64_t j = phi[i];
         while (i + l < n && j + l < n && text[i + l] == text[j + l]) l++;
-        plcp[i] = l;
+        plcp[i] = I(l);
         if (l) l--;
     }
+}
+
+extern "C" {
+
+void tdc_plcp(const uint8_t* text, const int64_t* phi, int64_t n,
+              int64_t* plcp) {
+    tdc_plcp_impl<int64_t>(text, phi, n, plcp);
+}
+
+void tdc_plcp32(const uint8_t* text, const int32_t* phi, int64_t n,
+                int32_t* plcp) {
+    tdc_plcp_impl<int32_t>(text, phi, n, plcp);
 }
 
 // ---- suffix array (prefix doubling + radix sort) ---------------------
@@ -687,10 +766,13 @@ int64_t tdc_lzss_decode(const uint8_t* payload, int64_t nbits,
 // MaxHeapStrategy exactly, including heapq tie order: ties on LCP pop
 // the smaller SA index first).
 
-int64_t tdc_lcpcomp_heap(const int64_t* sa, const int64_t* isa,
-                         int64_t* lcp, int64_t n, int64_t threshold,
-                         int64_t* out_pos, int64_t* out_src,
-                         int64_t* out_len, int64_t cap) {
+}  // extern "C"
+
+template <typename I>
+static int64_t lcpcomp_heap_impl(const I* sa, const I* isa,
+                                 I* lcp, int64_t n, int64_t threshold,
+                                 I* out_pos, I* out_src,
+                                 I* out_len, int64_t cap) {
     // packed entry: lcp in the high 32 bits, bit-inverted index low —
     // a max-heap on the u64 pops the largest LCP and, on ties, the
     // smallest index (same order as the pair-based formulation).
@@ -715,16 +797,35 @@ int64_t tdc_lcpcomp_heap(const int64_t* sa, const int64_t* isa,
         }
         int64_t pos = sa[index], src = sa[index - 1], len = lv;
         if (count >= cap) return -1;
-        out_pos[count] = pos; out_src[count] = src; out_len[count] = len;
+        out_pos[count] = I(pos); out_src[count] = I(src);
+        out_len[count] = I(len);
         count++;
         for (int64_t k = 0; k < len; k++) lcp[isa[pos + k]] = 0;
         int64_t max_affect = std::min(len, pos);
         for (int64_t k = 1; k <= max_affect; k++) {
             int64_t ind = isa[pos - k];
-            if (k < lcp[ind]) lcp[ind] = k;
+            if (k < lcp[ind]) lcp[ind] = I(k);
         }
     }
     return count;
+}
+
+extern "C" {
+
+int64_t tdc_lcpcomp_heap(const int64_t* sa, const int64_t* isa,
+                         int64_t* lcp, int64_t n, int64_t threshold,
+                         int64_t* out_pos, int64_t* out_src,
+                         int64_t* out_len, int64_t cap) {
+    return lcpcomp_heap_impl<int64_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
+}
+
+int64_t tdc_lcpcomp_heap32(const int32_t* sa, const int32_t* isa,
+                           int32_t* lcp, int64_t n, int64_t threshold,
+                           int32_t* out_pos, int32_t* out_src,
+                           int32_t* out_len, int64_t cap) {
+    return lcpcomp_heap_impl<int32_t>(
+        sa, isa, lcp, n, threshold, out_pos, out_src, out_len, cap);
 }
 
 // ---- SLE literal-stream decode ---------------------------------------
@@ -769,17 +870,20 @@ int64_t tdc_sle_decode(const uint8_t* payload, int64_t nbits,
 // Mirrors ds/suffix_tree.py exactly. Output arrays sized >= 2n+2.
 // Returns the node count.
 
-int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
-                        int64_t* parent, int64_t* sdepth,
-                        uint8_t* is_leaf, int64_t* suffix,
-                        int64_t* leaf_of_rank) {
+}  // extern "C"
+
+template <typename I>
+static int64_t suffix_tree_impl(const I* sa, const I* lcp, int64_t n,
+                                I* parent, I* sdepth,
+                                uint8_t* is_leaf, I* suffix,
+                                I* leaf_of_rank) {
     int64_t m = 0;  // node count
     parent[0] = -1; sdepth[0] = 0; is_leaf[0] = 0; suffix[0] = -1; m = 1;
-    std::vector<int64_t> stack;
+    std::vector<I> stack;
     stack.push_back(0);
     auto add = [&](int64_t d, bool leaf, int64_t suf) -> int64_t {
-        parent[m] = -1; sdepth[m] = d;
-        is_leaf[m] = leaf ? 1 : 0; suffix[m] = suf;
+        parent[m] = I(-1); sdepth[m] = I(d);
+        is_leaf[m] = leaf ? 1 : 0; suffix[m] = I(suf);
         return m++;
     };
     for (int64_t i = 0; i < n; i++) {
@@ -787,7 +891,7 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
         int64_t last = -1;
         while (sdepth[stack.back()] > l) {
             int64_t v = stack.back(); stack.pop_back();
-            if (last != -1) parent[last] = v;
+            if (last != -1) parent[last] = I(v);
             last = v;
         }
         if (last != -1) {
@@ -795,21 +899,39 @@ int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
                 parent[last] = stack.back();
             } else {
                 int64_t u = add(l, false, -1);
-                parent[last] = u;
-                stack.push_back(u);
+                parent[last] = I(u);
+                stack.push_back(I(u));
             }
         }
         int64_t leaf = add(n - sa[i], true, sa[i]);
-        leaf_of_rank[i] = leaf;
-        stack.push_back(leaf);
+        leaf_of_rank[i] = I(leaf);
+        stack.push_back(I(leaf));
     }
     int64_t last = -1;
     while (!stack.empty()) {
         int64_t v = stack.back(); stack.pop_back();
-        if (last != -1) parent[last] = v;
+        if (last != -1) parent[last] = I(v);
         last = v;
     }
     return m;
+}
+
+extern "C" {
+
+int64_t tdc_suffix_tree(const int64_t* sa, const int64_t* lcp, int64_t n,
+                        int64_t* parent, int64_t* sdepth,
+                        uint8_t* is_leaf, int64_t* suffix,
+                        int64_t* leaf_of_rank) {
+    return suffix_tree_impl<int64_t>(
+        sa, lcp, n, parent, sdepth, is_leaf, suffix, leaf_of_rank);
+}
+
+int64_t tdc_suffix_tree32(const int32_t* sa, const int32_t* lcp,
+                          int64_t n, int32_t* parent, int32_t* sdepth,
+                          uint8_t* is_leaf, int32_t* suffix,
+                          int32_t* leaf_of_rank) {
+    return suffix_tree_impl<int32_t>(
+        sa, lcp, n, parent, sdepth, is_leaf, suffix, leaf_of_rank);
 }
 
 // ---- LFS2 two-layer longest-first substitution -------------------------
@@ -1924,20 +2046,23 @@ int64_t tdc_sle_rank(const uint8_t* chars, int64_t n, int kk,
 
 extern "C" {
 
-int64_t tdc_lz78u_parse(const int64_t* parent, const int64_t* sdepth,
-                        const uint8_t* is_leaf,
-                        const int64_t* leaf_of_rank, const int64_t* isa,
-                        const uint8_t* text, int64_t n, int64_t m,
-                        int64_t threshold,
-                        uint8_t* kind, int64_t* value, int64_t* aux,
-                        int64_t cap) {
-    std::vector<int64_t> R(size_t(m), 0);
+}  // extern "C"
+
+template <typename I>
+static int64_t lz78u_parse_impl(const I* parent, const I* sdepth,
+                                const uint8_t* is_leaf,
+                                const I* leaf_of_rank, const I* isa,
+                                const uint8_t* text, int64_t n,
+                                int64_t m, int64_t threshold,
+                                uint8_t* kind, I* value, I* aux,
+                                int64_t cap) {
+    std::vector<I> R(size_t(m), 0);
     std::vector<int64_t> path;
     int64_t ne = 0;       // event count
     int64_t fc = 0;       // factor count
     auto emit = [&](uint8_t k, int64_t v, int64_t a) -> bool {
         if (ne >= cap) return false;
-        kind[ne] = k; value[ne] = v; aux[ne] = a; ne++;
+        kind[ne] = k; value[ne] = I(v); aux[ne] = I(a); ne++;
         return true;
     };
     auto build_path = [&](int64_t leaf) {
@@ -2011,10 +2136,36 @@ int64_t tdc_lz78u_parse(const int64_t* parent, const int64_t* sdepth,
         int64_t begin = pos + sdepth[par2];
         int64_t end = pos + sdepth[node];
         if (!output(begin, end, R[size_t(par2)])) return -1;
-        R[size_t(node)] = fc;  // output() already incremented
+        R[size_t(node)] = I(fc);  // output() already incremented
         pos = end;
     }
     return ne;
+}
+
+extern "C" {
+
+int64_t tdc_lz78u_parse(const int64_t* parent, const int64_t* sdepth,
+                        const uint8_t* is_leaf,
+                        const int64_t* leaf_of_rank, const int64_t* isa,
+                        const uint8_t* text, int64_t n, int64_t m,
+                        int64_t threshold,
+                        uint8_t* kind, int64_t* value, int64_t* aux,
+                        int64_t cap) {
+    return lz78u_parse_impl<int64_t>(
+        parent, sdepth, is_leaf, leaf_of_rank, isa, text, n, m,
+        threshold, kind, value, aux, cap);
+}
+
+int64_t tdc_lz78u_parse32(const int32_t* parent, const int32_t* sdepth,
+                          const uint8_t* is_leaf,
+                          const int32_t* leaf_of_rank,
+                          const int32_t* isa, const uint8_t* text,
+                          int64_t n, int64_t m, int64_t threshold,
+                          uint8_t* kind, int32_t* value, int32_t* aux,
+                          int64_t cap) {
+    return lz78u_parse_impl<int32_t>(
+        parent, sdepth, is_leaf, leaf_of_rank, isa, text, n, m,
+        threshold, kind, value, aux, cap);
 }
 
 // LZ78U stream decode (compressors/lz78u.py decompress): binary refs of
@@ -2474,17 +2625,19 @@ static inline bool is_lms(const uint8_t* t, int64_t i) {
 }
 
 // s: values in [0, K); s[n-1] is the unique smallest symbol (sentinel).
-static void sais(const int64_t* s, int64_t* sa, int64_t n, int64_t K,
-                 std::vector<int64_t>& work) {
+// Templated on the index width I: the int32 instantiation (n < 2^31)
+// halves both the output and the recursion workspace.
+template <typename I>
+static void sais(const I* s, I* sa, I n, I K, std::vector<I>& work) {
     std::vector<uint8_t> t(static_cast<size_t>(n), uint8_t(0));
     t[size_t(n - 1)] = 1;
-    for (int64_t i = n - 2; i >= 0; i--)
+    for (I i = n - 2; i >= 0; i--)
         t[size_t(i)] = s[i] < s[i + 1]
             || (s[i] == s[i + 1] && t[size_t(i + 1)]);
-    std::vector<int64_t> bkt(size_t(K) + 1);
+    std::vector<I> bkt(size_t(K) + 1);
     auto buckets = [&](bool ends) {
-        std::fill(bkt.begin(), bkt.end(), 0);
-        for (int64_t i = 0; i < n; i++) bkt[size_t(s[i]) + 1]++;
+        std::fill(bkt.begin(), bkt.end(), I(0));
+        for (I i = 0; i < n; i++) bkt[size_t(s[i]) + 1]++;
         for (size_t i = 1; i < bkt.size(); i++) bkt[i] += bkt[i - 1];
         if (!ends) return;           // bkt[c] = start of bucket c
         // ends: bkt[c] = one past end of bucket c (shift left by one)
@@ -2493,43 +2646,43 @@ static void sais(const int64_t* s, int64_t* sa, int64_t n, int64_t K,
     auto induce = [&]() {
         // L-type left-to-right from bucket starts
         buckets(false);
-        std::vector<int64_t> head(bkt.begin(), bkt.end());
-        for (int64_t i = 0; i < n; i++) {
-            int64_t j = sa[i] - 1;
+        std::vector<I> head(bkt.begin(), bkt.end());
+        for (I i = 0; i < n; i++) {
+            I j = sa[i] - 1;
             if (sa[i] > 0 && !t[size_t(j)])
                 sa[head[size_t(s[j])]++] = j;
         }
         // S-type right-to-left from bucket ends
         buckets(true);
-        std::vector<int64_t> tail(bkt.begin(), bkt.end());
-        for (int64_t i = n - 1; i >= 0; i--) {
-            int64_t j = sa[i] - 1;
+        std::vector<I> tail(bkt.begin(), bkt.end());
+        for (I i = n - 1; i >= 0; i--) {
+            I j = sa[i] - 1;
             if (sa[i] > 0 && t[size_t(j)])
                 sa[--tail[size_t(s[j])]] = j;
         }
     };
     // 1) place LMS suffixes at bucket ends (arbitrary order), induce
-    std::fill(sa, sa + n, int64_t(-1));
+    std::fill(sa, sa + n, I(-1));
     buckets(true);
     {
-        std::vector<int64_t> tail(bkt.begin(), bkt.end());
-        for (int64_t i = 1; i < n; i++)
+        std::vector<I> tail(bkt.begin(), bkt.end());
+        for (I i = 1; i < n; i++)
             if (is_lms(t.data(), i)) sa[--tail[size_t(s[i])]] = i;
     }
     induce();
     // 2) extract sorted LMS substrings, assign names
-    int64_t n1 = 0;
-    for (int64_t i = 0; i < n; i++)
+    I n1 = 0;
+    for (I i = 0; i < n; i++)
         if (is_lms(t.data(), sa[i])) sa[n1++] = sa[i];
-    std::fill(sa + n1, sa + n, int64_t(-1));
-    int64_t name = 0, prev = -1;
-    for (int64_t i = 0; i < n1; i++) {
-        int64_t pos = sa[i];
+    std::fill(sa + n1, sa + n, I(-1));
+    I name = 0, prev = -1;
+    for (I i = 0; i < n1; i++) {
+        I pos = sa[i];
         bool diff = false;
         if (prev < 0) {
             diff = true;
         } else {
-            for (int64_t d = 0;; d++) {
+            for (I d = 0;; d++) {
                 if (pos + d >= n || prev + d >= n
                     || s[pos + d] != s[prev + d]
                     || t[size_t(pos + d)] != t[size_t(prev + d)]) {
@@ -2548,31 +2701,31 @@ static void sais(const int64_t* s, int64_t* sa, int64_t n, int64_t K,
         sa[n1 + pos / 2] = name - 1;
     }
     // compact names into s1 (order of appearance in the text)
-    int64_t* s1 = sa + n - n1;
-    for (int64_t i = n - 1, j = n - 1; i >= n1; i--)
+    I* s1 = sa + n - n1;
+    for (I i = n - 1, j = n - 1; i >= n1; i--)
         if (sa[i] >= 0) sa[j--] = sa[i];
     // 3) sort the LMS order: recurse if names repeat
     if (name < n1) {
-        sais(s1, sa, n1, name, work);
+        sais<I>(s1, sa, n1, name, work);
     } else {
-        for (int64_t i = 0; i < n1; i++) sa[s1[i]] = i;
+        for (I i = 0; i < n1; i++) sa[s1[i]] = i;
     }
     // map s1 indices back to text positions
     {
-        std::vector<int64_t>& lms = work;
+        std::vector<I>& lms = work;
         lms.clear();
         lms.reserve(size_t(n1));
-        for (int64_t i = 1; i < n; i++)
+        for (I i = 1; i < n; i++)
             if (is_lms(t.data(), i)) lms.push_back(i);
-        for (int64_t i = 0; i < n1; i++) sa[i] = lms[size_t(sa[i])];
+        for (I i = 0; i < n1; i++) sa[i] = lms[size_t(sa[i])];
     }
     // 4) final induce from the sorted LMS suffixes
-    std::fill(sa + n1, sa + n, int64_t(-1));
+    std::fill(sa + n1, sa + n, I(-1));
     buckets(true);
     {
-        std::vector<int64_t> tail(bkt.begin(), bkt.end());
-        for (int64_t i = n1 - 1; i >= 0; i--) {
-            int64_t j = sa[i];
+        std::vector<I> tail(bkt.begin(), bkt.end());
+        for (I i = n1 - 1; i >= 0; i--) {
+            I j = sa[i];
             sa[i] = -1;
             sa[--tail[size_t(s[j])]] = j;
         }
@@ -2593,8 +2746,22 @@ void tdc_suffix_array_sais(const uint8_t* text, int64_t n, int64_t* sa) {
     s[size_t(n)] = 0;
     std::vector<int64_t> sa1(size_t(n) + 1);
     std::vector<int64_t> work;
-    tdc_sais::sais(s.data(), sa1.data(), n + 1, 257, work);
+    tdc_sais::sais<int64_t>(s.data(), sa1.data(), n + 1, 257, work);
     // drop the sentinel suffix (always first)
+    for (int64_t i = 0; i < n; i++) sa[i] = sa1[size_t(i) + 1];
+}
+
+void tdc_suffix_array_sais32(const uint8_t* text, int64_t n,
+                             int32_t* sa) {
+    if (n <= 0) return;
+    if (n == 1) { sa[0] = 0; return; }
+    std::vector<int32_t> s(size_t(n) + 1);
+    for (int64_t i = 0; i < n; i++) s[size_t(i)] = int32_t(text[i]) + 1;
+    s[size_t(n)] = 0;
+    std::vector<int32_t> sa1(size_t(n) + 1);
+    std::vector<int32_t> work;
+    tdc_sais::sais<int32_t>(s.data(), sa1.data(), int32_t(n + 1), 257,
+                            work);
     for (int64_t i = 0; i < n; i++) sa[i] = sa1[size_t(i) + 1];
 }
 

@@ -93,11 +93,11 @@ class ArraysComp(Algorithm):
                   factors: FactorBuffer) -> None:
         sa = text.require_sa()
         isa = text.require_isa()
+        lcp = text.require_lcp()
+        text.discard("phi", "plcp")  # LCP construction helpers
         from tudocomp_tpu import native
 
-        got = native.lcpcomp_arrays_factorize(
-            sa, isa, text.require_lcp(), threshold
-        )
+        got = native.lcpcomp_arrays_factorize(sa, isa, lcp, threshold)
         if got is not None:
             factors.extend_arrays(*got)
             return
@@ -571,13 +571,11 @@ class LCPCompressor(Compressor):
         if fast is not None:
             lit_bytes, fpos, fsrc, flens = fast
             total = int(lit_bytes.size + flens.sum())
-            covered = np.zeros(total, bool)
+            delta = np.zeros(total + 1, np.int8)
             if fpos.size:
-                tot = int(flens.sum())
-                ramp = np.arange(tot) - np.repeat(
-                    np.cumsum(flens) - flens, flens
-                )
-                covered[np.repeat(fpos, flens) + ramp] = True
+                delta[fpos] += 1
+                delta[fpos + flens] -= 1
+            covered = np.cumsum(delta[:total], dtype=np.int8) > 0
             positions = np.flatnonzero(~covered)
             return resolve_factors(
                 total, lit_bytes, positions, (fpos, fsrc, flens),

@@ -232,7 +232,7 @@ class LZ78UCompressor(Compressor):
         )
         if bulk:
             values = np.zeros(kind.size, np.uint64)
-            lens = np.zeros(kind.size, np.int64)
+            lens = np.zeros(kind.size, np.int32)
             is_ref = kind == 0
             is_sep = kind == 1
             is_char = kind == 2
@@ -240,7 +240,7 @@ class LZ78UCompressor(Compressor):
             ref_aux = aux[is_ref]
             lens[is_ref] = np.where(
                 ref_aux >= 0,
-                bits_for_arr(np.maximum(ref_aux, 0)).astype(np.int64),
+                bits_for_arr(np.maximum(ref_aux, 0)).astype(np.int32),
                 len_r.bits,
             )
             values[is_sep] = value[is_sep].astype(np.uint64)

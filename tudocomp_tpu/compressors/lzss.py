@@ -135,17 +135,28 @@ class FactorBuffer:
         transitive origin (reference ``LZSSFactors.hpp:79-132``).
         Vectorized: each round jumps every still-contained source one
         level toward its origin (Jacobi form of the sequential rewrite;
-        containment guarantees the same fixed point)."""
+        containment guarantees the same fixed point). Requires factors
+        sorted by position (both call sites sort first, as the
+        reference does before its flatten pass)."""
         pos, src, lng = self.arrays()
         if pos.size == 0:
             return
         end = int(pos[-1] + lng[-1])
-        fmap = np.zeros(end, np.int64)
-        tot = int(lng.sum())
-        ramp = np.arange(tot) - np.repeat(np.cumsum(lng) - lng, lng)
-        fmap[np.repeat(pos, lng) + ramp] = np.repeat(
-            np.arange(pos.size) + 1, lng
-        )
+        # fmap[p] = 1 + id of the factor covering p, else 0 — built by
+        # a forward-fill of start markers masked by a +-1 diff-scan
+        # coverage (the former per-covered-position repeat+ramp arrays
+        # were 32 transient bytes/char at 100 MB)
+        dt = np.int32 if end < (1 << 31) else np.int64
+        fmap = np.zeros(end, dt)
+        fmap[pos] = np.arange(1, pos.size + 1, dtype=dt)
+        np.maximum.accumulate(fmap, out=fmap)
+        delta = np.zeros(end + 1, np.int8)
+        delta[pos] += 1
+        delta[pos + lng] -= 1
+        covered = np.cumsum(delta[:end], dtype=np.int8) > 0
+        del delta
+        fmap[~covered] = 0
+        del covered
         src = src.copy()
         # iterate to the sequential fixed point: blocked intermediate
         # factors (containment fails at some chain level) prevent true
@@ -172,13 +183,16 @@ class FactorBuffer:
 
 def uncovered_literals(text: np.ndarray, factors: FactorBuffer) -> Literals:
     """Literal iterator skipping factor-covered positions
-    (reference ``lzss/LZSSLiterals.hpp:10-50``)."""
-    covered = np.zeros(text.size, bool)
+    (reference ``lzss/LZSSLiterals.hpp:10-50``). Coverage comes from a
+    +-1 diff scan over the (non-overlapping) factor intervals — the
+    former per-covered-position repeat+ramp arrays were 16 transient
+    bytes/char at 100 MB."""
     pos, _, lng = factors.arrays()
+    delta = np.zeros(text.size + 1, np.int8)
     if pos.size:
-        tot = int(lng.sum())
-        ramp = np.arange(tot) - np.repeat(np.cumsum(lng) - lng, lng)
-        covered[np.repeat(pos, lng) + ramp] = True
+        delta[pos] += 1
+        delta[pos + lng] -= 1  # start==prior end accumulates via +=/-=
+    covered = np.cumsum(delta[: text.size], dtype=np.int8) > 0
     keep = ~covered
     return Literals(text[keep], np.flatnonzero(keep))
 
@@ -191,9 +205,9 @@ def _literal_tokens(coder, byts: np.ndarray):
     if isinstance(coder, HuffmanCoder.Encoder) and coder.table is not None:
         return (
             coder.table.sym_code[byts].astype(np.uint64),
-            coder.table.sym_len[byts].astype(np.int64),
+            coder.table.sym_len[byts].astype(np.int32),
         )
-    return byts.astype(np.uint64), np.full(byts.size, 8, np.int64)
+    return byts.astype(np.uint64), np.full(byts.size, 8, np.int32)
 
 
 def _encode_factors_bulk(coder, text, factors, text_r, flen_r, fdist_r):
@@ -213,7 +227,10 @@ def _encode_factors_bulk(coder, text, factors, text_r, flen_r, fdist_r):
     offs = np.concatenate([[0], np.cumsum(slots)[:-1]])
     total = int(slots.sum()) + (2 + tail if tail else 0)
     values = np.zeros(total, np.uint64)
-    lens = np.zeros(total, np.int64)
+    # int32 slot/len arrays: token counts and bit lengths stay far
+    # below 2^31 for any whole-input encode this path serves (the
+    # blocks container is the >GB-scale answer)
+    lens = np.zeros(total, np.int32)
     # flags
     values[offs] = has_gap
     lens[offs] = 1
@@ -638,9 +655,12 @@ def factorize_lcp(text: np.ndarray, threshold: int,
     from tudocomp_tpu import native
 
     if not compressed:
+        lcp = ds.require_lcp()
+        # Phi/PLCP only exist to build LCP; dropping them caps resident
+        # index memory at 3 arrays (ds/TextDS.hpp release lifecycle)
+        ds.discard("phi", "plcp")
         got = native.lzss_lcp_factorize(
-            ds.require_sa(), ds.require_isa(), ds.require_lcp(),
-            threshold,
+            ds.require_sa(), ds.require_isa(), lcp, threshold,
         )
         if got is not None:
             factors = FactorBuffer()

@@ -28,41 +28,48 @@ RUN_CAP = 8192
 def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
     if arr.size == 0:
         return arr
+    # index dtype at bits_for width: a low-run input (e.g. an english
+    # BWT) has ~0.7 runs/byte, and the ~10 run-scale work arrays below
+    # peaked >4 GB at 100 MB as int64
+    # (int32 cumsums cover the worst-case 1.5x output expansion too)
+    dt = np.int32 if arr.size < (1 << 30) else np.int64
     boundary = np.empty(arr.size, bool)
     boundary[0] = True
     np.not_equal(arr[1:], arr[:-1], out=boundary[1:])
-    run_starts = np.flatnonzero(boundary)
-    run_lens = np.diff(np.append(run_starts, arr.size))
+    run_starts = np.flatnonzero(boundary).astype(dt)
+    run_lens = np.diff(np.append(run_starts, dt(arr.size)))
     run_chars = arr[run_starts]
     # split runs into <= RUN_CAP pieces; the first piece of a run uses the
     # doubled-char form, continuation pieces the single-char form (the
     # reference decoder's prev stays armed after a run)
-    n_pieces = -(-run_lens // RUN_CAP)
+    n_pieces = (-(-run_lens // RUN_CAP)).astype(dt)
     chars = np.repeat(run_chars, n_pieces)
-    lens = np.full(chars.size, RUN_CAP, np.int64)
-    ends_cum = np.cumsum(n_pieces)
+    lens = np.full(chars.size, RUN_CAP, dt)
+    ends_cum = np.cumsum(n_pieces, dtype=dt)
     lens[ends_cum - 1] = run_lens - (n_pieces - 1) * RUN_CAP
     is_first = np.zeros(chars.size, bool)
     is_first[ends_cum - n_pieces] = True
+    del run_starts, run_lens, run_chars, n_pieces, ends_cum, boundary
     has_vb = ~is_first | (lens >= 2)
     v = (np.where(is_first, lens - 2, lens - 1)[has_vb] + offset).astype(
         np.uint64
     )
     run_payload = encode_vbyte_array(v)
-    vlens = np.zeros(chars.size, np.int64)
+    vlens = np.zeros(chars.size, dt)
     if has_vb.any():
-        nb = np.ones(v.shape, np.int64)
+        nb = np.ones(v.shape, dt)
         vv = v.copy()
         for _ in range(9):
             vv >>= np.uint64(7)
-            nb += (vv > 0).astype(np.int64)
+            nb += (vv > 0).astype(dt)
         vlens[has_vb] = nb
-    nchars = np.where(has_vb & is_first, 2, 1)
+    nchars = np.where(has_vb & is_first, dt(2), dt(1))
     out_lens = nchars + vlens
-    out_ends = np.cumsum(out_lens)
+    out_ends = np.cumsum(out_lens, dtype=dt)
     total = int(out_ends[-1])
     out = np.empty(total, np.uint8)
     out_starts = out_ends - out_lens
+    del out_ends, out_lens
     out[out_starts] = chars
     doubled = has_vb & is_first
     out[out_starts[doubled] + 1] = chars[doubled]
@@ -71,7 +78,9 @@ def rle_encode(arr: np.ndarray, offset: int = 0) -> np.ndarray:
         v_starts = (out_starts + nchars)[has_vb]
         vl = vlens[has_vb]
         tot = int(vl.sum())
-        ramp = np.arange(tot) - np.repeat(np.cumsum(vl) - vl, vl)
+        ramp = np.arange(tot, dtype=dt) - np.repeat(
+            np.cumsum(vl, dtype=dt) - vl, vl
+        )
         out[np.repeat(v_starts, vl) + ramp] = run_payload
     return out
 

@@ -32,32 +32,35 @@ def suffix_array(text) -> np.ndarray:
     if got is not None:
         assert_permutation(got, n)  # paranoid (util.hpp:449-473)
         return got
-    rank = t.astype(np.int64)
-    idx = np.arange(n)
+    # int32 index stack for any n < 2^31: the reference keeps these
+    # arrays at bits_for(n) width (IntVector + CompressMode,
+    # ds/TextDS.hpp:140-147); int32 is the numpy-vectorizable analog
+    dt = np.int32 if n < (1 << 31) else np.int64
+    rank = t.astype(dt)
     k = 1
     while True:
-        key2 = np.full(n, -1, np.int64)
+        key2 = np.full(n, -1, dt)
         key2[: n - k] = rank[k:]
         order = np.lexsort((key2, rank))
         r1 = rank[order]
         r2 = key2[order]
-        changed = np.empty(n, np.int64)
+        changed = np.empty(n, dt)
         changed[0] = 0
         changed[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
-        new_rank_sorted = np.cumsum(changed)
-        rank = np.empty(n, np.int64)
+        new_rank_sorted = np.cumsum(changed, dtype=dt)
+        rank = np.empty(n, dt)
         rank[order] = new_rank_sorted
         if new_rank_sorted[-1] == n - 1:
-            return order
+            return order.astype(dt)
         k *= 2
         if k >= n:
-            return order
+            return order.astype(dt)
 
 
 def inverse_suffix_array(sa: np.ndarray) -> np.ndarray:
     """ISA: inverse permutation (reference ``ISAFromSA.hpp:30-39``)."""
     isa = np.empty_like(sa)
-    isa[sa] = np.arange(sa.size)
+    isa[sa] = np.arange(sa.size, dtype=sa.dtype)
     return isa
 
 
@@ -87,7 +90,7 @@ def plcp_array(text, phi: np.ndarray) -> np.ndarray:
     got = native.plcp(t, phi)
     if got is not None:
         return got
-    plcp = np.zeros(n, np.int64)
+    plcp = np.zeros(n, phi.dtype)
     tl = t.tolist()
     ph = phi.tolist()
     l = 0
@@ -148,12 +151,24 @@ class TextDS:
     def require_plcp(self) -> np.ndarray:
         if self._plcp is None:
             self._plcp = plcp_array(self.text, self.require_phi())
+            # Phi is a pure construction helper for PLCP — drop it
+            # immediately (reference release lifecycle); a later
+            # require_phi rebuilds in one scan if ever needed
+            self._phi = None
         return self._plcp
 
     def require_lcp(self) -> np.ndarray:
         if self._lcp is None:
             self._lcp = lcp_array(self.require_sa(), self.require_plcp())
         return self._lcp
+
+    def discard(self, *names: str) -> None:
+        """Drop cached structures (reference ``TextDS`` release/discard
+        lifecycle, ``ds/TextDS.hpp:247-292``): construction helpers like
+        Phi/PLCP can be freed once LCP exists, halving resident index
+        memory on the factorization paths."""
+        for name in names:
+            setattr(self, f"_{name}", None)
 
     # -- compressed-space degree (reference TextDS.hpp compressed_space:
     # structures answer point queries from o(n)-extra-bit storage) ------

@@ -27,11 +27,14 @@ def split_tokens(values: np.ndarray, lens: np.ndarray):
     (values uint32, lens uint8) with all lens <= 32, preserving bit order.
     """
     values = np.asarray(values, dtype=np.uint64)
-    lens = np.asarray(lens, dtype=np.int64)
+    lens = np.asarray(lens)
     if lens.size == 0:
         return np.zeros(0, np.uint32), np.zeros(0, np.uint8)
     if int(lens.max(initial=0)) <= 32:
+        # fast path keeps the caller's lens dtype (int32 callers avoid
+        # an int64 copy of a 10^7-token array)
         return values.astype(np.uint32), lens.astype(np.uint8)
+    lens = lens.astype(np.int64)
     wide = lens > 32
     n_out = lens.size + int(wide.sum())
     out_v = np.empty(n_out, np.uint64)
@@ -51,16 +54,20 @@ def pack_tokens(values: np.ndarray, lens: np.ndarray):
     Returns ``(payload: uint8[ceil(T/8)], total_bits: int)`` without the
     finalization byte — apply :func:`finalize_stream` for a finished stream.
     """
-    values = np.asarray(values, dtype=np.uint64)
-    lens64 = np.asarray(lens, dtype=np.int64)
-    if values.size == 0:
+    if np.asarray(values).size == 0:
         return np.zeros(0, np.uint8), 0
-    if values.size > 512:
+    if np.asarray(values).size > 512:
         from tudocomp_tpu import native
 
-        got = native.pack_tokens32(values, lens64)
+        # hand the raw arrays over: the token buffer's native-width
+        # u32/u8 chunks pass through with zero copies (the former
+        # uint64/int64 pre-conversion cost 16 transient bytes/token —
+        # the peak-RSS hotspot of whole-input encodes at 100 MB)
+        got = native.pack_tokens32(values, lens)
         if got is not None:
             return got
+    values = np.asarray(values, dtype=np.uint64)
+    lens64 = np.asarray(lens, dtype=np.int64)
     ends = np.cumsum(lens64)
     total = int(ends[-1])
     offs = ends - lens64

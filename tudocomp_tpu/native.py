@@ -127,10 +127,34 @@ def _load():
         lib.tdc_plcp.argtypes = [u8p, i64p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array.argtypes = [u8p, ctypes.c_int64, i64p]
         lib.tdc_suffix_array_sais.argtypes = [u8p, ctypes.c_int64, i64p]
+        # int32 index stack (n < 2^31): the reference's bits_for(n)
+        # width management role on the hot host paths (IntVector /
+        # CompressMode, ds/TextDS.hpp:140-147) — halves SA/ISA/LCP
+        # memory at every realistic size
+        lib.tdc_suffix_array_sais32.argtypes = [
+            u8p, ctypes.c_int64, i32p,
+        ]
+        lib.tdc_plcp32.argtypes = [u8p, i32p, ctypes.c_int64, i32p]
+        lib.tdc_lzss_lcp_factorize32.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64,
+        ]
+        lib.tdc_lzss_lcp_factorize32.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_arrays32.argtypes = [
+            i32p, i32p, i32p, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, i32p, ctypes.c_int64,
+        ]
+        lib.tdc_lcpcomp_arrays32.restype = ctypes.c_int64
+        lib.tdc_lcpcomp_heap32.argtypes = lib.tdc_lcpcomp_arrays32.argtypes
+        lib.tdc_lcpcomp_heap32.restype = ctypes.c_int64
         lib.tdc_suffix_tree.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, i64p, u8p, i64p, i64p,
         ]
         lib.tdc_suffix_tree.restype = ctypes.c_int64
+        lib.tdc_suffix_tree32.argtypes = [
+            i32p, i32p, ctypes.c_int64, i32p, i32p, u8p, i32p, i32p,
+        ]
+        lib.tdc_suffix_tree32.restype = ctypes.c_int64
         lib.tdc_lzss_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -219,6 +243,12 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
             u8p, i64p, i64p, ctypes.c_int64,
         ]
+        lib.tdc_lz78u_parse32.argtypes = [
+            i32p, i32p, u8p, i32p, i32p, u8p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            u8p, i32p, i32p, ctypes.c_int64,
+        ]
+        lib.tdc_lz78u_parse32.restype = ctypes.c_int64
         lib.tdc_lz78u_parse.restype = ctypes.c_int64
         lib.tdc_lz78u_decode.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64, u8p, u8p,
@@ -414,21 +444,24 @@ def rle_decode(arr: np.ndarray, offset: int = 0) -> bytes:
 
 
 def lzss_lcp_factorize(sa, isa, lcp, threshold: int):
-    """Returns (pos, src, len) int64 arrays, or None if unavailable."""
+    """Returns (pos, src, len) arrays (index dtype matches the inputs:
+    int32 when the DS stack is int32), or None if unavailable."""
     lib = _load()
     if lib is None:
         return None
-    sa = np.ascontiguousarray(sa, np.int64)
-    isa = np.ascontiguousarray(isa, np.int64)
-    lcp = np.ascontiguousarray(lcp, np.int64)
+    dt = np.int32 if np.asarray(sa).dtype == np.int32 else np.int64
+    fn = (lib.tdc_lzss_lcp_factorize32 if dt == np.int32
+          else lib.tdc_lzss_lcp_factorize)
+    sa = np.ascontiguousarray(sa, dt)
+    isa = np.ascontiguousarray(isa, dt)
+    lcp = np.ascontiguousarray(lcp, dt)
     n = sa.size
-    cap = max(16, n)
-    pos = np.empty(cap, np.int64)
-    src = np.empty(cap, np.int64)
-    length = np.empty(cap, np.int64)
-    got = lib.tdc_lzss_lcp_factorize(
-        sa, isa, lcp, n, threshold, pos, src, length, cap
-    )
+    # each factor advances the scan by >= max(1, threshold) positions
+    cap = max(16, n // max(1, threshold) + 1)
+    pos = np.empty(cap, dt)
+    src = np.empty(cap, dt)
+    length = np.empty(cap, dt)
+    got = fn(sa, isa, lcp, n, threshold, pos, src, length, cap)
     if got < 0:
         raise RuntimeError("factor buffer overflow")
     return pos[:got], src[:got], length[:got]
@@ -509,22 +542,28 @@ def slp_derive(pairs: np.ndarray, root: int):
             return out[:got].tobytes()
         cap *= 4
 def lcpcomp_factorize(sa, isa, lcp, threshold: int, strategy="arrays"):
-    """lcpcomp arrays/heap factorization. Returns (pos, src, len) or None."""
+    """lcpcomp arrays/heap factorization. Returns (pos, src, len) or None.
+    Index dtype follows the inputs (int32 stack when n < 2^31)."""
     lib = _load()
     if lib is None:
         return None
-    fn = (
-        lib.tdc_lcpcomp_heap if strategy == "heap"
-        else lib.tdc_lcpcomp_arrays
-    )
-    sa = np.ascontiguousarray(sa, np.int64)
-    isa = np.ascontiguousarray(isa, np.int64)
-    lcp = np.ascontiguousarray(lcp, np.int64).copy()
+    dt = np.int32 if np.asarray(sa).dtype == np.int32 else np.int64
+    if dt == np.int32:
+        fn = (lib.tdc_lcpcomp_heap32 if strategy == "heap"
+              else lib.tdc_lcpcomp_arrays32)
+    else:
+        fn = (lib.tdc_lcpcomp_heap if strategy == "heap"
+              else lib.tdc_lcpcomp_arrays)
+    sa = np.ascontiguousarray(sa, dt)
+    isa = np.ascontiguousarray(isa, dt)
+    lcp = np.ascontiguousarray(lcp, dt).copy()
     n = sa.size
-    cap = max(16, n)
-    pos = np.empty(cap, np.int64)
-    src = np.empty(cap, np.int64)
-    length = np.empty(cap, np.int64)
+    # every factor zeroes >= threshold LCP entries, so the count is
+    # bounded by n / max(1, threshold)
+    cap = max(16, n // max(1, threshold) + 1)
+    pos = np.empty(cap, dt)
+    src = np.empty(cap, dt)
+    length = np.empty(cap, dt)
     got = fn(sa, isa, lcp, n, threshold, pos, src, length, cap)
     if got < 0:
         raise RuntimeError("factor buffer overflow")
@@ -534,23 +573,36 @@ def lcpcomp_factorize(sa, isa, lcp, threshold: int, strategy="arrays"):
 def lcpcomp_arrays_factorize(sa, isa, lcp, threshold: int):
     return lcpcomp_factorize(sa, isa, lcp, threshold, "arrays")
 def plcp(text: np.ndarray, phi: np.ndarray):
-    """Karkkainen PLCP; None if native unavailable."""
+    """Karkkainen PLCP; None if native unavailable. Output dtype
+    follows ``phi`` (int32 stack for n < 2^31)."""
     lib = _load()
     if lib is None:
         return None
     t = np.ascontiguousarray(text, np.uint8)
-    ph = np.ascontiguousarray(phi, np.int64)
-    out = np.empty(t.size, np.int64)
-    lib.tdc_plcp(t, ph, t.size, out)
+    if np.asarray(phi).dtype == np.int32:
+        ph = np.ascontiguousarray(phi, np.int32)
+        out = np.empty(t.size, np.int32)
+        lib.tdc_plcp32(t, ph, t.size, out)
+    else:
+        ph = np.ascontiguousarray(phi, np.int64)
+        out = np.empty(t.size, np.int64)
+        lib.tdc_plcp(t, ph, t.size, out)
     return out
 def suffix_array(text: np.ndarray, algo: str = "sais"):
     """Suffix array; None if native unavailable. ``sais`` (default) is
     the linear-time induced-sorting construction; ``radix`` the
-    O(n log n) prefix-doubling one (same output — the SA is unique)."""
+    O(n log n) prefix-doubling one (same output — the SA is unique).
+    Returns int32 for n < 2^31 (the whole host DS stack runs at
+    bits_for-class width, reference CompressMode ds/TextDS.hpp:140-147),
+    int64 above."""
     lib = _load()
     if lib is None:
         return None
     t = np.ascontiguousarray(text, np.uint8)
+    if algo == "sais" and t.size < (1 << 31):
+        out = np.empty(t.size, np.int32)
+        lib.tdc_suffix_array_sais32(t, t.size, out)
+        return out
     out = np.empty(t.size, np.int64)
     if algo == "sais":
         lib.tdc_suffix_array_sais(t, t.size, out)
@@ -606,18 +658,18 @@ def suffix_tree(sa: np.ndarray, lcp: np.ndarray):
     lib = _load()
     if lib is None:
         return None
-    sa = np.ascontiguousarray(sa, np.int64)
-    lcp = np.ascontiguousarray(lcp, np.int64)
+    dt = np.int32 if np.asarray(sa).dtype == np.int32 else np.int64
+    fn = lib.tdc_suffix_tree32 if dt == np.int32 else lib.tdc_suffix_tree
+    sa = np.ascontiguousarray(sa, dt)
+    lcp = np.ascontiguousarray(lcp, dt)
     n = sa.size
     cap = 2 * n + 2
-    parent = np.empty(cap, np.int64)
-    sdepth = np.empty(cap, np.int64)
+    parent = np.empty(cap, dt)
+    sdepth = np.empty(cap, dt)
     is_leaf = np.empty(cap, np.uint8)
-    suffix = np.empty(cap, np.int64)
-    leaf_of_rank = np.empty(max(1, n), np.int64)
-    m = lib.tdc_suffix_tree(
-        sa, lcp, n, parent, sdepth, is_leaf, suffix, leaf_of_rank
-    )
+    suffix = np.empty(cap, dt)
+    leaf_of_rank = np.empty(max(1, n), dt)
+    m = fn(sa, lcp, n, parent, sdepth, is_leaf, suffix, leaf_of_rank)
     return (
         parent[:m], sdepth[:m], is_leaf[:m].astype(bool), suffix[:m],
         leaf_of_rank[:n], m,
@@ -1023,26 +1075,36 @@ def lz78u_parse(parent, sdepth, is_leaf, leaf_of_rank, isa,
     lib = _load()
     if lib is None:
         return None
-    parent = np.ascontiguousarray(parent, np.int64)
-    sdepth = np.ascontiguousarray(sdepth, np.int64)
+    dt = np.int32 if np.asarray(parent).dtype == np.int32 else np.int64
+    fn = lib.tdc_lz78u_parse32 if dt == np.int32 else lib.tdc_lz78u_parse
+    parent = np.ascontiguousarray(parent, dt)
+    sdepth = np.ascontiguousarray(sdepth, dt)
     is_leaf = np.ascontiguousarray(
         np.asarray(is_leaf).astype(np.uint8)
     )
-    leaf_of_rank = np.ascontiguousarray(leaf_of_rank, np.int64)
-    isa = np.ascontiguousarray(isa, np.int64)
+    leaf_of_rank = np.ascontiguousarray(leaf_of_rank, dt)
+    isa = np.ascontiguousarray(isa, dt)
     text = np.ascontiguousarray(text, np.uint8)
     n = text.size
-    cap = 8 * max(64, n)
-    kind = np.empty(cap, np.uint8)
-    value = np.empty(cap, np.int64)
-    aux = np.empty(cap, np.int64)
-    got = lib.tdc_lz78u_parse(
-        parent, sdepth, is_leaf, leaf_of_rank, isa, text,
-        n, parent.size, threshold, kind, value, aux, cap,
-    )
-    if got < 0:
-        raise RuntimeError("lz78u event overflow")
-    return kind[:got], value[:got], aux[:got]
+    # ~3 events/char typical; grow on overflow instead of sizing the
+    # buffers for the worst case up front (the former flat 8n int64
+    # buffers were 17 resident bytes/char at 100 MB)
+    cap = 4 * max(64, n)
+    while True:
+        kind = np.empty(cap, np.uint8)
+        value = np.empty(cap, dt)
+        aux = np.empty(cap, dt)
+        got = fn(
+            parent, sdepth, is_leaf, leaf_of_rank, isa, text,
+            n, parent.size, threshold, kind, value, aux, cap,
+        )
+        if got >= 0:
+            break
+        cap *= 2
+        if cap > 64 * max(64, n):
+            raise RuntimeError("lz78u event overflow")
+    # copies release the cap-sized buffers
+    return kind[:got].copy(), value[:got].copy(), aux[:got].copy()
 
 
 def lz78u_decode(payload, nbits, start_bit, lut, out_hint: int,
