@@ -266,12 +266,33 @@ def main() -> None:
         for s in order[: ch0.shape[0]].tolist()
     )
     assert dec == expect
+    # Single-pass timing first (round-4 comparable), then SUSTAINED
+    # throughput: 3 full decode passes back-to-back with ONE end sync.
+    # The ~25-40 ms tunnel sync floor is per-invocation host-visibility
+    # latency (an axon artifact; PCIe-class on production hosts) and is
+    # 30-45% of a single 256 MiB pass at these speeds — its run-to-run
+    # jitter alone explains the round-4 2.70-3.01 GB/s spread. The
+    # sustained number divides the floor over the passes; the
+    # single-pass minimum is reported as decode_gbps_single.
     dtimes = []
     for _ in range(3):
         t0 = time.perf_counter()
-        keys = decode_device_kernels()
+        decode_device_kernels()
         dtimes.append(time.perf_counter() - t0)
-    t_dec_dev = min(dtimes)
+    t_dec_single = min(dtimes)
+    DEC_REPS = 3
+    stimes = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for r in range(DEC_REPS - 1):
+            for f, c, h, rr in feeds:  # queue async, no sync
+                decode_segments_pallas(
+                    f, c, h, rr, thresh, offs, masks, offset=0,
+                    d=dec_d,
+                )
+        decode_device_kernels()  # last pass pulls one scalar
+        stimes.append((time.perf_counter() - t0) / DEC_REPS)
+    t_dec_dev = min(stimes)
 
     # ---- decode on host (native batch kernel), for comparison ----------
     # Host decode saturates all cores, so it is the most load-sensitive
@@ -295,6 +316,7 @@ def main() -> None:
                 "vs_baseline": round(gbps / BASELINE_GBPS, 2),
                 "encode_gbps": round(size_gb / t_enc, 4),
                 "decode_gbps": round(size_gb / t_dec_dev, 4),
+                "decode_gbps_single": round(size_gb / t_dec_single, 4),
                 "decode_gbps_spread": [
                     round(size_gb / max(dtimes), 4),
                     round(size_gb / min(dtimes), 4),

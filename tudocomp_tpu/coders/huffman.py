@@ -273,7 +273,7 @@ class HuffmanCoder(Algorithm):
                 else:
                     self.out.write_tokens(
                         self.table.sym_code[values],
-                        self.table.sym_len[values].astype(np.int64),
+                        self.table.sym_len[values].astype(np.int32),
                     )
             else:
                 super().encode_array(values, r)

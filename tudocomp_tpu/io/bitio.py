@@ -26,14 +26,16 @@ def split_tokens(values: np.ndarray, lens: np.ndarray):
     ``values`` uint64, ``lens`` integer array with lens <= 64. Returns
     (values uint32, lens uint8) with all lens <= 32, preserving bit order.
     """
-    values = np.asarray(values, dtype=np.uint64)
+    values = np.asarray(values)
     lens = np.asarray(lens)
     if lens.size == 0:
         return np.zeros(0, np.uint32), np.zeros(0, np.uint8)
     if int(lens.max(initial=0)) <= 32:
-        # fast path keeps the caller's lens dtype (int32 callers avoid
-        # an int64 copy of a 10^7-token array)
+        # fast path keeps the caller's dtypes (truncating to uint32
+        # directly equals the uint64 round trip on the low 32 bits;
+        # the former upfront uint64 copy was 8 transient bytes/token)
         return values.astype(np.uint32), lens.astype(np.uint8)
+    values = values.astype(np.uint64)
     lens = lens.astype(np.int64)
     wide = lens > 32
     n_out = lens.size + int(wide.sum())
@@ -202,7 +204,7 @@ class BitWriter:
     def write_int_array(self, values, bits: int) -> None:
         """Fixed-width batch write: each value in ``bits`` bits."""
         values = np.asarray(values, dtype=np.uint64)
-        self.write_tokens(values, np.full(values.shape, bits, np.int64))
+        self.write_tokens(values, np.full(values.shape, bits, np.int32))
 
     def write_unary_array(self, values) -> None:
         values = np.asarray(values, dtype=np.int64)

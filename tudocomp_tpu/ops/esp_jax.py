@@ -269,50 +269,23 @@ def _merged_start_flags(starts0, n, N):
     return start1 & valid
 
 
-def _group_dedup(keys, seqpos, blk_valid):
-    """Lexicographic-sort dedup with first-encounter bookkeeping.
-
-    keys: tuple of int32[N] columns; seqpos: int32[N], distinct across
-    valid rows; blk_valid: which rows participate. Returns
-    (is_new, first_idx): per original row, whether it is the first
-    encounter of its key, and the row index of that first encounter.
-    """
-    N = seqpos.shape[0]
-    idx = jnp.arange(N, dtype=I32)
-    cols = [jnp.where(blk_valid, k, INF) for k in keys]
-    sorted_ops = lax.sort(
-        tuple(cols) + (seqpos, idx), num_keys=len(cols) + 1
-    )
-    s_keys = sorted_ops[: len(cols)]
-    s_idx = sorted_ops[-1]
-    head = jnp.concatenate(
-        [
-            jnp.ones(1, bool),
-            functools.reduce(
-                jnp.logical_or,
-                [k[1:] != k[:-1] for k in s_keys],
-            ),
-        ]
-    )
-    # original row of the group head, propagated forward (scan, not
-    # gather), then back to original row order by ONE co-sort on the
-    # permutation s_idx (permute-via-sort; scatters serialize on TPU)
-    first_sorted = _prop_last(s_idx, head)
-    _, is_new_i, first_idx = lax.sort(
-        (s_idx, head.astype(I32), first_sorted), num_keys=1
-    )
-    return (is_new_i == 1) & blk_valid, first_idx
-
-
 def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
-    """One ESP round on the text domain at padded length N.
+    """One ESP round: text-domain split, block-domain dedup.
 
-    Returns (s_next[N] — next layer dense in its first nb slots,
+    Input width N; returns (s_next[N//2] — the next layer dense in its
+    first nb slots (always fits: every merged block has length >= 2),
     nb, rules_buf with this round's R rules appended at rule_off,
     rule_off + R). A layer of size n <= 1 passes through unchanged
     (the host loop stops there; fixed fused schedules may overshoot).
+
+    The phase-A dedup sort doubles as the block COMPACTION: its
+    back-sort keys on the block sequence position, so valid rows land
+    dense at [0, nb) and phase B, the id cumsums, and the two
+    first-encounter gathers all run at half width; the next layer
+    needs no compaction sort at all.
     """
     N = s.shape[0]
+    NB = N // 2
     pos = jnp.arange(N, dtype=I32)
     starts0 = _round_block_starts(s, n, ilog)
     starts0 = (starts0 & (pos < n)) | (pos == 0)
@@ -334,22 +307,65 @@ def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
     is3 = head & valid & (blen == 3)
     hvalid = head & valid
 
-    # phase A: inner keys (a, b) at sequence positions 2*bid
-    newA, firstA = _group_dedup((a, b), 2 * bid, hvalid)
-    # phase B: outer keys (A-group identity, c) at positions 2*bid + 1;
-    # the A-group identity is its first-encounter row (bijective)
-    newB, firstB = _group_dedup((firstA, c), 2 * bid + 1, is3)
+    # phase A: keys (a, b) at sequence positions 2*bid; c and the
+    # 3-block flag ride as one packed payload (symbols < 2^30)
+    seqk = jnp.where(hvalid, 2 * bid, INF)
+    am = jnp.where(hvalid, a, INF)
+    bm = jnp.where(hvalid, b, INF)
+    c2p = jnp.where(is3, c * 2 + 1, c * 2)
+    s_am, s_bm, s_seq, s_c2 = lax.sort(
+        (am, bm, seqk, c2p), num_keys=3
+    )
+    headA = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (s_am[1:] != s_am[:-1]) | (s_bm[1:] != s_bm[:-1]),
+        ]
+    )
+    # A-group identity: its first encounter's sequence key (bijective),
+    # propagated by scan, then ONE back-sort on the sequence key lands
+    # every valid row dense at its block index
+    firstA_seq = _prop_last(s_seq, headA)
+    _, hA_i, fA, aa, bb, cc2 = lax.sort(
+        (s_seq, headA.astype(I32), firstA_seq, s_am, s_bm, s_c2),
+        num_keys=1,
+    )
+    j = jnp.arange(NB, dtype=I32)
+    bvalid = j < nb
+    hA_i, fA, aa, bb, cc2 = (
+        x[:NB] for x in (hA_i, fA, aa, bb, cc2)
+    )
+    newA = (hA_i == 1) & bvalid
+    cc = cc2 >> 1
+    is3b = ((cc2 & 1) == 1) & bvalid
+    fA_bid = _srl_pos(fA)  # block index of the A-group's first row
+
+    # phase B at half width: keys (A-group identity, c) at 2*j + 1
+    fm = jnp.where(is3b, fA, INF)
+    cm = jnp.where(is3b, cc, INF)
+    s_fm, s_cm, s_j = lax.sort((fm, cm, j), num_keys=3)
+    headB = jnp.concatenate(
+        [
+            jnp.ones(1, bool),
+            (s_fm[1:] != s_fm[:-1]) | (s_cm[1:] != s_cm[:-1]),
+        ]
+    )
+    firstB_j = _prop_last(s_j, headB)
+    _, hB_i, fB = lax.sort(
+        (s_j, headB.astype(I32), firstB_j), num_keys=1
+    )
+    newB = (hB_i == 1) & is3b
 
     # global first-encounter ranking: exclusive cumsum over the
-    # interleaved event sequence (A event at 2*bid, B event at 2*bid+1)
+    # interleaved event sequence (A event at 2*j, B event at 2*j + 1)
     new_cnt = newA.astype(I32) + newB.astype(I32)
     pre = jnp.cumsum(new_cnt) - new_cnt
-    idA_head = pre  # id of an A-group, valid at its head row
+    idA_head = pre
     idB_head = pre + newA.astype(I32)
     R = pre[-1] + new_cnt[-1]
-    clamp = lambda x: jnp.clip(x, 0, N - 1)  # noqa: E731
-    idA = idA_head[clamp(firstA)]
-    idB = idB_head[clamp(firstB)]
+    clamp = lambda x: jnp.clip(x, 0, NB - 1)  # noqa: E731
+    idA = idA_head[clamp(fA_bid)]
+    idB = idB_head[clamp(fB)]
 
     # rules in id order by ONE compaction sort: targets are the
     # (distinct) new-rule ids, payload the rule symbols; rows [0, R)
@@ -358,27 +374,30 @@ def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
         [jnp.where(newA, idA_head, INF), jnp.where(newB, idB_head, INF)],
         axis=1,
     ).reshape(-1)
-    c1 = jnp.stack([a, base + idA], axis=1).reshape(-1)
-    c2 = jnp.stack([b, c], axis=1).reshape(-1)
+    c1 = jnp.stack([aa, base + idA], axis=1).reshape(-1)
+    c2 = jnp.stack([bb, cc], axis=1).reshape(-1)
     _, c1s, c2s = lax.sort((tgt, c1, c2), num_keys=1)
-    round_rules = jnp.stack([c1s, c2s], axis=1)  # (2N, 2)
+    round_rules = jnp.stack([c1s, c2s], axis=1)  # (2*NB, 2)
     rules_buf = lax.dynamic_update_slice(
         rules_buf, round_rules, (rule_off, jnp.int32(0))
     )
 
-    # next layer: per-block top symbol, compacted by one sort
-    top = jnp.where(is3, idB, idA)
-    key = jnp.where(hvalid, bid, INF)
-    val = jnp.where(hvalid, base + top, 0)
-    _, s_next = lax.sort((key, val), num_keys=1)
+    # next layer: already dense in block order — no sort
+    top = jnp.where(is3b, idB, idA)
+    s_next = jnp.where(bvalid, base + top, 0)
 
     # n <= 1 passes through untouched (no rules, same layer)
     passthru = n <= 1
-    s_next = jnp.where(passthru, s, s_next)
+    s_next = jnp.where(passthru, s[:NB], s_next)
     nb = jnp.where(passthru, n, nb)
     R = jnp.where(passthru, 0, R)
     rule_off = rule_off + R
     return s_next, nb, rules_buf, rule_off
+
+
+def _srl_pos(x):
+    """x // 2 for the nonneg sequence keys (INF rows are masked off)."""
+    return lax.shift_right_logical(x, jnp.ones_like(x))
 
 
 @functools.partial(jax.jit, static_argnames=("schedule",))
@@ -426,8 +445,10 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
     s_host = np.frombuffer(data, np.uint8).astype(np.int64)
     if s_host.size == 0:
         return np.zeros((0, 2), np.int64), 0, True
-    if len(data) >= 1 << 30:
-        raise ValueError("device ESP requires len(data) < 2**30")
+    if len(data) >= (1 << 30) - 512:
+        # int32 headroom: symbols reach 256 + total rules <= 256 + n,
+        # and the packed (c, is3) payload needs 2*c + 1 < 2^31
+        raise ValueError("device ESP requires len(data) < 2**30 - 512")
     chunks = []
     base = 256
     if s_host.size > tail_cutoff:
@@ -449,8 +470,15 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
         nb_i, base = int(packed[0]), int(packed[1])
         r_total = base - 256
         bucket = min(_pad_pow2(max(r_total, 1)), 2 * N0)
-        got = np.asarray(rules_buf[:bucket])  # pull 2: rules
-        chunks.append(got[:r_total].astype(np.int64))
+        rules_slice = rules_buf[:bucket]
+        # start the rules d2h while the host tail rounds run below —
+        # the transfer rides the tunnel at ~30 MB/s and is the second
+        # largest term after the fused compute chain
+        try:
+            rules_slice.copy_to_host_async()
+        except AttributeError:
+            pass
+        chunks.append((rules_slice, r_total))
         s_host = packed[2 : 2 + nb_i].astype(np.int64)
     while s_host.size > 1:
         top, rules_rel = esp_vec.esp_round_vec(s_host, base)
@@ -459,7 +487,12 @@ def esp_rounds_jax(data: bytes, tail_cutoff: int = 4096):
         chunks.append(rules_rel)
         s_host = base + top
         base += rules_rel.shape[0]
+    parts = [
+        (np.asarray(c[0])[: c[1]].astype(np.int64)
+         if isinstance(c, tuple) else c)
+        for c in chunks
+    ]
     all_rules = (
-        np.concatenate(chunks) if chunks else np.zeros((0, 2), np.int64)
+        np.concatenate(parts) if parts else np.zeros((0, 2), np.int64)
     )
     return all_rules, int(s_host[0]), False

@@ -182,8 +182,19 @@ def _lcp_by_position(text, *, max_len: int):
     """(lcp0_p, src_p): for every text position p, the LCP with its
     suffix-array predecessor (capped at max_len) and that predecessor's
     position — the reference's candidate set (pos=sa[i], src=sa[i-1],
-    len=lcp[i]) indexed by text position."""
-    from tudocomp_tpu.ops.lzss_jax import lifted_lcp
+    len=lcp[i]) indexed by text position.
+
+    Round-5 reformulation: the candidate pairs are SA-ADJACENT, so the
+    level floor is an elementwise shift compare in SA order (largest q
+    with equal q-gram rank between slots i-1 and i) — the former
+    ``lifted_lcp`` descent paid ~22 elementwise 1M-gathers per call.
+    What remains data-dependent: 2 gathers per probe level >= 256
+    (floors f in {512..L/2} leave a residual < f), and one 64-word
+    window settle for the final < 256 bytes (word-granular fetches are
+    ~free after the round-5 ``_word_table`` layout)."""
+    from tudocomp_tpu.ops.lzss_jax import (
+        _fetch_aligned_words, _window_settle, _word_table,
+    )
     from tudocomp_tpu.ops.suffix_jax import suffix_array_isa_ranks
 
     n = text.shape[0]
@@ -192,10 +203,54 @@ def _lcp_by_position(text, *, max_len: int):
     while L < max_len:
         L *= 2
     sa, isa, ranks = suffix_array_isa_ranks(text, L=L)
-    src = jnp.where(isa >= 1, sa[jnp.clip(isa - 1, 0, n - 1)], -1)
+    levels = sorted(ranks.keys())
 
-    limit = jnp.minimum(n - 1 - pos, max_len)
-    return lifted_lcp(ranks, L, text, src, limit), src
+    # ranks to SA order in one multi-operand co-sort; the floor with
+    # the SA predecessor is then a shift compare per level
+    sorted_ = lax.sort(
+        (isa,) + tuple(ranks[q] for q in levels), num_keys=1
+    )
+    floor = jnp.zeros(n, _I32)
+    for q, rq in zip(levels, sorted_[1:]):
+        same = jnp.concatenate(
+            [jnp.zeros(1, bool), rq[1:] == rq[:-1]]
+        )
+        floor = jnp.where(same, q, floor)
+    prev_pos = jnp.concatenate([jnp.full(1, -1, _I32), sa[:-1]])
+    # back to text order carrying (floor, predecessor position)
+    _, floor_t, src = lax.sort((sa, floor, prev_pos), num_keys=1)
+
+    has = src >= 0
+    # the pair's match cannot outrun either suffix: n-1-pos on the
+    # target side (as before), n - src on the source side (the settle
+    # would otherwise count zero padding past the end as sentinel
+    # matches when src sits near n)
+    limit = jnp.minimum(
+        jnp.minimum(n - 1 - pos, max_len),
+        jnp.where(has, n - src, 0),
+    )
+    length = jnp.minimum(jnp.where(has, floor_t, 0), limit)
+    # descending rank probes settle the residual below 256 (floor f
+    # means lcp in [f, 2f), so only levels 256..L/4 can still extend)
+    for q in reversed([q for q in levels if 256 <= q <= L // 4]):
+        rq = ranks[q]
+        a = pos + length
+        b = src + length
+        in_rng = (a <= n - q) & (b >= 0) & (b <= n - q)
+        ok = (
+            has & in_rng
+            & (rq[jnp.clip(a, 0, n - 1)] == rq[jnp.clip(b, 0, n - 1)])
+            & (length + q <= limit)
+        )
+        length = jnp.where(ok, length + q, length)
+    T4 = _word_table(text)
+    wa = _fetch_aligned_words(T4, pos + length, 64)
+    wb = _fetch_aligned_words(
+        T4, jnp.clip(src, 0, n - 1) + length, 64
+    )
+    matched = _window_settle(wa, wb, 64)
+    add = jnp.clip(jnp.minimum(matched, limit - length), 0, None)
+    return jnp.where(has, length + add, 0), src
 
 
 def factorize_device(text: np.ndarray, threshold: int,

@@ -303,27 +303,47 @@ def _psv_smaller(A):
     )
 
 
+_TBL_W = 64  # max fetch width any call site uses
+
+
 def _word_table(text):
-    """Overlapping big-endian word rows for the window compares: row r
-    holds the 128 words of bytes [128r, 128r+512)."""
+    """WORD-granular overlapping big-endian rows: row r holds words
+    r..r+_TBL_W+1 (bytes [4r, 4r + 4*_TBL_W + 8)), so a window fetch is
+    ONE row gather plus the byte-in-word shift. The round-4 table used
+    128-byte rows and needed 5 conditional lane-shift stages per fetch
+    to align the word offset — measured at ~27 ms per 1M fetches on the
+    v5e while the row gather itself and the settle compare tree are
+    ~free; this layout removes the lane stages at the price of a
+    (n/4, 66) table (66 bytes/char HBM, built once per matcher call)."""
     n = text.shape[0]
-    R2 = (n + 127) // 128
+    R = (n + 3) // 4
+    cols = _TBL_W + 2
     textp = jnp.concatenate(
-        [text, jnp.zeros(R2 * 128 + 512 - n, jnp.uint8)]
+        [text, jnp.zeros(4 * (R + cols) - n, jnp.uint8)]
     )
     le = lax.bitcast_convert_type(textp.reshape(-1, 4), jnp.uint32)
-    W = lax.bitcast_convert_type(
+    w = lax.bitcast_convert_type(
         ((le & 0xFF) << 24) | ((le & 0xFF00) << 8)
         | ((le >> 8) & 0xFF00) | (le >> 24),
         jnp.int32,
     )
-    return jnp.concatenate(
-        [
-            W[32 * k : 32 * k + 32 * R2].reshape(R2, 32)
-            for k in range(4)
-        ],
-        axis=1,
-    )
+    # Hankel build by column doubling (7 concats instead of a 66-slice
+    # stack, which cost ~25 ms/MiB in per-op overhead): at width k,
+    # tbl[r, j] = w[r + j]; widening by s appends tbl[r + k, :s]
+    m = w.shape[0]
+    tbl = w[:, None]
+    k = 1
+    while k < cols:
+        s = min(k, cols - k)
+        rows = m - (k + s) + 1
+        # columns k..k+s hold w[r+k .. r+k+s-1] = tbl[r+s, k-s : k]
+        # (row shift s keeps the slice in range on the partial last
+        # step, where s < k)
+        tbl = jnp.concatenate(
+            [tbl[:rows, :], tbl[s : s + rows, k - s : k]], axis=1
+        )
+        k += s
+    return tbl[:R]
 
 
 def _window_settle(wa, wb, W: int):
@@ -348,24 +368,14 @@ def _window_settle(wa, wb, W: int):
 
 def _fetch_aligned_words(T4, i, w: int = 64):
     """``w`` big-endian text words (4w bytes) starting at BYTE index
-    ``i``, per row: one 128-lane row fetch from the overlapping word
-    table (row r covers bytes [128r, 128r+512)), then a per-row lane
-    alignment by 5 conditional STATIC lane shifts (word offset) and a
-    per-row variable BIT shift (byte-in-word offset) — variable lane
-    rolls would be gathers, variable bit shifts are plain VPU ops.
-    ``w <= 64``: the needed words live at [woff, woff + w + 1) with
-    woff < 32, so lanes beyond w + 32 drop right after the row fetch
-    and every alignment op runs at the narrow width."""
-    rows = T4[_srl_i32(i, 7)][:, : min(128, w + 33)]
-    woff = _srl_i32(i & 127, 2)  # word offset in [0, 32)
+    ``i``, per row: one row fetch from the word-granular table (row r
+    covers bytes [4r, ...)) — no lane alignment needed — then the
+    per-row variable BIT shift for the byte-in-word offset (variable
+    lane rolls would be gathers; variable bit shifts are plain VPU
+    ops). Requires ``w <= _TBL_W``."""
+    assert w <= _TBL_W
+    wv = T4[_srl_i32(i, 2)][:, : w + 1]  # +1: byte align peeks ahead
     boff = (i & 3) << 3  # bit offset: 0/8/16/24
-    r = rows
-    for k in (16, 8, 4, 2, 1):
-        shifted = jnp.concatenate(
-            [r[:, k:], jnp.zeros((r.shape[0], k), r.dtype)], axis=1
-        )
-        r = jnp.where((woff[:, None] & k) != 0, shifted, r)
-    wv = r[:, : w + 1]  # +1: byte alignment peeks one word ahead
     w_next = jnp.concatenate(
         [wv[:, 1:], jnp.zeros((wv.shape[0], 1), wv.dtype)], axis=1
     )
@@ -664,7 +674,14 @@ def resolve_factors_device(literals: np.ndarray, fpos: np.ndarray,
     """Device decode of a parsed factor stream (back-references only:
     every source interval must start below its factor position, the
     invariant of the lzss/lzss_lcp wire format). ``n`` = output length.
-    Shapes bucket to powers of two so compilations are reused."""
+    Shapes bucket to powers of two so compilations are reused.
+
+    **Spec path only** (round-5 adjudication): measured 306 ms/MiB
+    batched vs ~22 for the native host stream decode — the resolve is
+    gather/scan-bound and loses on single-chip hardware, so no default
+    dispatches here; the production decode paths (CLI, BlockCodec) are
+    host-native. Kept as the executable specification for a future
+    device-resident multi-chip pipeline (docs/BENCHMARKS.md table)."""
     if n == 0:
         return b""
     n_pad = max(256, 1 << (n - 1).bit_length())
