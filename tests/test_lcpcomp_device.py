@@ -21,6 +21,42 @@ def _corpora():
     ]
 
 
+def test_lcp_by_position_matches_host():
+    """The round-5 SA-adjacent floor + probe + window-settle LCP equals
+    the host LCP array (capped at max_len and both suffix lengths),
+    pinned per text position."""
+    import jax.numpy as jnp
+
+    from tudocomp_tpu.ds.suffix import TextDS
+    from tudocomp_tpu.ops.lcpcomp_jax import _lcp_by_position
+
+    for data in _corpora():
+        text = np.frombuffer(data, np.uint8)
+        n = text.size
+        ds = TextDS(data)
+        sa = np.asarray(ds.require_sa(), np.int64)
+        isa = np.asarray(ds.require_isa(), np.int64)
+        lcp = np.asarray(ds.require_lcp(), np.int64)
+        for max_len in (64, 4096):
+            got_l, got_s = _lcp_by_position(
+                jnp.asarray(text), max_len=max_len
+            )
+            got_l = np.asarray(got_l)
+            got_s = np.asarray(got_s)
+            ml = min(max_len, max(4, n - 1))
+            for p in range(n):
+                i = isa[p]
+                if i == 0:
+                    assert got_l[p] == 0
+                    continue
+                src = sa[i - 1]
+                want = min(
+                    int(lcp[i]), ml, n - 1 - p, n - int(src)
+                )
+                assert got_s[p] == src, (p, max_len)
+                assert got_l[p] == want, (p, got_l[p], want, max_len)
+
+
 def test_factor_validity():
     """Targets are disjoint, sources match their targets in the
     original text (the lcpcomp invariants)."""
