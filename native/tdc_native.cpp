@@ -1493,8 +1493,10 @@ struct PairMap {
     uint64_t mask;
 
     explicit PairMap(int64_t n) {
+        // entries are bounded by the total rule count <= n, so a 2n
+        // pow2 table keeps load <= 50% (4n cost 2 GB alone at 100 MB)
         uint64_t cap = 64;
-        while (cap < uint64_t(4 * n)) cap <<= 1;
+        while (cap < uint64_t(2 * n)) cap <<= 1;
         table.assign(cap, -1);
         mask = cap - 1;
     }
