@@ -80,6 +80,9 @@ def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
         el = jnp.minimum(lcp0_p, ncov - pos)
         active = el >= threshold
         cur_max = jnp.max(jnp.where(active, el, 0))
+        # cur_max doubles as the loop condition for the NEXT iteration
+        # (one lagged no-op round instead of recomputing the residual
+        # scan chain a second time per round)
 
         # **Local-dominance selection** (Luby-MIS shape). Order pops by
         # decreasing (el, -pos) — a valid order of the reference's
@@ -151,12 +154,7 @@ def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
         any_sel = cur_max >= threshold
         covered = jnp.where(any_sel, covered | cov_add, covered)
         chosen = jnp.where(selected & any_sel, el, chosen)
-        return covered, chosen
-
-    def residual_max(covered):
-        ncov = lax.cummin(jnp.where(covered, pos, n), reverse=True)
-        el = jnp.minimum(lcp0_p, ncov - pos)
-        return jnp.max(jnp.where(el >= threshold, el, 0))
+        return covered, chosen, cur_max
 
     def cond(state):
         covered, chosen, cur_max, i = state
@@ -166,13 +164,13 @@ def _all_rounds(covered, chosen, lcp0_p, threshold, *, max_len: int):
 
     def body(state):
         covered, chosen, _, i = state
-        covered, chosen = one_round((covered, chosen))
-        return covered, chosen, residual_max(covered), i + 1
+        covered, chosen, cur_max = one_round((covered, chosen))
+        return covered, chosen, cur_max, i + 1
 
     covered, chosen, _, rounds = lax.while_loop(
         cond,
         body,
-        (covered, chosen, residual_max(covered), jnp.zeros((), _I32)),
+        (covered, chosen, jnp.int32(1 << 30), jnp.zeros((), _I32)),
     )
     return covered, chosen, rounds
 
