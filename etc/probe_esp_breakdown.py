@@ -1,11 +1,15 @@
-"""Where does esp(rounds=device) time go? (round-5 work, VERDICT item 1)
+"""Where does esp(rounds=device) time go? (round 5)
 
-Splits the 1 MiB esp_rounds_jax wall time into:
-  - per-round device compute (each _esp_round bucket timed with one
-    scalar sync, floor-corrected by chaining)
-  - per-round host round trips (the (nb, R) scalar pull + the rules
-    slice pull) as measured inside a real run
-  - the host tail
+The fused-round program (ops/esp_jax.py) runs every big round in ONE
+dispatch; this probe splits the wall time into
+
+  compute   the fused chain (dispatch + the packed scalars/tail pull
+            that blocks on it)
+  rules     the bucketed rules d2h (with copy_to_host_async it
+            overlaps the host tail in production; timed cold here)
+  tail      the host esp_vec rounds below the cutoff
+
+plus a fresh-buffer d2h bandwidth row at rule scale.
 
 Usage: python -u etc/probe_esp_breakdown.py [corpus]
 """
@@ -31,86 +35,70 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
     from etc import datasets
 
+    import tudocomp_tpu.ops.esp_jax as E
+
     name = sys.argv[1] if len(sys.argv) > 1 else "english"
-    gen = getattr(datasets, f"gen_{name}")
-    raw = np.frombuffer(gen(1 << 20), np.uint8)
-    reps = -(-(1 << 20) // raw.size)
-    text = np.tile(raw, reps)[: 1 << 20].copy()
+    raw = np.frombuffer(getattr(datasets, f"gen_{name}")(1 << 20),
+                        np.uint8)
+    text = np.tile(raw, -(-(1 << 20) // raw.size))[: 1 << 20].copy()
     text[-1] = 0
     data = text.tobytes()
+    tail_cutoff = 4096
 
-    from tudocomp_tpu.compressors.esp import iter_log
-    from tudocomp_tpu.ops.esp_jax import _esp_round, _pad_pow2
-
-    # --- replay the real round loop, attributing time -------------------
     s_host = np.frombuffer(data, np.uint8).astype(np.int64)
-    base = 256
-    N = _pad_pow2(s_host.size)
-    pad = np.zeros(N, np.int32)
+    N0 = E._pad_pow2(s_host.size, lo=2 * tail_cutoff)
+    schedule = []
+    Nk, b = N0, 256
+    while True:
+        schedule.append((Nk, E.iter_log(b)))
+        b = 257
+        if Nk <= 2 * tail_cutoff:
+            break
+        Nk //= 2
+    pad = np.zeros(N0, np.int32)
     pad[: s_host.size] = s_host
-    s_dev = jnp.asarray(pad)
-    n_cur = jnp.int32(s_host.size)
+    sj = jnp.asarray(pad)
+    nj = jnp.int32(s_host.size)
+    sch = tuple(schedule)
 
-    # warm compile every bucket first (cold tunnels pollute timing)
-    warm_s, warm_n, warm_base = s_dev, n_cur, base
-    warmN = N
-    while True:
-        s_next, nb, rules, R = _esp_round(
-            warm_s, warm_n, jnp.int32(warm_base), ilog=iter_log(warm_base)
-        )
-        nb_i, r_i = (int(v) for v in np.asarray(jnp.stack([nb, R])))
-        warm_base += r_i
-        if nb_i <= 4096:
-            break
-        warmN = _pad_pow2(nb_i)
-        warm_s = s_next[:warmN]
-        warm_n = nb
+    packed, rules = E._esp_fused(sj, nj, sch)
+    np.asarray(packed)
+    base = int(np.asarray(packed)[1])
+    r_total = base - 256
+    bucket = min(E._pad_pow2(max(r_total, 1)), 2 * N0)
+    np.asarray(rules[:bucket])
 
-    # timed replay
-    t_all0 = time.perf_counter()
-    rounds = []
-    while True:
+    for _ in range(3):
         t0 = time.perf_counter()
-        s_next, nb, rules, R = _esp_round(
-            s_dev, n_cur, jnp.int32(base), ilog=iter_log(base)
-        )
-        t_disp = time.perf_counter() - t0
+        packed, rules = E._esp_fused(sj, nj, sch)
+        p = np.asarray(packed)
+        t_comp = time.perf_counter() - t0
         t0 = time.perf_counter()
-        nb_i, r_i = (int(v) for v in np.asarray(jnp.stack([nb, R])))
-        t_scal = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ch = np.asarray(rules[:r_i], np.int64)
+        got = np.asarray(rules[:bucket])
         t_rules = time.perf_counter() - t0
-        rounds.append((N, nb_i, r_i, t_disp, t_scal, t_rules))
-        base += r_i
-        if nb_i <= 4096:
-            break
-        N = _pad_pow2(nb_i)
-        s_dev = s_next[:N]
-        n_cur = nb
-    t_all = time.perf_counter() - t_all0
+        t0 = time.perf_counter()
+        sh = p[2 : 2 + int(p[0])].astype(np.int64)
+        bb = base
+        while sh.size > 1:
+            top, rr = E.esp_vec.esp_round_vec(sh, bb)
+            a = rr[:, 0]
+            rr[:, 0] = np.where(a < 0, bb + (-a - 1), a)
+            sh = bb + top
+            bb += rr.shape[0]
+        t_tail = time.perf_counter() - t0
+        print(f"compute {t_comp*1e3:7.1f}  rules-pull {t_rules*1e3:6.1f}"
+              f"  host-tail {t_tail*1e3:6.1f}  ({r_total} rules,"
+              f" {bucket*8/1e6:.1f} MB pulled)", flush=True)
 
-    print(f"corpus={name}  total device-phase: {t_all*1e3:.1f} ms")
-    print("  N        nb      R     disp(ms) scal(ms) rules(ms)")
-    td = ts = tr = 0.0
-    for (Ni, nb_i, r_i, a, b, c) in rounds:
-        print(f"  {Ni:8d} {nb_i:7d} {r_i:6d} {a*1e3:8.1f} {b*1e3:8.1f}"
-              f" {c*1e3:8.1f}")
-        td += a
-        ts += b
-        tr += c
-    print(f"  sums: dispatch {td*1e3:.1f}  scalar-sync {ts*1e3:.1f}"
-          f"  rules-pull {tr*1e3:.1f}")
-    rt = sum(r[2] for r in rounds)
-    print(f"  total rules pulled: {rt} ({rt*8/1e6:.2f} MB as int32x2)")
-
-    # --- pure d2h bandwidth check at rule scale -------------------------
-    buf = jnp.arange(600_000 * 2, dtype=jnp.int32).reshape(-1, 2)
-    np.asarray(buf)  # warm
-    t0 = time.perf_counter()
-    np.asarray(buf)
-    t = time.perf_counter() - t0
-    print(f"d2h 4.8MB int32: {t*1e3:.1f} ms ({4.8/t:.1f} MB/s)")
+    # end-to-end (the production wrapper overlaps rules d2h + tail)
+    E.esp_rounds_jax(data)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        E.esp_rounds_jax(data)
+        best = min(best, time.perf_counter() - t0)
+    print(f"esp_rounds_jax end-to-end: {best*1e3:7.1f} ms/MiB",
+          flush=True)
 
 
 if __name__ == "__main__":
