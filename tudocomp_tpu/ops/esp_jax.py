@@ -269,7 +269,8 @@ def _merged_start_flags(starts0, n, N):
     return start1 & valid
 
 
-def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
+def _esp_round_body(s, n, base, ilog, rules_buf, rule_off,
+                    first_round=False):
     """One ESP round: text-domain split, block-domain dedup.
 
     Input width N; returns (s_next[N//2] — the next layer dense in its
@@ -308,28 +309,44 @@ def _esp_round_body(s, n, base, ilog, rules_buf, rule_off):
     hvalid = head & valid
 
     # phase A: keys (a, b) at sequence positions 2*bid; c and the
-    # 3-block flag ride as one packed payload (symbols < 2^30)
+    # 3-block flag ride as one packed payload (symbols < 2^30).
+    # Round 1 packs (a, b) into ONE 16-bit key (byte alphabet) —
+    # one fewer operand in the two largest sorts of the biggest round.
     seqk = jnp.where(hvalid, 2 * bid, INF)
-    am = jnp.where(hvalid, a, INF)
-    bm = jnp.where(hvalid, b, INF)
     c2p = jnp.where(is3, c * 2 + 1, c * 2)
-    s_am, s_bm, s_seq, s_c2 = lax.sort(
-        (am, bm, seqk, c2p), num_keys=3
-    )
-    headA = jnp.concatenate(
-        [
-            jnp.ones(1, bool),
-            (s_am[1:] != s_am[:-1]) | (s_bm[1:] != s_bm[:-1]),
-        ]
-    )
-    # A-group identity: its first encounter's sequence key (bijective),
-    # propagated by scan, then ONE back-sort on the sequence key lands
-    # every valid row dense at its block index
-    firstA_seq = _prop_last(s_seq, headA)
-    _, hA_i, fA, aa, bb, cc2 = lax.sort(
-        (s_seq, headA.astype(I32), firstA_seq, s_am, s_bm, s_c2),
-        num_keys=1,
-    )
+    if first_round:
+        km = jnp.where(hvalid, a * 256 + b, INF)
+        s_km, s_seq, s_c2 = lax.sort((km, seqk, c2p), num_keys=2)
+        headA = jnp.concatenate(
+            [jnp.ones(1, bool), s_km[1:] != s_km[:-1]]
+        )
+        firstA_seq = _prop_last(s_seq, headA)
+        _, hA_i, fA, kk_, cc2 = lax.sort(
+            (s_seq, headA.astype(I32), firstA_seq, s_km, s_c2),
+            num_keys=1,
+        )
+        aa = kk_ >> 8  # positive int32: arithmetic == logical
+        bb = kk_ & 255
+    else:
+        am = jnp.where(hvalid, a, INF)
+        bm = jnp.where(hvalid, b, INF)
+        s_am, s_bm, s_seq, s_c2 = lax.sort(
+            (am, bm, seqk, c2p), num_keys=3
+        )
+        headA = jnp.concatenate(
+            [
+                jnp.ones(1, bool),
+                (s_am[1:] != s_am[:-1]) | (s_bm[1:] != s_bm[:-1]),
+            ]
+        )
+        # A-group identity: its first encounter's sequence key
+        # (bijective), propagated by scan, then ONE back-sort on the
+        # sequence key lands every valid row dense at its block index
+        firstA_seq = _prop_last(s_seq, headA)
+        _, hA_i, fA, aa, bb, cc2 = lax.sort(
+            (s_seq, headA.astype(I32), firstA_seq, s_am, s_bm, s_c2),
+            num_keys=1,
+        )
     j = jnp.arange(NB, dtype=I32)
     bvalid = j < nb
     hA_i, fA, aa, bb, cc2 = (
@@ -411,10 +428,10 @@ def _esp_fused(s, n, schedule):
     rules_buf = jnp.zeros((2 * N0, 2), I32)
     base = jnp.int32(256)
     off = jnp.int32(0)
-    for (Nk, ilog) in schedule:
+    for k, (Nk, ilog) in enumerate(schedule):
         s = s[:Nk]
         s, nb, rules_buf, off2 = _esp_round_body(
-            s, n, base, ilog, rules_buf, off
+            s, n, base, ilog, rules_buf, off, first_round=(k == 0)
         )
         base = base + (off2 - off)
         off = off2
