@@ -10,8 +10,9 @@ Two matchers share the factor pipeline:
 
 - ``exact`` (default, ``_match_exact_device``): the classical SA+ANSV
   longest-previous-factor formulation — device suffix array,
-  all-nearest-smaller-values over SA order by pointer doubling, LCP by
-  binary lifting on prefix-doubling ranks. Per-position answers equal
+  all-nearest-smaller-values by chunked dominance + merge co-sort,
+  LCP floors by segmented scans over the prefix-doubling rank levels,
+  residual by word-window compares. Per-position answers equal
   the reference's PSV/NSV scan (up to the 4096 length cap); measured
   ratios: english.1MB 28.3% (host-exact 28.0%), repetitive.1MB 2.8%
   (host-exact 3.3% — the one-step-lazy commit walk below beats the
@@ -93,35 +94,6 @@ def rank_tables(text, L: int):
         ranks[2 * q] = r
         q *= 2
     return ranks
-
-
-def lifted_lcp(ranks, L: int, text, cand, limit):
-    """Exact common-prefix length of ``text[i:]`` and ``text[cand[i]:]``
-    per position, capped at ``limit[i]``: one descending pass of
-    binary-lifted rank probes (each power of two accepted at most once)
-    plus a 3-byte settle.  ``cand < 0`` yields 0."""
-    n = text.shape[0]
-    pos = jnp.arange(n, dtype=_I32)
-    tb = jnp.concatenate([text, jnp.zeros(1, jnp.uint8)])
-    has = cand >= 0
-    length = jnp.zeros(n, _I32)
-    q = L
-    while q >= 4:
-        rq = ranks[q]
-        a = pos + length
-        b = cand + length
-        in_rng = (a <= n - q) & (b <= n - q) & (b >= 0)
-        ra = rq[jnp.clip(a, 0, n - 1)]
-        rb = rq[jnp.clip(b, 0, n - 1)]
-        ok = has & in_rng & (ra == rb) & (length + q <= limit)
-        length = jnp.where(ok, length + q, length)
-        q //= 2
-    for _ in range(3):
-        a = tb[jnp.clip(pos + length, 0, n)]
-        b = tb[jnp.clip(cand + length, 0, n)]
-        ok = has & (length < limit) & (a == b) & (cand + length < n)
-        length = jnp.where(ok, length + 1, length)
-    return jnp.where(has, length, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("max_len",))
