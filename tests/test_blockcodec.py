@@ -96,6 +96,24 @@ def test_blockcodec_roundtrip():
         assert codec.decompress(comp) == data, data[:40]
 
 
+def test_batchsplit_invariant_with_overpadded_bucket(monkeypatch):
+    """On the TPU backend every batch pads to the ONE full compiled
+    shape — _bucket() can exceed batch_lanes. compress() must trim each
+    batch's outputs to its real lane count before concatenating, or the
+    first batch's pad rows become (empty) frames for every later
+    segment. Mimic the TPU bucket rule on CPU by over-padding."""
+    import tudocomp_tpu.models.blockcodec as bc
+
+    monkeypatch.setattr(bc, "_bucket", lambda n, full=0: 128)
+    rng = np.random.default_rng(7)
+    data = bytes(rng.integers(0, 64, 100 * 2048, dtype=np.uint8))
+    split = BlockCodec(batch_lanes=32).compress(data)
+    monkeypatch.undo()
+    single = BlockCodec().compress(data)
+    assert split == single
+    assert BlockCodec().decompress(split) == data
+
+
 def test_blockcodec_device_decode_matches_host():
     """The TPU lockstep decoder (pure XLA; runs on any backend) must be
     bit-identical to the host/native specification decoder."""

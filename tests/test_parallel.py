@@ -55,6 +55,9 @@ def test_hist_cap_batchsplit_and_mesh_invariance():
     child = r"""
 import os, sys
 os.environ['JAX_PLATFORMS'] = 'cpu'
+# env alone is not enough: the image's sitecustomize pins the axon
+# plugin; config.update before backend init wins (same as conftest)
+import jax; jax.config.update('jax_platforms', 'cpu')
 sys.path.insert(0, %r)
 sys.path.insert(0, %r)
 import numpy as np

@@ -209,7 +209,7 @@ class BlockCodec:
             return self._assemble_empty()
         seg_rows, seg_lens = self.split_segments(data)
         nseg = seg_rows.shape[0]
-        rows_l, counts_l, rleraw_l = [], [], []
+        rows_l, counts_l, rleraw_l, lanes_l = [], [], [], []
         hist_dev = None
         # one global sampling decision per input (not per batch bucket)
         # so the container bytes are identical across batch splits,
@@ -239,6 +239,7 @@ class BlockCodec:
             rows_l.append(rows)
             counts_l.append(counts)
             rleraw_l.append(rleraw)
+            lanes_l.append(hi - lo)
             if hist_on:
                 hist_dev = h if hist_dev is None else hist_dev + h
         # host table build: the histogram pull only waits for the first
@@ -252,16 +253,20 @@ class BlockCodec:
         )
         sym_code, sym_len = self._device_table(table)
         words_l, bits_l, hraw_l = [], [], []
-        for rows, counts in zip(rows_l, counts_l):
+        for rows, counts, nl in zip(rows_l, counts_l, lanes_l):
             w, b, hr = huff_stage(rows, counts, sym_code, sym_len)
-            words_l.append(np.asarray(w))
-            bits_l.append(np.asarray(b))
-            hraw_l.append(np.asarray(hr))
+            # trim to the batch's REAL lane count before concatenating:
+            # _bucket() may pad past batch_lanes (on TPU every batch
+            # takes the one full compiled shape), so a tail-trim of the
+            # concatenation would keep pad rows from earlier batches
+            words_l.append(np.asarray(w)[:nl])
+            bits_l.append(np.asarray(b)[:nl])
+            hraw_l.append(np.asarray(hr)[:nl])
         counts_np = np.concatenate(
-            [np.asarray(c) for c in counts_l]
+            [np.asarray(c)[:nl] for c, nl in zip(counts_l, lanes_l)]
         )[:nseg]
         rleraw_np = np.concatenate(
-            [np.asarray(r) for r in rleraw_l]
+            [np.asarray(r)[:nl] for r, nl in zip(rleraw_l, lanes_l)]
         )[:nseg]
         words_np = np.concatenate(words_l)[:nseg]
         bits_np = np.concatenate(bits_l)[:nseg]
